@@ -1,0 +1,47 @@
+"""Pipeline configuration (reference tunables, SURVEY.md §2.11).
+
+Mirrors the reference's user-extension surface: matching-method selector
+(``/root/reference/address.py:918-921``), fuzzy ``threshold`` (default 85,
+``address.py:973-977``), ``max_records`` cap (``address.py:940-947``), plus the
+engine-specific physical knobs (fuzzy plan selection, partition counts, actor pool
+sizing) that the single-threaded reference has no equivalent for.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+METHODS = ("Comprehensive", "Exact Only", "Fuzzy Only", "Hybrid (Exact + Fuzzy)")
+
+
+@dataclass
+class PipelineConfig:
+    # reference tunables
+    threshold: float = 85.0
+    method: str = "Comprehensive"
+    max_records: Optional[int] = None
+
+    # physical plan
+    fuzzy_strategy: str = "broadcast"  # "broadcast" | "shuffle"
+    num_partitions: Optional[int] = None
+    fuzzy_concurrency: Tuple[int, int] = (2, 8)
+    fuzzy_batch_size: int = 4096
+
+    # clustering
+    cluster_max_iters: int = 25
+    cluster_small_threshold: int = 200_000
+
+    def __post_init__(self):
+        if self.method not in METHODS:
+            raise ValueError(f"unknown method {self.method!r}; one of {METHODS}")
+        if self.fuzzy_strategy not in ("broadcast", "shuffle"):
+            raise ValueError("fuzzy_strategy must be 'broadcast' or 'shuffle'")
+
+    @property
+    def do_exact(self) -> bool:
+        return self.method in ("Comprehensive", "Exact Only", "Hybrid (Exact + Fuzzy)")
+
+    @property
+    def do_fuzzy(self) -> bool:
+        return self.method in ("Comprehensive", "Fuzzy Only", "Hybrid (Exact + Fuzzy)")

@@ -1,0 +1,140 @@
+"""Flagship linkage pipelines: registries -> match pairs -> entity clusters.
+
+Composition of the stage operators, mirroring the reference lifecycle
+(SURVEY.md §3.1: ingest -> preprocess -> exact phases -> fuzzy phase -> concat)
+with the target spec's additions (pages ingestion + deterministic extraction up
+front, transitive clustering at the end). Method gating replicates
+``/root/reference/address.py:1164-1214``: exact-matched SPR ids are excluded from
+the fuzzy phase (``address.py:1185-1203``), and "Fuzzy Only" runs with an empty
+exclusion set (SURVEY §2.12.8).
+
+Everything streams: the only driver-side materializations are (a) the exact-match
+pair set (small; reused for the exclusion filter and the final union) and (b) the
+broadcast cadastre block table in the ``broadcast`` fuzzy plan (the premise of that
+plan). The ``shuffle`` plan materializes neither side.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Set
+
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..sources import io as rio
+from ..stages import blocking, cluster, matching
+from .config import PipelineConfig
+
+
+def preprocess(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Normalize + derive + deterministic order column."""
+    return blocking.add_order_column(blocking.preprocess_registry(ds))
+
+
+def match_registries(
+    spr: ray.data.Dataset,
+    cad: ray.data.Dataset,
+    config: Optional[PipelineConfig] = None,
+    preprocessed: bool = False,
+) -> ray.data.Dataset:
+    """Registries in, 15-column match-pair Dataset out (MATCH_SCHEMA)."""
+    cfg = config or PipelineConfig()
+    if not preprocessed:
+        spr = preprocess(spr)
+        cad = preprocess(cad)
+    if cfg.max_records is not None:
+        spr = spr.limit(cfg.max_records)
+
+    # Empty side -> no pairs. Also guards Dataset.join, which loses the key schema
+    # on all-empty partitions (observed on ray 2.49: ArrowInvalid "No match ... key
+    # field reference" when the left side has zero rows).
+    if spr.count() == 0 or cad.count() == 0:
+        return ray.data.from_arrow(matching.MATCH_SCHEMA.empty_table())
+
+    parts = []
+    exclude_ids: Set[str] = set()
+    if cfg.do_exact:
+        exact = matching.exact_matches(spr, cad, cfg.num_partitions).materialize()
+        parts.append(exact)
+        if cfg.do_fuzzy:
+            exclude_ids = set(exact.unique("ADDRESS_ID_SPR"))
+
+    if cfg.do_fuzzy:
+        residue = matching.filter_out_ids(spr, "ADDRESS_ID", exclude_ids)
+        if cfg.fuzzy_strategy == "broadcast":
+            cad_tbl = matching.build_cad_block_table(cad)
+            cad_ref = ray.put(cad_tbl)
+            fuzzy = matching.fuzzy_matches_broadcast(
+                residue,
+                cad_ref,
+                threshold=cfg.threshold,
+                concurrency=cfg.fuzzy_concurrency,
+                batch_size=cfg.fuzzy_batch_size,
+            )
+        else:
+            fuzzy = matching.fuzzy_matches_shuffle(
+                residue, cad, threshold=cfg.threshold, num_partitions=cfg.num_partitions
+            )
+        parts.append(fuzzy)
+
+    if not parts:
+        return ray.data.from_arrow(matching.MATCH_SCHEMA.empty_table())
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def cluster_matches(
+    matches: ray.data.Dataset, config: Optional[PipelineConfig] = None
+) -> ray.data.Dataset:
+    cfg = config or PipelineConfig()
+    return cluster.assign_clusters(
+        matches,
+        max_iters=cfg.cluster_max_iters,
+        num_partitions=cfg.num_partitions,
+        small_threshold=cfg.cluster_small_threshold,
+    )
+
+
+def run_linkage(
+    spr_path: str,
+    cad_path: str,
+    out_dir: Optional[str] = None,
+    config: Optional[PipelineConfig] = None,
+) -> dict:
+    """Registry parquet paths in; match pairs + clusters out (written if out_dir)."""
+    cfg = config or PipelineConfig()
+    spr = rio.read_registry(spr_path, "SPR")
+    cad = rio.read_registry(cad_path, "Cadastre")
+    matches = match_registries(spr, cad, cfg).materialize()
+    clusters = cluster_matches(matches, cfg).materialize()
+    result = {"matches": matches, "clusters": clusters}
+    if out_dir:
+        rio.write_dataset(matches, f"{out_dir}/matches")
+        rio.write_dataset(clusters, f"{out_dir}/clusters")
+    return result
+
+
+def pages_to_match_clusters(
+    pages: ray.data.Dataset,
+    cad: ray.data.Dataset,
+    config: Optional[PipelineConfig] = None,
+) -> dict:
+    """The target-spec flagship: Common-Crawl-style pages vs. a reference registry.
+
+    pages (url, warc_ts, html, text, lang)
+      -> deterministic html->text extraction (byte-identical per url)
+      -> parse embedded address records
+      -> normalize/derive/blocking keys
+      -> exact + fuzzy matching against the cadastre registry
+      -> transitive clustering
+    """
+    cfg = config or PipelineConfig()
+    records = blocking.pages_to_registry_records(blocking.extract_pages(pages))
+    spr = preprocess(records)
+    cad_pre = preprocess(cad)
+    matches = match_registries(spr, cad_pre, cfg, preprocessed=True).materialize()
+    clusters = cluster_matches(matches, cfg)
+    return {"records": spr, "matches": matches, "clusters": clusters}

@@ -1,0 +1,106 @@
+"""Parquet ingest with schema validation, sinks, export packaging.
+
+Reference parity (SURVEY.md §2.1):
+- S1/S2/S3 readers -> :func:`read_registry` (``ray.data.read_parquet`` + the same
+  required-column validation as ``/root/reference/address.py:104-109``; CSV via
+  :func:`read_registry_csv`). The DB/REST connectors are transport details the graft
+  replaces with parquet.
+- S5/S6 sinks -> :func:`write_dataset` (partitioned parquet directory, atomic rename
+  so failed runs never expose partial output; resumable — SURVEY §4 checkpoint row).
+- S7 ZIP export package -> :func:`create_export_package`
+  (``/root/reference/address.py:833-872``): zip of matched/unmatched CSV + quality and
+  stats JSON, built from already-written engine outputs on the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import zipfile
+from typing import Iterable, Optional
+
+import pyarrow as pa
+import ray.data
+
+REQUIRED_COLUMNS = ("STREET_NAME", "HOUSE", "BUILDING")
+
+
+class SchemaValidationError(ValueError):
+    pass
+
+
+def validate_registry_schema(schema: pa.Schema, registry_name: str = "registry") -> None:
+    """Reject ingestion when required columns are missing (address.py:104-109)."""
+    missing = [c for c in REQUIRED_COLUMNS if c not in schema.names]
+    if missing:
+        raise SchemaValidationError(
+            f"Missing required columns in {registry_name}: {missing}"
+        )
+
+
+def read_registry(
+    path: str,
+    registry_name: str = "registry",
+    columns: Optional[Iterable[str]] = None,
+) -> ray.data.Dataset:
+    """Read a registry parquet table and validate its schema at ingest time.
+
+    ``columns`` prunes at the read (only needed columns leave storage).
+    """
+    ds = ray.data.read_parquet(path, columns=list(columns) if columns else None)
+    validate_registry_schema(ds.schema(), registry_name)
+    return ds
+
+
+def read_registry_csv(path: str, registry_name: str = "registry") -> ray.data.Dataset:
+    ds = ray.data.read_csv(path)
+    validate_registry_schema(ds.schema(), registry_name)
+    return ds
+
+
+def read_pages(path: str, columns: Optional[Iterable[str]] = None) -> ray.data.Dataset:
+    """Read a Common-Crawl-style pages table (url, warc_ts, html, text, lang)."""
+    return ray.data.read_parquet(path, columns=list(columns) if columns else None)
+
+
+def write_dataset(ds: ray.data.Dataset, out_dir: str, min_rows_per_file: int = 200_000) -> str:
+    """Write a Dataset to a parquet directory atomically (tmp dir + rename)."""
+    parent = os.path.dirname(os.path.abspath(out_dir)) or "."
+    os.makedirs(parent, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix=".staging-", dir=parent)
+    try:
+        ds.write_parquet(tmp, min_rows_per_file=min_rows_per_file)
+        if os.path.exists(out_dir):
+            shutil.rmtree(out_dir)
+        os.rename(tmp, out_dir)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    return out_dir
+
+
+def create_export_package(
+    matches_path: str,
+    unmatched_path: str,
+    quality_metrics: dict,
+    stats: dict,
+    out_zip: str,
+) -> str:
+    """ZIP package mirroring /root/reference/address.py:833-872: matched + unmatched
+    CSVs plus quality/stats JSON. Consumes engine parquet outputs written earlier."""
+    import pyarrow.parquet as pq
+    import pyarrow.csv as pacsv
+
+    os.makedirs(os.path.dirname(os.path.abspath(out_zip)) or ".", exist_ok=True)
+    with zipfile.ZipFile(out_zip, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, src in (("matched_addresses.csv", matches_path),
+                          ("unmatched_addresses.csv", unmatched_path)):
+            table = pq.read_table(src)
+            buf = pa.BufferOutputStream()
+            pacsv.write_csv(table, buf)
+            zf.writestr(name, buf.getvalue().to_pybytes())
+        zf.writestr("quality_metrics.json", json.dumps(quality_metrics, indent=2, default=str))
+        zf.writestr("match_statistics.json", json.dumps(stats, indent=2, default=str))
+    return out_zip

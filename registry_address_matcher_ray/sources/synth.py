@@ -1,0 +1,313 @@
+"""Deterministic synthetic fixtures: registries, labeled pairs, web pages.
+
+The reference ships no data (``/root/reference/.MISSING_LARGE_BLOBS``); FIXTURES.md
+defines the shapes generated here. Everything is a pure function of ``(n, seed)`` —
+same inputs, byte-identical tables — so tests, the DuckDB driver checks and the
+N-vs-4N scaling bench all run on reproducible inputs with no external data.
+
+Tables produced (pyarrow, see FIXTURES.md F1-F3):
+
+- ``registry_spr`` / ``registry_cad``: ``(ADDRESS_ID, STREET_NAME, HOUSE, BUILDING)``
+  with the reference's noise classes: raw casing/punctuation/suffix variants that
+  normalize identically (exact matches), Soviet-era old street names resolved by the
+  rename map, single-edit street typos (fuzzy matches), out-of-threshold corruptions
+  and null fields (unmatched), duplicate FULL_ADDRESS rows on the CAD side
+  (exercises the last-wins build dict, ``/root/reference/address.py:358``) and hot
+  ``(HOUSE_NORM, BUILDING_NORM)`` blocks (the skew path).
+- ``labeled_pairs``: ground truth ``(spr_id, cad_id, label, block_key)`` for every
+  candidate pair sharing the canonical reference blocking key
+  ``SEARCH_KEY = STREET_NORM + "_" + HOUSE_NORM`` (``address.py:267-269``).
+- ``pages``: Common-Crawl-style ``(url, warc_ts, html, text, lang)`` wrapping each SPR
+  record in deterministic HTML such that ``extract.extract_text(html) == text``
+  byte-identically, with embedded machine-parsable address lines
+  (``ADDR|<id>|<street>|<house>|<building>``, ``\\N`` marks SQL-style nulls).
+"""
+
+from __future__ import annotations
+
+import html as _html
+import random
+import re as _re
+from datetime import datetime, timedelta
+from typing import Dict, List, Optional, Tuple
+
+import pyarrow as pa
+
+from ..functions.normalize import OLD_TO_NEW_MAP, _OLD_NEW_PAIRS, normalize
+
+__all__ = ["synth_registries", "synth_pages", "ADDR_LINE_PREFIX", "format_addr_line",
+           "parse_addr_line"]
+
+ADDR_LINE_PREFIX = "ADDR|"
+_NULL_MARK = "\\N"
+
+_SYLLABLES = [
+    "ԱԲ", "ՈՎ", "ՅԱՆ", "ՄԱՇ", "ՏՈՑ", "ՎԱՐ", "ԴԱՆ", "ՆԱԼ", "ԲԱՆԴ", "ՅԱՆՑ",
+    "ԳՐԻԳ", "ՈՐ", "ՍԱՀ", "ՅԱԼ", "ԹԱՂ", "ՄԱՍ", "ՇԻՐ", "ԱԿ", "ՎԱՆ", "ՁՈՐ",
+]
+_SUFFIX_NOISE = ["", " Փ.", " ՊՈՂ.", " ՓՈՂՈՑ"]
+_BUILDINGS = ["", "", "", "", "1", "2", "Ա", "Բ"]  # mostly empty -> hot blocks
+
+
+def _street_universe(n_streets: int, rng: random.Random) -> List[str]:
+    """Distinct canonical street names whose normalized forms are distinct."""
+    streets: List[str] = []
+    seen = set()
+    # Seed with rename-map pairs usable end-to-end: normalize(old) == normalize(new)
+    renames = [(o, n) for o, n in _OLD_NEW_PAIRS if normalize(o) == normalize(n)]
+    for _, new in renames[: max(2, n_streets // 20)]:
+        k = normalize(new)
+        if k and k not in seen:
+            seen.add(k)
+            streets.append(new)
+    while len(streets) < n_streets:
+        nsyl = rng.randint(4, 7)
+        name = "".join(rng.choice(_SYLLABLES) for _ in range(nsyl)).upper()
+        if rng.random() < 0.2:
+            name = name + " " + "".join(rng.choice(_SYLLABLES) for _ in range(3)).upper()
+        k = normalize(name)
+        if len(k.replace(" ", "")) >= 8 and k not in seen:
+            seen.add(k)
+            streets.append(name)
+    return streets
+
+
+def _usable_old_names() -> Dict[str, str]:
+    """old_raw -> new_raw for rename-map pairs that survive full normalization."""
+    return {o: n for o, n in _OLD_NEW_PAIRS if normalize(o) == normalize(n)}
+
+
+def _typo(s: str, rng: random.Random) -> str:
+    """One deletion or adjacent transposition — stays >= ~88 on ratio for len >= 8."""
+    chars = [c for c in s]
+    positions = [i for i, c in enumerate(chars) if c not in " ."]
+    if not positions:
+        return s
+    i = rng.choice(positions)
+    if rng.random() < 0.5 or i + 1 >= len(chars) or chars[i + 1] in " .":
+        del chars[i]
+    else:
+        chars[i], chars[i + 1] = chars[i + 1], chars[i]
+    return "".join(chars)
+
+
+def _noisy_same(street: str, rng: random.Random) -> str:
+    """Raw variant that normalizes identically to ``street``."""
+    s = street
+    r = rng.random()
+    if r < 0.3:
+        s = s.lower()
+    elif r < 0.5:
+        s = "  " + s + " "
+    if rng.random() < 0.4:
+        s = s + rng.choice(_SUFFIX_NOISE)
+    if rng.random() < 0.2:
+        s = s.replace(" ", " , ") if " " in s else s + ","
+    return s
+
+
+def synth_registries(
+    n_addresses: int = 1000, seed: int = 42
+) -> Dict[str, pa.Table]:
+    """Generate ``registry_spr``, ``registry_cad`` and ``labeled_pairs``.
+
+    Deterministic in (n_addresses, seed). Every SPR row derives from a canonical
+    address (or is unmatched noise); CAD holds exactly one row per canonical address
+    plus a ~1.5% tail of duplicate-FULL_ADDRESS rows for exact-class addresses.
+    """
+    rng = random.Random((seed, n_addresses, "registries").__repr__())
+    n_streets = max(12, n_addresses // 40)
+    streets = _street_universe(n_streets, rng)
+    old_names = _usable_old_names()
+    new_to_old = {normalize(n): o for o, n in old_names.items()}
+
+    # canonical addresses; ~12% share (street, house) with the previous address but
+    # differ in building -> same SEARCH_KEY block, label=false pairs (precision test)
+    canon: List[Tuple[str, str, str]] = []  # (street_raw, house, building)
+    used_buildings: Dict[Tuple[str, str], set] = {}
+    for k in range(n_addresses):
+        if k > 0 and rng.random() < 0.12:
+            street, house, _prev = canon[k - 1]
+            taken = used_buildings[(street, house)]
+            others = [b for b in ("1", "2", "Ա", "Բ", "Գ") if b not in taken]
+            if not others:
+                street = streets[k % len(streets)]
+                house = str(1 + k // len(streets))
+                others = ["", "1"]
+            building = rng.choice(others)
+        else:
+            street = streets[k % len(streets)]
+            house = str(1 + k // len(streets))
+            building = _BUILDINGS[rng.randrange(len(_BUILDINGS))]
+        used_buildings.setdefault((street, house), set()).add(building)
+        canon.append((street, house, building))
+
+    cad_rows: List[Tuple[str, Optional[str], Optional[str], Optional[str]]] = []
+    spr_rows: List[Tuple[str, Optional[str], Optional[str], Optional[str]]] = []
+    # spr_idx -> canonical index it truly refers to (or None for noise)
+    spr_truth: List[Optional[int]] = []
+    cad_truth: List[int] = []
+    spr_class: List[str] = []
+
+    for k, (street, house, building) in enumerate(canon):
+        cad_id = f"CAD-{k:06d}"
+        cad_rows.append((cad_id, _noisy_same(street, rng), house, building))
+        cad_truth.append(k)
+
+        r = rng.random()
+        spr_id = f"SPR-{k:06d}"
+        if r < 0.45:  # exact: identical after normalization
+            spr_rows.append((spr_id, _noisy_same(street, rng), house, building))
+            spr_truth.append(k)
+            spr_class.append("exact")
+        elif r < 0.55:  # old->new rename path when available, else exact
+            key = normalize(street)
+            if key in new_to_old:
+                spr_rows.append((spr_id, new_to_old[key], house, building))
+            else:
+                spr_rows.append((spr_id, street, house, building))
+            spr_truth.append(k)
+            spr_class.append("exact")
+        elif r < 0.80:  # fuzzy: single-edit street typo, house+building intact
+            spr_rows.append((spr_id, _typo(street, rng), house, building))
+            spr_truth.append(k)
+            spr_class.append("fuzzy")
+        elif r < 0.90:  # unmatched: street corrupted beyond threshold
+            junk = "".join(rng.choice("ՔՖՁՋՉ") for _ in range(10))
+            spr_rows.append((spr_id, junk, house, building))
+            spr_truth.append(None)
+            spr_class.append("unmatched")
+        else:  # unmatched: null fields (no candidates / empty street)
+            if rng.random() < 0.5:
+                spr_rows.append((spr_id, street, None, building))
+            else:
+                spr_rows.append((spr_id, None, house, building))
+            spr_truth.append(None)
+            spr_class.append("unmatched")
+
+    # CAD duplicate FULL_ADDRESS tail, only for exact-class addresses (last-wins path)
+    n_dup = max(1, n_addresses // 64)
+    exact_ks = [k for i, k in enumerate(spr_truth) if k is not None and spr_class[i] == "exact"]
+    for j in range(min(n_dup, len(exact_ks))):
+        k = exact_ks[j * max(1, len(exact_ks) // max(1, n_dup))]
+        street, house, building = canon[k]
+        cad_rows.append((f"CAD-D{j:05d}", _noisy_same(street, rng), house, building))
+        cad_truth.append(k)
+
+    # labeled pairs at the canonical blocking key
+    canon_key = [f"{normalize(s)}_{normalize(h)}" for s, h, _ in canon]
+    cad_by_key: Dict[str, List[int]] = {}
+    for ci, k in enumerate(cad_truth):
+        cad_by_key.setdefault(canon_key[k], []).append(ci)
+    pairs: List[Tuple[str, str, bool, str]] = []
+    for si, k in enumerate(spr_truth):
+        if k is None:
+            continue
+        key = canon_key[k]
+        for ci in cad_by_key.get(key, []):
+            pairs.append((spr_rows[si][0], cad_rows[ci][0], cad_truth[ci] == k, key))
+
+    def _tbl(rows):
+        cols = list(zip(*rows)) if rows else [[], [], [], []]
+        return pa.table(
+            {
+                "ADDRESS_ID": pa.array(cols[0], pa.string()),
+                "STREET_NAME": pa.array(cols[1], pa.string()),
+                "HOUSE": pa.array(cols[2], pa.string()),
+                "BUILDING": pa.array(cols[3], pa.string()),
+            }
+        )
+
+    pair_cols = list(zip(*pairs)) if pairs else [[], [], [], []]
+    labeled = pa.table(
+        {
+            "spr_id": pa.array(pair_cols[0], pa.string()),
+            "cad_id": pa.array(pair_cols[1], pa.string()),
+            "label": pa.array(pair_cols[2], pa.bool_()),
+            "block_key": pa.array(pair_cols[3], pa.string()),
+        }
+    )
+    return {
+        "registry_spr": _tbl(spr_rows),
+        "registry_cad": _tbl(cad_rows),
+        "labeled_pairs": labeled,
+    }
+
+
+def format_addr_line(addr_id, street, house, building) -> str:
+    f = lambda v: _NULL_MARK if v is None else str(v)
+    return f"{ADDR_LINE_PREFIX}{f(addr_id)}|{f(street)}|{f(house)}|{f(building)}"
+
+
+def parse_addr_line(line: str) -> Optional[Tuple[str, Optional[str], Optional[str], Optional[str]]]:
+    """Inverse of :func:`format_addr_line`; None if the line is not an address line."""
+    if not line.startswith(ADDR_LINE_PREFIX):
+        return None
+    parts = line.split("|")
+    if len(parts) != 5:
+        return None
+    vals = [None if p == _NULL_MARK else p for p in parts[1:]]
+    return (vals[0] or "", vals[1], vals[2], vals[3])
+
+
+_FILLER_WORDS = [
+    "municipal", "registry", "parcel", "record", "update", "notice", "district",
+    "survey", "armenia", "gyumri", "census", "cadastre", "population", "street",
+]
+
+
+def _page_text(addr_row, rng: random.Random) -> str:
+    lines = [f"Registry notice {rng.randrange(10**6)}"]
+    for _ in range(rng.randint(1, 4)):
+        lines.append(" ".join(rng.choice(_FILLER_WORDS) for _ in range(rng.randint(4, 10))))
+    if addr_row is not None:
+        lines.insert(rng.randint(1, len(lines)), format_addr_line(*addr_row))
+    # canonical text form == extractor output form: per-line hspace collapsed + stripped
+    lines = [_re.sub(r"[ \t\r\f\v]+", " ", ln).strip() for ln in lines]
+    return "\n".join(ln for ln in lines if ln)
+
+
+def _page_html(text: str) -> bytes:
+    body = "\n".join(f"<p>{_html.escape(line)}</p>" for line in text.split("\n"))
+    doc = (
+        "<html><head><title>registry</title>"
+        "<script>var x = 1 < 2;</script><style>p { color: #000; }</style></head>"
+        f"<body>\n{body}\n<!-- crawl artifact --></body></html>"
+    )
+    return doc.encode("utf-8")
+
+
+def synth_pages(spr: pa.Table, seed: int = 42, noise_fraction: float = 0.1) -> pa.Table:
+    """Common-Crawl-style pages embedding each SPR record, plus address-free noise.
+
+    ``extract.extract_text(html) == text`` holds byte-identically for every row (the
+    per-url invariant); tested in tests/test_extract.py.
+    """
+    rng = random.Random((seed, spr.num_rows, "pages").__repr__())
+    t0 = datetime(2024, 1, 1)
+    urls, tss, htmls, texts, langs = [], [], [], [], []
+
+    def _emit(url_key: str, addr_row):
+        text = _page_text(addr_row, rng)
+        urls.append(f"https://pages.example.am/{url_key}")
+        tss.append(t0 + timedelta(seconds=rng.randrange(365 * 24 * 3600)))
+        htmls.append(_page_html(text))
+        texts.append(text)
+        langs.append("hy" if rng.random() < 0.7 else "en")
+
+    rows = spr.to_pylist()
+    for row in rows:
+        _emit(row["ADDRESS_ID"].lower(),
+              (row["ADDRESS_ID"], row["STREET_NAME"], row["HOUSE"], row["BUILDING"]))
+    for j in range(int(len(rows) * noise_fraction)):
+        _emit(f"noise-{j:06d}", None)
+
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )

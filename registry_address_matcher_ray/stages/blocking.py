@@ -1,0 +1,221 @@
+"""Normalization / derived columns / blocking keys / page extraction stages.
+
+All stages here are STATELESS zero-shuffle ``map_batches`` transforms over Arrow
+batches (``batch_format="pyarrow"``): new columns in, new columns out, streaming
+through Ray Data's executor. Reference parity:
+
+- :func:`preprocess_registry` = operators M1-M7 (``/root/reference/address.py:240-284``):
+  fillna('') on the three raw columns, byte-identical ``*_NORM`` derivation,
+  ``FULL_ADDRESS`` (space-concat + strip), the reference blocking key
+  ``SEARCH_KEY = STREET_NORM + "_" + HOUSE_NORM`` and ``COMPLETENESS_SCORE``
+  (faithfully computed AFTER the fillna, hence the reference's constant-1.0 behavior —
+  SURVEY §2.12.4 replicate-decision).
+- :func:`extract_pages` = graft operator M14: deterministic html->text, byte-stable
+  per url across runs/parallelism.
+- :func:`pages_to_registry_records` parses embedded ``ADDR|...`` lines from page text
+  into registry-shaped records (flat_map-style: 0..n records per page).
+- :func:`add_minhash_bands` = graft operator T7: seeded MinHash-LSH band keys over
+  character shingles of a text column, for near-candidate generation via
+  ``groupby(band)`` (used by stages/dedup.py and as an alternative blocking path).
+
+At 100 TB these stages scale embarrassingly: no shuffle, dictionary-encoded
+normalization cost is O(#distinct strings) per batch, and the ordering column
+``_ord`` needed by the order-sensitive dedup rules (D4 last-wins / O3 tie-breaks) is
+derived from the stable unique id, not from physical row position.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import List, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..functions.extract import extract_text
+from ..functions.normalize import normalize_array
+from ..sources.synth import parse_addr_line
+
+DERIVED_COLUMNS = (
+    "STREET_NORM", "HOUSE_NORM", "BUILDING_NORM",
+    "FULL_ADDRESS", "SEARCH_KEY", "COMPLETENESS_SCORE",
+)
+
+
+def _preprocess_batch(batch: pa.Table) -> pa.Table:
+    cols = {name: batch.column(name) for name in batch.column_names}
+    for c in ("STREET_NAME", "HOUSE", "BUILDING"):
+        cols[c] = pc.fill_null(pc.cast(cols[c], pa.string()), "")
+    street_n = normalize_array(cols["STREET_NAME"])
+    house_n = normalize_array(cols["HOUSE"])
+    building_n = normalize_array(cols["BUILDING"])
+    full = pc.utf8_trim_whitespace(
+        pc.binary_join_element_wise(street_n, house_n, building_n, " ")
+    )
+    search_key = pc.binary_join_element_wise(street_n, house_n, "_")
+    # Reference computes notna AFTER fillna -> constant 1.0; replicated faithfully.
+    completeness = pc.divide(
+        pc.add(
+            pc.add(
+                pc.cast(pc.is_valid(cols["STREET_NAME"]), pa.int64()),
+                pc.cast(pc.is_valid(cols["HOUSE"]), pa.int64()),
+            ),
+            pc.cast(pc.is_valid(cols["BUILDING"]), pa.int64()),
+        ),
+        pa.scalar(3.0),
+    )
+    out = batch
+    for c in ("STREET_NAME", "HOUSE", "BUILDING"):
+        out = out.set_column(out.column_names.index(c), c, cols[c])
+    for name, arr in (
+        ("STREET_NORM", street_n),
+        ("HOUSE_NORM", house_n),
+        ("BUILDING_NORM", building_n),
+        ("FULL_ADDRESS", full),
+        ("SEARCH_KEY", search_key),
+        ("COMPLETENESS_SCORE", completeness),
+    ):
+        out = out.append_column(name, arr)
+    return out
+
+
+def preprocess_registry(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Add the six derived columns (M1-M7), vectorized, zero shuffle."""
+    return ds.map_batches(_preprocess_batch, batch_format="pyarrow")
+
+
+def add_order_column(ds: ray.data.Dataset, id_col: str = "ADDRESS_ID") -> ray.data.Dataset:
+    """Deterministic total-order column ``_ord`` for order-sensitive rules.
+
+    The reference's last-wins build dict (D4) and candidate ordering (O3) depend on
+    DataFrame row order; Ray Data shuffles destroy physical order, so the engine
+    keys those rules on the stable unique id instead (fixture ids are monotone in
+    row order). Documented partitioning assumption: ``id_col`` is unique.
+    """
+    def _add(batch: pa.Table) -> pa.Table:
+        return batch.append_column("_ord", pc.cast(batch.column(id_col), pa.string()))
+    return ds.map_batches(_add, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- pages (graft)
+
+
+def _extract_batch(batch: pa.Table) -> pa.Table:
+    html_col = batch.column("html")
+    if isinstance(html_col, pa.ChunkedArray):
+        html_col = html_col.combine_chunks()
+    texts = pa.array([extract_text(v) for v in html_col.to_pylist()], pa.string())
+    name = "extracted_text"
+    if name in batch.column_names:
+        batch = batch.drop_columns([name])
+    return batch.append_column(name, texts)
+
+
+def extract_pages(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Deterministic html->text extraction (M14); adds ``extracted_text``."""
+    return ds.map_batches(_extract_batch, batch_format="pyarrow")
+
+
+def _parse_records_batch(batch: pa.Table) -> pa.Table:
+    text_col = "extracted_text" if "extracted_text" in batch.column_names else "text"
+    urls = batch.column("url").to_pylist()
+    texts = batch.column(text_col).to_pylist()
+    out = {"url": [], "ADDRESS_ID": [], "STREET_NAME": [], "HOUSE": [], "BUILDING": []}
+    for url, text in zip(urls, texts):
+        if not text:
+            continue
+        for line in text.split("\n"):
+            rec = parse_addr_line(line)
+            if rec is not None:
+                out["url"].append(url)
+                out["ADDRESS_ID"].append(rec[0])
+                out["STREET_NAME"].append(rec[1])
+                out["HOUSE"].append(rec[2])
+                out["BUILDING"].append(rec[3])
+    return pa.table(
+        {
+            "url": pa.array(out["url"], pa.string()),
+            "ADDRESS_ID": pa.array(out["ADDRESS_ID"], pa.string()),
+            "STREET_NAME": pa.array(out["STREET_NAME"], pa.string()),
+            "HOUSE": pa.array(out["HOUSE"], pa.string()),
+            "BUILDING": pa.array(out["BUILDING"], pa.string()),
+        }
+    )
+
+
+def pages_to_registry_records(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Parse embedded address lines into registry-shaped records (0..n per page)."""
+    return ds.map_batches(_parse_records_batch, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ MinHash-LSH bands
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    # zlib.crc32 is stable across processes (unlike str hash(), which is salted)
+    data = text.encode("utf-8")
+    if len(data) < k:
+        return np.array([zlib.crc32(data)], dtype=np.uint64)
+    hs = {zlib.crc32(data[i : i + k]) for i in range(len(data) - k + 1)}
+    return np.fromiter(hs, dtype=np.uint64, count=len(hs))
+
+
+class MinHasher:
+    """Seeded universal-hash MinHash; deterministic across runs and partitions."""
+
+    MERSENNE = (1 << 61) - 1
+
+    def __init__(self, num_perm: int = 64, seed: int = 1729):
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, self.MERSENNE, size=num_perm, dtype=np.uint64)
+        self.b = rng.randint(0, self.MERSENNE, size=num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+
+    def signature(self, shingles: np.ndarray) -> np.ndarray:
+        if len(shingles) == 0:
+            return np.full(self.num_perm, self.MERSENNE, dtype=np.uint64)
+        # (num_perm, n) universal hashes -> row-min
+        vals = (np.outer(self.a, shingles) + self.b[:, None]) % self.MERSENNE
+        return vals.min(axis=1)
+
+
+def add_minhash_bands(
+    ds: ray.data.Dataset,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    seed: int = 1729,
+    out_prefix: str = "band",
+) -> ray.data.Dataset:
+    """Add ``bands`` LSH band-hash columns (T7). Stateless, seeded, deterministic.
+
+    Two rows sharing any band column value are near-duplicate candidates; generate
+    candidates with ``groupby(band_i)`` per band (see stages/dedup.py).
+    """
+    rows_per_band = num_perm // bands
+
+    class _Bander:
+        def __init__(self):
+            self.mh = MinHasher(num_perm=num_perm, seed=seed)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            texts = batch.column(text_col).to_pylist()
+            sigs = np.stack([
+                self.mh.signature(_shingle_hashes(t or "", shingle_k)) for t in texts
+            ]) if texts else np.zeros((0, num_perm), dtype=np.uint64)
+            out = batch
+            for b in range(bands):
+                seg = sigs[:, b * rows_per_band : (b + 1) * rows_per_band]
+                # stable 64-bit mix of the band segment
+                mixed = np.zeros(len(texts), dtype=np.uint64)
+                for j in range(seg.shape[1] if len(texts) else 0):
+                    mixed = (mixed * np.uint64(1099511628211)) ^ seg[:, j]
+                out = out.append_column(
+                    f"{out_prefix}_{b}", pa.array(mixed.astype("int64"), pa.int64())
+                )
+            return out
+
+    return ds.map_batches(_Bander, batch_format="pyarrow", concurrency=(1, 8))

@@ -1,0 +1,212 @@
+"""Distributed transitive clustering: connected components over match pairs.
+
+The reference emits matches as flat pairs and never clusters
+(SURVEY.md §0); the target spec (BASELINE.json north_star) adds transitive
+clustering — matched pairs are edges, entities are connected components, and the
+cluster id must be deterministic (min node id per component) regardless of
+partitioning or parallelism.
+
+Algorithm: iterative hash-partitioned min-label propagation — the standard
+large-scale connected-components construction on a data-parallel engine:
+
+    labels(node) <- node
+    repeat:
+        candidate(v) <- min over {labels(v)} ∪ {labels(u) : (u,v) or (v,u) ∈ E}
+        labels <- groupby(node).min(candidate)
+    until no label changed
+
+Each round is two hash joins (labels onto each edge endpoint) plus one groupby —
+all-to-all on node id, no driver-side state. Rounds needed = graph diameter
+(record-linkage components are stars/short chains, so 2-4 rounds in practice);
+``max_iters`` bounds pathological chains. Convergence is detected with a
+distributed count of changed labels (no full materialization on the driver).
+
+For small edge sets (< ``small_threshold``) a driver-side union-find fallback is
+used — identical output, none of the per-round Ray overhead. Both paths produce
+``(node, cluster_id)``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+
+def _unique_nodes(edges: ray.data.Dataset, src: str, dst: str) -> ray.data.Dataset:
+    def _nodes(batch: pa.Table) -> pa.Table:
+        arr = pa.concat_arrays(
+            [
+                pc.cast(batch.column(src), pa.string()).combine_chunks(),
+                pc.cast(batch.column(dst), pa.string()).combine_chunks(),
+            ]
+        )
+        return pa.table({"node": pc.unique(arr)})
+
+    return edges.map_batches(_nodes, batch_format="pyarrow").groupby("node").count()
+
+
+def _union_find_local(edge_table: pa.Table, src: str, dst: str) -> pa.Table:
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            return
+        # deterministic: smaller id becomes the root
+        if rb < ra:
+            ra, rb = rb, ra
+        parent[rb] = ra
+
+    srcs = edge_table.column(src).to_pylist()
+    dsts = edge_table.column(dst).to_pylist()
+    for a, b in zip(srcs, dsts):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        union(a, b)
+    nodes = sorted(parent)
+    return pa.table(
+        {
+            "node": pa.array(nodes, pa.string()),
+            "cluster_id": pa.array([find(n) for n in nodes], pa.string()),
+        }
+    )
+
+
+def connected_components(
+    edges: ray.data.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 25,
+    num_partitions: Optional[int] = None,
+    small_threshold: int = 200_000,
+) -> ray.data.Dataset:
+    """Edges -> ``(node, cluster_id)`` with cluster_id = min node id per component."""
+    n_edges = edges.count()
+    nparts = num_partitions or 16
+    if n_edges == 0:
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.string()), "cluster_id": pa.array([], pa.string())})
+        )
+    if n_edges <= small_threshold:
+        tbl = pa.concat_tables(
+            list(edges.select_columns([src, dst]).iter_batches(batch_format="pyarrow")),
+            promote_options="default",
+        )
+        return ray.data.from_arrow(_union_find_local(tbl, src, dst))
+
+    def _edge_norm(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pc.cast(batch.column(src), pa.string()),
+                "dst": pc.cast(batch.column(dst), pa.string()),
+            }
+        )
+
+    e = edges.map_batches(_edge_norm, batch_format="pyarrow").materialize()
+    labels = (
+        _unique_nodes(e, "src", "dst")
+        .map_batches(
+            lambda b: pa.table({"node": b.column("node"), "cluster_id": b.column("node")}),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    for _ in range(max_iters):
+        # labels of src endpoints -> proposals for dst, and vice versa
+        via_src = e.join(
+            labels, join_type="inner", num_partitions=nparts,
+            on=("src",), right_on=("node",),
+        ).map_batches(
+            lambda b: pa.table({"node": b.column("dst"), "cluster_id": b.column("cluster_id")}),
+            batch_format="pyarrow",
+        )
+        via_dst = e.join(
+            labels, join_type="inner", num_partitions=nparts,
+            on=("dst",), right_on=("node",),
+        ).map_batches(
+            lambda b: pa.table({"node": b.column("src"), "cluster_id": b.column("cluster_id")}),
+            batch_format="pyarrow",
+        )
+
+        def _premin(batch: pa.Table) -> pa.Table:
+            # per-batch partial min combiner: shrink the shuffle before the groupby
+            df = batch.to_pandas()
+            out = df.groupby("node", as_index=False)["cluster_id"].min()
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        candidates = labels.union(via_src).union(via_dst).map_batches(
+            _premin, batch_format="pyarrow"
+        )
+        new_labels = (
+            candidates.groupby("node")
+            .map_groups(
+                lambda g: g.sort_values("cluster_id", kind="mergesort").head(1),
+                batch_format="pandas",
+            )
+            .materialize()
+        )
+        changed = (
+            new_labels.join(
+                labels.map_batches(
+                    lambda b: pa.table(
+                        {"node": b.column("node"), "old_id": b.column("cluster_id")}
+                    ),
+                    batch_format="pyarrow",
+                ),
+                join_type="inner",
+                num_partitions=nparts,
+                on=("node",),
+                right_on=("node",),
+            )
+            .map_batches(
+                lambda b: pa.table(
+                    {"diff": pc.cast(
+                        pc.not_equal(b.column("cluster_id"), b.column("old_id")), pa.int64()
+                    )}
+                ),
+                batch_format="pyarrow",
+            )
+            .sum("diff")
+        )
+        labels = new_labels
+        if not changed:
+            break
+    return labels
+
+
+def assign_clusters(
+    matches: ray.data.Dataset,
+    spr_col: str = "ADDRESS_ID_SPR",
+    cad_col: str = "ADDRESS_ID_CAD",
+    **kwargs,
+) -> ray.data.Dataset:
+    """Match pairs -> ``(node, cluster_id)`` over the bipartite SPR/CAD graph.
+
+    Node ids are namespaced (``S:``/``C:``) so the two registries cannot collide;
+    cluster_id is the min namespaced node id of the component (deterministic).
+    """
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        s = pc.binary_join_element_wise(
+            pa.array(["S"] * batch.num_rows), pc.cast(batch.column(spr_col), pa.string()), ":"
+        )
+        c = pc.binary_join_element_wise(
+            pa.array(["C"] * batch.num_rows), pc.cast(batch.column(cad_col), pa.string()), ":"
+        )
+        return pa.table({"src": s, "dst": c})
+
+    edges = matches.map_batches(_edges, batch_format="pyarrow")
+    return connected_components(edges, "src", "dst", **kwargs)

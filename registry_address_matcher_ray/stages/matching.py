@@ -1,0 +1,457 @@
+"""Exact and fuzzy matching stages — Ray-Data-native joins + actor-pool scoring.
+
+Reference semantics (SURVEY.md §2.4, §2.9, §2.12; ``/root/reference/address.py:332-726``)
+re-expressed on Ray Data primitives:
+
+- **Phase 1 EXACT_FULL** (``address.py:356-376``): the reference probes a dict built
+  with last-wins on duplicate ``FULL_ADDRESS``. Here: dedup the cadastre side by
+  ``FULL_ADDRESS`` keeping the max ``_ord`` row (same last-wins, made explicit since
+  shuffles destroy physical order), then a hash-partitioned ``Dataset.join`` on
+  ``FULL_ADDRESS``. 1:1 per SPR row, score 100.
+- **Phase 2 EXACT_KEY** (``address.py:400-426``): equi-join on
+  ``(SEARCH_KEY, BUILDING_NORM)`` — 1:N. The reference's O(n²) linear-scan dedup
+  against phase-1 pairs becomes a hash-partitioned groupby on the pair key keeping
+  the lowest-phase record (D2: phase-1 wins).
+- **Fuzzy** (``address.py:456-705``): candidates are the exact
+  ``(HOUSE_NORM, BUILDING_NORM)`` block (cad side only where ``HOUSE_NORM`` is
+  non-empty — the reference's house index skips empties); score = max over 4 scorers
+  with strict-``>`` strategy ordering and extractOne lowest-index tie-break; keep the
+  top-1 candidate iff score >= threshold. Two physical plans, selected by config:
+
+  * ``broadcast`` (default; the north-star plan): the cadastre block index is built
+    once, ``ray.put`` once, and each actor of a ``map_batches`` actor pool
+    deserializes it once in ``__init__`` — zero shuffle of the big SPR side, batched
+    scoring in ``__call__``. Right when one side is registry-sized (fits a node).
+  * ``shuffle``: both sides large — equi-join on the block key then
+    ``groupby(spr id).map_groups`` top-1. All-to-all on the block key; hot blocks
+    (house "1", empty building) dominate — the join partitions them, and per-group
+    candidate order is restored by sorting on the cad ``_ord``.
+
+Determinism: every order-sensitive rule (last-wins dedup, tie-breaks, phase
+priority) is keyed on explicit columns (``_ord``, ``_phase``), never physical row
+order, so results are identical at any parallelism/partitioning.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Set, Tuple
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ..functions.scorers import best_match_multi_strategy
+
+MATCH_COLUMNS = [
+    "ADDRESS_ID_SPR", "STREET_NAME_SPR", "HOUSE_SPR", "BUILDING_SPR", "FULL_ADDRESS_SPR",
+    "ADDRESS_ID_CAD", "STREET_NAME_CAD", "HOUSE_CAD", "BUILDING_CAD", "FULL_ADDRESS_CAD",
+    "MATCH_SCORE", "MATCH_TYPE", "CANDIDATES_COUNT", "COMPLETENESS_SPR", "COMPLETENESS_CAD",
+]
+
+_SIDE_COLS = [
+    "ADDRESS_ID", "STREET_NAME", "HOUSE", "BUILDING", "FULL_ADDRESS",
+    "COMPLETENESS_SCORE", "STREET_NORM", "HOUSE_NORM", "BUILDING_NORM", "SEARCH_KEY",
+]
+
+MATCH_SCHEMA = pa.schema(
+    [
+        *[(c, pa.string()) for c in MATCH_COLUMNS[:10]],
+        ("MATCH_SCORE", pa.float64()),
+        ("MATCH_TYPE", pa.string()),
+        ("CANDIDATES_COUNT", pa.int64()),
+        ("COMPLETENESS_SPR", pa.float64()),
+        ("COMPLETENESS_CAD", pa.float64()),
+    ]
+)
+
+
+def _suffix_columns(ds: ray.data.Dataset, suffix: str, keep: List[str]) -> ray.data.Dataset:
+    """Project to `keep` columns renamed with a side suffix (join keys left as-is
+    via the caller re-adding them)."""
+
+    def _ren(batch: pa.Table) -> pa.Table:
+        arrays, names = [], []
+        for c in keep:
+            arrays.append(batch.column(c))
+            names.append(c + suffix)
+        return pa.Table.from_arrays(arrays, names=names)
+
+    return ds.map_batches(_ren, batch_format="pyarrow")
+
+
+def _finalize_match_batch(batch: pa.Table, score, match_type: Optional[str]) -> pa.Table:
+    n = batch.num_rows
+    cols = {}
+    for c in MATCH_COLUMNS[:10]:
+        cols[c] = pc.cast(batch.column(c), pa.string()) if c in batch.column_names else pa.nulls(n, pa.string())
+    cols["MATCH_SCORE"] = (
+        pc.cast(batch.column("MATCH_SCORE"), pa.float64())
+        if "MATCH_SCORE" in batch.column_names
+        else pa.array([float(score)] * n, pa.float64())
+    )
+    cols["MATCH_TYPE"] = (
+        batch.column("MATCH_TYPE")
+        if "MATCH_TYPE" in batch.column_names
+        else pa.array([match_type] * n, pa.string())
+    )
+    cols["CANDIDATES_COUNT"] = (
+        pc.cast(batch.column("CANDIDATES_COUNT"), pa.int64())
+        if "CANDIDATES_COUNT" in batch.column_names
+        else pa.array([1] * n, pa.int64())
+    )
+    for c in ("COMPLETENESS_SPR", "COMPLETENESS_CAD"):
+        cols[c] = pc.cast(batch.column(c), pa.float64())
+    return pa.table(cols).select(MATCH_COLUMNS)
+
+
+def dedup_keep_last(
+    ds: ray.data.Dataset, key: str, ord_col: str = "_ord"
+) -> ray.data.Dataset:
+    """Keep the max-``ord_col`` row per ``key`` (reference build-dict last-wins, D4)."""
+
+    def _keep_last(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(ord_col, kind="mergesort").tail(1)
+
+    return ds.groupby(key).map_groups(_keep_last, batch_format="pandas")
+
+
+def _num_partitions(ds: ray.data.Dataset) -> int:
+    # modest default: enough parallelism at bench scale without tiny-block overhead
+    try:
+        ctx = ray.runtime_context.get_runtime_context()
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
+    return max(8, ncpu)
+
+
+def exact_match_full(
+    spr: ray.data.Dataset, cad: ray.data.Dataset, num_partitions: Optional[int] = None
+) -> ray.data.Dataset:
+    """Phase 1: EXACT_FULL equi-join on FULL_ADDRESS (cad deduped last-wins)."""
+    nparts = num_partitions or _num_partitions(spr)
+    cad_dedup = dedup_keep_last(cad, "FULL_ADDRESS")
+    left = _suffix_columns(spr, "_SPR", _SIDE_COLS)
+    right = _suffix_columns(cad_dedup, "_CAD", _SIDE_COLS)
+    joined = left.join(
+        right,
+        join_type="inner",
+        num_partitions=nparts,
+        on=("FULL_ADDRESS_SPR",),
+        right_on=("FULL_ADDRESS_CAD",),
+    )
+
+    def _fin(batch: pa.Table) -> pa.Table:
+        batch = batch.rename_columns(
+            [c if c != "COMPLETENESS_SCORE_SPR" else "COMPLETENESS_SPR" for c in batch.column_names]
+        )
+        batch = batch.rename_columns(
+            [c if c != "COMPLETENESS_SCORE_CAD" else "COMPLETENESS_CAD" for c in batch.column_names]
+        )
+        # Dataset.join drops the right-side key column; restore it from the equal left key.
+        if "FULL_ADDRESS_CAD" in batch.column_names:
+            batch = batch.drop_columns(["FULL_ADDRESS_CAD"])
+        batch = batch.append_column("FULL_ADDRESS_CAD", batch.column("FULL_ADDRESS_SPR"))
+        return _finalize_match_batch(batch, 100.0, "EXACT_FULL")
+
+    return joined.map_batches(_fin, batch_format="pyarrow")
+
+
+def exact_match_key(
+    spr: ray.data.Dataset, cad: ray.data.Dataset, num_partitions: Optional[int] = None
+) -> ray.data.Dataset:
+    """Phase 2: EXACT_KEY equi-join on (SEARCH_KEY, BUILDING_NORM); 1:N."""
+    nparts = num_partitions or _num_partitions(spr)
+    left = _suffix_columns(spr, "_SPR", _SIDE_COLS)
+    right = _suffix_columns(cad, "_CAD", _SIDE_COLS)
+    joined = left.join(
+        right,
+        join_type="inner",
+        num_partitions=nparts,
+        on=("SEARCH_KEY_SPR", "BUILDING_NORM_SPR"),
+        right_on=("SEARCH_KEY_CAD", "BUILDING_NORM_CAD"),
+    )
+
+    def _fin(batch: pa.Table) -> pa.Table:
+        batch = batch.rename_columns(
+            [c if c != "COMPLETENESS_SCORE_SPR" else "COMPLETENESS_SPR" for c in batch.column_names]
+        )
+        batch = batch.rename_columns(
+            [c if c != "COMPLETENESS_SCORE_CAD" else "COMPLETENESS_CAD" for c in batch.column_names]
+        )
+        return _finalize_match_batch(batch, 100.0, "EXACT_KEY")
+
+    return joined.map_batches(_fin, batch_format="pyarrow")
+
+
+def dedup_pairs_phase_priority(matches: ray.data.Dataset) -> ray.data.Dataset:
+    """D2: one record per (spr_id, cad_id); EXACT_FULL (phase 1) wins over EXACT_KEY.
+
+    The reference achieves this with a linear scan over the accumulated match list
+    (address.py:418-423); here it is a hash-partitioned groupby on the pair key.
+    """
+
+    def _rank(batch: pa.Table) -> pa.Table:
+        rank = pc.if_else(
+            pc.equal(batch.column("MATCH_TYPE"), "EXACT_FULL"),
+            pa.scalar(0, pa.int8()),
+            pa.scalar(1, pa.int8()),
+        )
+        return batch.append_column("_phase", rank)
+
+    ranked = matches.map_batches(_rank, batch_format="pyarrow")
+
+    def _keep_best(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("_phase", kind="mergesort").head(1).drop(columns=["_phase"])
+
+    return ranked.groupby(["ADDRESS_ID_SPR", "ADDRESS_ID_CAD"]).map_groups(
+        _keep_best, batch_format="pandas"
+    )
+
+
+def exact_matches(
+    spr: ray.data.Dataset, cad: ray.data.Dataset, num_partitions: Optional[int] = None
+) -> ray.data.Dataset:
+    """Both exact phases with pair-level phase-priority dedup (J1 + J2 + D2)."""
+    p1 = exact_match_full(spr, cad, num_partitions)
+    p2 = exact_match_key(spr, cad, num_partitions)
+    return dedup_pairs_phase_priority(p1.union(p2))
+
+
+# ------------------------------------------------------------------ fuzzy phase
+
+
+def build_cad_block_table(cad: ray.data.Dataset) -> pa.Table:
+    """Materialize the cadastre side, sorted by ``_ord``, for broadcast indexing.
+
+    Premise of the broadcast plan (BASELINE.json north_star): the reference registry
+    is the small side and fits each scoring actor. Column-pruned before collection.
+    """
+    cols = ["ADDRESS_ID", "STREET_NAME", "HOUSE", "BUILDING", "FULL_ADDRESS",
+            "COMPLETENESS_SCORE", "STREET_NORM", "HOUSE_NORM", "BUILDING_NORM", "_ord"]
+    batches = list(
+        cad.select_columns(cols).sort("_ord").iter_batches(batch_format="pyarrow")
+    )
+    if not batches:
+        fields = [(c, pa.float64() if c == "COMPLETENESS_SCORE" else pa.string()) for c in cols]
+        return pa.table({c: pa.array([], t) for c, t in fields})
+    return pa.concat_tables(batches, promote_options="default")
+
+
+class _BlockIndex:
+    """(HOUSE_NORM, BUILDING_NORM) -> candidate block, in cad ``_ord`` order.
+
+    Mirrors the reference's house index (skips empty HOUSE_NORM —
+    address.py:314-321) plus the per-probe building filter (address.py:624-630):
+    ``count`` is the block size BEFORE the empty-street filter (the reference's
+    CANDIDATES_COUNT), ``streets``/``rows`` keep only non-empty street candidates
+    in block order (the extractOne choice list).
+    """
+
+    def __init__(self, cad_table: pa.Table):
+        self.blocks: Dict[Tuple[str, str], dict] = {}
+        cols = {c: cad_table.column(c).to_pylist() for c in cad_table.column_names}
+        n = cad_table.num_rows
+        for i in range(n):
+            house = cols["HOUSE_NORM"][i]
+            if not house:
+                continue
+            key = (house, cols["BUILDING_NORM"][i])
+            blk = self.blocks.get(key)
+            if blk is None:
+                blk = {"count": 0, "streets": [], "rows": []}
+                self.blocks[key] = blk
+            blk["count"] += 1
+            street = cols["STREET_NORM"][i]
+            if street:
+                blk["streets"].append(street)
+                blk["rows"].append(
+                    {
+                        "ADDRESS_ID_CAD": cols["ADDRESS_ID"][i] or "",
+                        "STREET_NAME_CAD": cols["STREET_NAME"][i] or "",
+                        "HOUSE_CAD": cols["HOUSE"][i] or "",
+                        "BUILDING_CAD": cols["BUILDING"][i] or "",
+                        "FULL_ADDRESS_CAD": cols["FULL_ADDRESS"][i] or "",
+                        "COMPLETENESS_CAD": float(cols["COMPLETENESS_SCORE"][i] or 0.0),
+                    }
+                )
+
+
+class FuzzyScorerActor:
+    """Actor-pool scoring stage: broadcast cad block index, batched top-1 scoring.
+
+    ``__init__`` runs once per actor (index build + cache); ``__call__`` scores a
+    whole Arrow batch of SPR rows. A per-actor memo on the full
+    (street, house, building) probe triple short-circuits repeated addresses —
+    address vocabularies are heavily repeated at scale.
+    """
+
+    def __init__(self, cad_table, threshold: float):
+        if isinstance(cad_table, ray.ObjectRef):
+            cad_table = ray.get(cad_table)
+        self.index = _BlockIndex(cad_table)
+        self.threshold = float(threshold)
+        self.memo: Dict[Tuple[str, str, str], Optional[Tuple]] = {}
+        self.pairs_scored = 0
+
+    def _best_for(self, street: str, house: str, building: str):
+        key = (street, house, building)
+        if key in self.memo:
+            return self.memo[key]
+        result = None
+        blk = self.index.blocks.get((house, building))
+        if blk is not None and street and blk["streets"]:
+            best = best_match_multi_strategy(street, blk["streets"])
+            self.pairs_scored += len(blk["streets"])
+            if best is not None and best[0] >= self.threshold:
+                score, pos, strategy = best
+                result = (score, strategy, blk["rows"][pos], blk["count"])
+        if len(self.memo) < 500_000:
+            self.memo[key] = result
+        return result
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        g = lambda c: batch.column(c).to_pylist()
+        street_n, house_n, building_n = g("STREET_NORM"), g("HOUSE_NORM"), g("BUILDING_NORM")
+        addr, s_name = g("ADDRESS_ID"), g("STREET_NAME")
+        house, building = g("HOUSE"), g("BUILDING")
+        full, compl = g("FULL_ADDRESS"), g("COMPLETENESS_SCORE")
+        rows: Dict[str, list] = {c: [] for c in MATCH_COLUMNS}
+        for i in range(batch.num_rows):
+            hit = self._best_for(street_n[i] or "", house_n[i] or "", building_n[i] or "")
+            if hit is None:
+                continue
+            score, strategy, cad_row, count = hit
+            rows["ADDRESS_ID_SPR"].append(addr[i] or "")
+            rows["STREET_NAME_SPR"].append(s_name[i] or "")
+            rows["HOUSE_SPR"].append(house[i] or "")
+            rows["BUILDING_SPR"].append(building[i] or "")
+            rows["FULL_ADDRESS_SPR"].append(full[i] or "")
+            for c in ("ADDRESS_ID_CAD", "STREET_NAME_CAD", "HOUSE_CAD", "BUILDING_CAD",
+                      "FULL_ADDRESS_CAD"):
+                rows[c].append(cad_row[c])
+            rows["MATCH_SCORE"].append(float(score))
+            rows["MATCH_TYPE"].append(f"FUZZY_STREET_{strategy.upper()}")
+            rows["CANDIDATES_COUNT"].append(int(count))
+            rows["COMPLETENESS_SPR"].append(float(compl[i] or 0.0))
+            rows["COMPLETENESS_CAD"].append(cad_row["COMPLETENESS_CAD"])
+        return pa.Table.from_pydict(
+            {c: pa.array(rows[c], MATCH_SCHEMA.field(c).type) for c in MATCH_COLUMNS}
+        )
+
+
+def fuzzy_matches_broadcast(
+    spr_residue: ray.data.Dataset,
+    cad_table_ref,
+    threshold: float = 85.0,
+    concurrency=(2, 8),
+    batch_size: int = 4096,
+) -> ray.data.Dataset:
+    """Fuzzy phase, broadcast plan: ``ray.put`` the cad table once, actor pool scores."""
+    return spr_residue.map_batches(
+        FuzzyScorerActor,
+        fn_constructor_args=(cad_table_ref, threshold),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def fuzzy_matches_shuffle(
+    spr_residue: ray.data.Dataset,
+    cad: ray.data.Dataset,
+    threshold: float = 85.0,
+    num_partitions: Optional[int] = None,
+) -> ray.data.Dataset:
+    """Fuzzy phase, shuffle plan: equi-join on the block key + per-SPR top-1.
+
+    For when both sides are too large to broadcast: hash-partitions both sides on
+    ``(HOUSE_NORM, BUILDING_NORM)`` (the skewed key — hot blocks like ("1","") are
+    spread by the join's hash partitioning; per-group candidate order is restored by
+    the cad ``_ord`` sort inside each group).
+    """
+    nparts = num_partitions or _num_partitions(spr_residue)
+
+    def _nonempty_house(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.not_equal(batch.column("HOUSE_NORM"), ""))
+
+    left = _suffix_columns(spr_residue.map_batches(_nonempty_house, batch_format="pyarrow"),
+                           "_S", _SIDE_COLS)
+    right_cols = _SIDE_COLS + ["_ord"]
+    right = _suffix_columns(cad.map_batches(_nonempty_house, batch_format="pyarrow"),
+                            "_C", right_cols)
+    joined = left.join(
+        right,
+        join_type="inner",
+        num_partitions=nparts,
+        on=("HOUSE_NORM_S", "BUILDING_NORM_S"),
+        right_on=("HOUSE_NORM_C", "BUILDING_NORM_C"),
+    )
+
+    thr = float(threshold)
+    empty = pd.DataFrame(
+        {
+            **{c: pd.Series([], dtype="object") for c in MATCH_COLUMNS[:10]},
+            "MATCH_SCORE": pd.Series([], dtype="float64"),
+            "MATCH_TYPE": pd.Series([], dtype="object"),
+            "CANDIDATES_COUNT": pd.Series([], dtype="int64"),
+            "COMPLETENESS_SPR": pd.Series([], dtype="float64"),
+            "COMPLETENESS_CAD": pd.Series([], dtype="float64"),
+        }
+    )[MATCH_COLUMNS]
+
+    def _best_per_spr(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("_ord_C", kind="mergesort")
+        count = len(g)
+        mask = g["STREET_NORM_C"] != ""
+        cand = g[mask]
+        spr_street = g["STREET_NORM_S"].iloc[0]
+        if not len(cand) or not spr_street:
+            return empty.copy()
+        best = best_match_multi_strategy(spr_street, cand["STREET_NORM_C"].tolist())
+        if best is None or best[0] < thr:
+            return empty.copy()
+        score, pos, strategy = best
+        c = cand.iloc[pos]
+        s = g.iloc[0]
+        return pd.DataFrame(
+            [{
+                "ADDRESS_ID_SPR": s["ADDRESS_ID_S"], "STREET_NAME_SPR": s["STREET_NAME_S"],
+                "HOUSE_SPR": s["HOUSE_S"], "BUILDING_SPR": s["BUILDING_S"],
+                "FULL_ADDRESS_SPR": s["FULL_ADDRESS_S"],
+                "ADDRESS_ID_CAD": c["ADDRESS_ID_C"], "STREET_NAME_CAD": c["STREET_NAME_C"],
+                "HOUSE_CAD": c["HOUSE_C"], "BUILDING_CAD": c["BUILDING_C"],
+                "FULL_ADDRESS_CAD": c["FULL_ADDRESS_C"],
+                "MATCH_SCORE": float(score),
+                "MATCH_TYPE": f"FUZZY_STREET_{strategy.upper()}",
+                "CANDIDATES_COUNT": int(count),
+                "COMPLETENESS_SPR": float(s["COMPLETENESS_SCORE_S"]),
+                "COMPLETENESS_CAD": float(c["COMPLETENESS_SCORE_C"]),
+            }]
+        )
+
+    return joined.groupby("ADDRESS_ID_S").map_groups(_best_per_spr, batch_format="pandas")
+
+
+def filter_out_ids(
+    ds: ray.data.Dataset, id_col: str, ids: Set[str]
+) -> ray.data.Dataset:
+    """Anti-semi-join by broadcast id set (J4): exclude rows whose id is in ``ids``.
+
+    The set is shipped once per task via closure capture of a ``ray.put`` handle when
+    large; vectorized ``pc.is_in`` per batch. At extreme cardinalities switch to the
+    join-based anti-join in stages/analytics.py.
+    """
+    if not ids:
+        return ds
+    ids_ref = ray.put(pa.array(sorted(ids), pa.string()))
+
+    def _flt(batch: pa.Table) -> pa.Table:
+        value_set = ray.get(ids_ref)
+        return batch.filter(
+            pc.invert(pc.is_in(pc.cast(batch.column(id_col), pa.string()), value_set=value_set))
+        )
+
+    return ds.map_batches(_flt, batch_format="pyarrow")
