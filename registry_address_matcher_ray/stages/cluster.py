@@ -158,6 +158,28 @@ def connected_components(
             )
             .materialize()
         )
+        # pointer jump (label doubling): node -> label[label[node]]. Every label is
+        # itself a node id (labels are mins over node ids), so the self-join is total;
+        # this turns linear chain convergence into O(log diameter) rounds.
+        lbl = new_labels.map_batches(
+            lambda b: pa.table(
+                {"lbl_node": b.column("node"), "lbl_cluster": b.column("cluster_id")}
+            ),
+            batch_format="pyarrow",
+        )
+        new_labels = (
+            new_labels.join(
+                lbl, join_type="inner", num_partitions=nparts,
+                on=("cluster_id",), right_on=("lbl_node",),
+            )
+            .map_batches(
+                lambda b: pa.table(
+                    {"node": b.column("node"), "cluster_id": b.column("lbl_cluster")}
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
         changed = (
             new_labels.join(
                 labels.map_batches(

@@ -1,0 +1,91 @@
+"""Connected-components correctness: distributed label propagation vs BFS oracle."""
+
+import random
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from registry_address_matcher_ray.stages import cluster
+
+
+def bfs_components(edges):
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seen, out = {}, {}
+    for start in sorted(adj):
+        if start in seen:
+            continue
+        comp, stack = [], [start]
+        seen[start] = True
+        while stack:
+            v = stack.pop()
+            comp.append(v)
+            for w in adj[v]:
+                if w not in seen:
+                    seen[w] = True
+                    stack.append(w)
+        root = min(comp)
+        for v in comp:
+            out[v] = root
+    return out
+
+
+def _edge_ds(edges):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a for a, _ in edges], pa.string()),
+                "dst": pa.array([b for _, b in edges], pa.string()),
+            }
+        )
+    )
+
+
+@pytest.mark.parametrize("small_threshold", [10**9, 0])
+def test_components_random_graphs(small_threshold):
+    rng = random.Random(17)
+    nodes = [f"N{i:03d}" for i in range(60)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(75)]
+    want = bfs_components(edges)
+    got_ds = cluster.connected_components(
+        _edge_ds(edges), small_threshold=small_threshold, num_partitions=4
+    )
+    got = {r["node"]: r["cluster_id"] for r in got_ds.take_all()}
+    assert got == want
+
+
+def test_components_chain_converges():
+    # a long chain needs several propagation rounds on the distributed path
+    edges = [(f"C{i:02d}", f"C{i+1:02d}") for i in range(20)]
+    got_ds = cluster.connected_components(_edge_ds(edges), small_threshold=0, num_partitions=4)
+    got = {r["node"]: r["cluster_id"] for r in got_ds.take_all()}
+    assert set(got.values()) == {"C00"}
+
+
+def test_components_empty():
+    ds = _edge_ds([])
+    out = cluster.connected_components(ds)
+    assert out.count() == 0
+
+
+def test_assign_clusters_bipartite(fixtures_small):
+    import ray.data as rd
+    from registry_address_matcher_ray.pipelines import linkage
+    from registry_address_matcher_ray.pipelines.config import PipelineConfig
+
+    t = fixtures_small
+    matches = linkage.match_registries(
+        rd.from_arrow(t["registry_spr"]), rd.from_arrow(t["registry_cad"]), PipelineConfig()
+    ).materialize()
+    clusters = cluster.assign_clusters(matches).to_pandas()
+    # every matched node appears exactly once, namespaced
+    mdf = matches.to_pandas()
+    nodes = set("S:" + mdf.ADDRESS_ID_SPR) | set("C:" + mdf.ADDRESS_ID_CAD)
+    assert set(clusters.node) == nodes
+    assert clusters.node.is_unique
+    # cluster ids are the min node id of each component (deterministic labels)
+    by_cluster = clusters.groupby("cluster_id")["node"].min()
+    assert (by_cluster.index == by_cluster.values).all()

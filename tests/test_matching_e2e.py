@@ -1,0 +1,115 @@
+"""End-to-end engine vs pandas-oracle equality + pairwise F1 gate (SURVEY §5.2-5.3)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+import reference_oracle as oracle
+from registry_address_matcher_ray.pipelines import linkage
+from registry_address_matcher_ray.pipelines.config import PipelineConfig
+
+KEY = ["ADDRESS_ID_SPR", "ADDRESS_ID_CAD"]
+
+
+def _compare(expected: pd.DataFrame, got: pd.DataFrame):
+    e = expected.sort_values(KEY).reset_index(drop=True)
+    g = got.sort_values(KEY).reset_index(drop=True)
+    assert len(e) == len(g), (
+        f"count mismatch {len(e)} vs {len(g)}; "
+        f"only-oracle={set(map(tuple, e[KEY].values)) - set(map(tuple, g[KEY].values))}"
+    )
+    for c in oracle.MATCH_COLUMNS:
+        a, b = e[c], g[c]
+        if a.dtype.kind == "f":
+            assert np.allclose(a.astype(float), b.astype(float)), c
+        else:
+            assert (a.astype(str) == b.astype(str)).all(), c
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "shuffle"])
+def test_engine_matches_oracle(fixtures_small, strategy):
+    t = fixtures_small
+    spr_df = t["registry_spr"].to_pandas()
+    cad_df = t["registry_cad"].to_pandas()
+    expected = oracle.run_pipeline(spr_df, cad_df)
+
+    spr = ray.data.from_arrow(t["registry_spr"])
+    cad = ray.data.from_arrow(t["registry_cad"])
+    got = linkage.match_registries(
+        spr, cad, PipelineConfig(fuzzy_strategy=strategy)
+    ).to_pandas()
+    _compare(expected, got)
+
+
+@pytest.mark.parametrize("method", ["Exact Only", "Fuzzy Only", "Hybrid (Exact + Fuzzy)"])
+def test_method_gating(fixtures_small, method):
+    t = fixtures_small
+    expected = oracle.run_pipeline(
+        t["registry_spr"].to_pandas(), t["registry_cad"].to_pandas(), method=method
+    )
+    got = linkage.match_registries(
+        ray.data.from_arrow(t["registry_spr"]),
+        ray.data.from_arrow(t["registry_cad"]),
+        PipelineConfig(method=method),
+    ).to_pandas()
+    _compare(expected, got)
+
+
+def test_threshold_tunable(fixtures_small):
+    t = fixtures_small
+    expected = oracle.run_pipeline(
+        t["registry_spr"].to_pandas(), t["registry_cad"].to_pandas(), threshold=95
+    )
+    got = linkage.match_registries(
+        ray.data.from_arrow(t["registry_spr"]),
+        ray.data.from_arrow(t["registry_cad"]),
+        PipelineConfig(threshold=95),
+    ).to_pandas()
+    _compare(expected, got)
+
+
+def test_pairwise_f1_gate(fixtures_medium):
+    """BASELINE.json metric: pairwise F1 >= 0.99 on labeled pairs at the blocking key."""
+    t = fixtures_medium
+    labeled = t["labeled_pairs"].to_pandas()
+    true_pairs = set(
+        map(tuple, labeled.loc[labeled.label, ["spr_id", "cad_id"]].values)
+    )
+    got = linkage.match_registries(
+        ray.data.from_arrow(t["registry_spr"]),
+        ray.data.from_arrow(t["registry_cad"]),
+        PipelineConfig(),
+    ).to_pandas()
+    pred = set(map(tuple, got[KEY].values))
+    tp = len(pred & true_pairs)
+    fp = len(pred - true_pairs)
+    fn = len(true_pairs - pred)
+    precision = tp / max(1, tp + fp)
+    recall = tp / max(1, tp + fn)
+    f1 = 2 * precision * recall / max(1e-9, precision + recall)
+    assert f1 >= 0.99, (f1, precision, recall, "fp", fp, "fn", fn)
+
+
+def test_parallelism_invariance(fixtures_small):
+    """Same bytes at different block counts (order-insensitive)."""
+    t = fixtures_small
+
+    def run(nblocks):
+        spr = ray.data.from_arrow(t["registry_spr"]).repartition(nblocks)
+        cad = ray.data.from_arrow(t["registry_cad"]).repartition(nblocks)
+        df = linkage.match_registries(spr, cad, PipelineConfig()).to_pandas()
+        return df.sort_values(KEY).reset_index(drop=True)
+
+    a, b = run(1), run(7)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_max_records_cap(fixtures_small):
+    t = fixtures_small
+    got = linkage.match_registries(
+        ray.data.from_arrow(t["registry_spr"]),
+        ray.data.from_arrow(t["registry_cad"]),
+        PipelineConfig(max_records=50),
+    ).to_pandas()
+    assert got["ADDRESS_ID_SPR"].nunique() <= 50
