@@ -1,44 +1,545 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data record-linkage engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pages->linkage pipeline at sf0.001 scale.
+``queries()`` exposes one callable per implemented operator family from
+SURVEY.md §2 (+ the training-data operators); ``oracle_sql()`` holds the DuckDB
+equivalent for every SQL-expressible one. Ray is initialised by the driver; nothing
+here calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Float-valued aggregates are rounded (CAST AS DOUBLE + round on the SQL side) on
+BOTH sides so the driver's value-hash comparison is insensitive to summation order
+and to DuckDB's float32 arithmetic on FLOAT columns.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+# --------------------------------------------------------------- fixtures cache
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.01
+
+
+def _registry_paths(sf_dir: str) -> dict:
+    """Deterministic synthetic registries/pages scaled by sf, cached under /tmp."""
+    from registry_address_matcher_ray.sources import synth
+
+    sf = _sf_of(sf_dir)
+    n = max(300, int(sf * 120_000))
+    cache = f"/tmp/ram_ray_fixtures/n{n}_seed42"
+    paths = {k: f"{cache}/{k}.parquet" for k in
+             ("registry_spr", "registry_cad", "labeled_pairs", "pages")}
+    if not all(os.path.exists(p) for p in paths.values()):
+        os.makedirs(cache, exist_ok=True)
+        t = synth.synth_registries(n, seed=42)
+        for k in ("registry_spr", "registry_cad", "labeled_pairs"):
+            pq.write_table(t[k], paths[k] + ".tmp")
+            os.replace(paths[k] + ".tmp", paths[k])
+        pages = synth.synth_pages(t["registry_spr"], seed=42)
+        pq.write_table(pages, paths["pages"] + ".tmp")
+        os.replace(paths["pages"] + ".tmp", paths["pages"])
+    return paths
+
+
+def _read(sf_dir: str, table: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _round_cols(df: pd.DataFrame, cols, nd: int) -> pd.DataFrame:
+    for c in cols:
+        df[c] = df[c].astype(float).round(nd)
+    return df
+
+
+# ------------------------------------------------------------------- entry point
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: synth pages (sf0.001 scale) -> extract -> match -> clusters."""
+    import ray.data
+    from registry_address_matcher_ray.pipelines import linkage
+
+    paths = _registry_paths("/root/testdata/sf0.001")
+    pages = ray.data.read_parquet(paths["pages"])
+    cad = ray.data.read_parquet(paths["registry_cad"])
+    out = linkage.pages_to_match_clusters(pages, cad)
+    return out["matches"]
+
+
+# ---------------------------------------------------------------------- queries
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from registry_address_matcher_ray.stages import analytics as A
+    from registry_address_matcher_ray.stages import dedup as D
+    from registry_address_matcher_ray.stages import similarity as S
+    from registry_address_matcher_ray.stages import matching, cluster
+    from registry_address_matcher_ray.pipelines import linkage
+    from registry_address_matcher_ray.pipelines.config import PipelineConfig
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---------- SQL-checked operators over the driver tables ----------
+
+    def lineitem_agg(sf_dir):
+        import pyarrow.compute as pc
+        from ray.data.aggregate import Count, Mean, Sum
+
+        ds = _read(sf_dir, "lineitem")
+        out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_price"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="cnt"),
+        ).to_pandas()
+        return _round_cols(out, ["sum_qty", "sum_price", "avg_disc"], 3)
+
+    def docs_quality_metrics(sf_dir):
+        ds = _read(sf_dir, "documents")
+        n = ds.count()
+        uniq = ds.groupby("text").count().count()
+        from ray.data.aggregate import Mean
+
+        mean_chars = ds.aggregate(Mean("n_chars", alias_name="m"))["m"]
+        return pd.DataFrame(
+            [{
+                "total_records": n,
+                "unique_texts": uniq,
+                "duplicate_docs": n - uniq,
+                "avg_chars": round(float(mean_chars), 3),
+            }]
+        )
+
+    def orders_price_stats(sf_dir):
+        st = A.score_stats(_read(sf_dir, "orders"), "o_totalprice")
+        return pd.DataFrame(
+            [{
+                "mean_price": round(st["mean"], 3),
+                "std_price": round(st["std"], 3),
+                "min_price": round(st["min"], 3),
+                "max_price": round(st["max"], 3),
+                "median_price": round(st["median"], 3),
+                "n": st["n"],
+            }]
+        )
+
+    def events_type_counts(sf_dir):
+        return A.value_counts(_read(sf_dir, "events"), "event_type")
+
+    def orders_price_histogram(sf_dir):
+        return A.histogram(_read(sf_dir, "orders"), "o_totalprice", bins=20,
+                           lo=0.0, hi=500_000.0)
+
+    def events_hourly(sf_dir):
+        return A.hourly_counts(_read(sf_dir, "events"), "ts")
+
+    def lineitem_corr(sf_dir):
+        c = A.pearson_corr(_read(sf_dir, "lineitem"), "l_quantity", "l_extendedprice")
+        return pd.DataFrame([{"corr_qty_price": round(c, 6)}])
+
+    def lineitem_topk(sf_dir):
+        ds = _read(sf_dir, "lineitem").select_columns(
+            ["l_orderkey", "l_linenumber", "l_extendedprice"]
+        )
+        return A.top_k(ds, "l_extendedprice", 10, tie_cols=["l_orderkey", "l_linenumber"])
+
+    def customers_without_orders(sf_dir):
+        import pyarrow.compute as pc
+
+        # anti-join vs HIGH-VALUE orders so the result is non-degenerate at all sf
+        cust = _read(sf_dir, "customer").select_columns(["c_custkey", "c_name"])
+        hi = _read(sf_dir, "orders").map_batches(
+            lambda b: b.filter(pc.greater(b.column("o_totalprice"), 400_000.0)),
+            batch_format="pyarrow",
+        )
+        return A.semi_join_ids(cust, "c_custkey", hi, "o_custkey", anti=True)
+
+    def customers_with_orders(sf_dir):
+        cust = _read(sf_dir, "customer").select_columns(["c_custkey", "c_name"])
+        orders = _read(sf_dir, "orders")
+        return A.semi_join_ids(cust, "c_custkey", orders, "o_custkey", anti=False)
+
+    def orders_union_filters(sf_dir):
+        import pyarrow.compute as pc
+
+        ds = _read(sf_dir, "orders").select_columns(
+            ["o_orderkey", "o_orderstatus", "o_totalprice"]
+        )
+        hi = ds.map_batches(
+            lambda b: b.filter(pc.greater(b.column("o_totalprice"), 400_000.0)),
+            batch_format="pyarrow",
+        )
+        fin = ds.map_batches(
+            lambda b: b.filter(pc.equal(b.column("o_orderstatus"), "F")),
+            batch_format="pyarrow",
+        )
+        return hi.union(fin)
+
+    def distinct_returnflags(sf_dir):
+        vals = A.distinct_values(_read(sf_dir, "lineitem"), "l_returnflag")
+        return pd.DataFrame({"l_returnflag": sorted(vals)})
+
+    def part_name_contains(sf_dir):
+        ds = _read(sf_dir, "part").select_columns(["p_partkey", "p_name"])
+        return A.substring_filter(ds, ["p_name"], "re")
+
+    def orders_bucketized(sf_dir):
+        ds = A.bucketize(
+            _read(sf_dir, "orders"), "o_totalprice",
+            edges=(300_000, 150_000, 50_000),
+            labels=("Excellent", "Good", "Fair", "Poor"),
+            out_col="price_bucket",
+        )
+        return A.value_counts(ds, "price_bucket")
+
+    def orders_customer_join(sf_dir):
+        from ray.data.aggregate import Count, Sum
+
+        orders = _read(sf_dir, "orders").select_columns(["o_custkey", "o_totalprice"])
+        cust = _read(sf_dir, "customer").select_columns(["c_custkey", "c_mktsegment"])
+        joined = orders.join(
+            cust, join_type="inner", num_partitions=8,
+            on=("o_custkey",), right_on=("c_custkey",),
+        )
+        out = joined.groupby("c_mktsegment").aggregate(
+            Sum("o_totalprice", alias_name="revenue"),
+            Count(alias_name="n_orders"),
+        ).to_pandas()
+        return _round_cols(out, ["revenue"], 3)
+
+    def lineitem_page(sf_dir):
+        ds = _read(sf_dir, "lineitem").select_columns(
+            ["l_orderkey", "l_linenumber", "l_quantity"]
+        )
+        page = ds.sort(["l_orderkey", "l_linenumber"]).limit(150).to_pandas()
+        return page.iloc[100:150].reset_index(drop=True)
+
+    def docs_exact_dedup(sf_dir):
+        ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+        kept = D.exact_dedup(ds, "text", "doc_id")
+        return kept.select_columns(["doc_id"])
+
+    def docs_fingerprint_dedup(sf_dir):
+        ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+        kept = D.exact_dedup_by_fingerprint(ds, "text", "doc_id")
+        return kept.select_columns(["doc_id"])
+
+    def docs_token_counts(sf_dir):
+        from registry_address_matcher_ray.functions.textfns import token_count
+
+        def _tc(batch: pa.Table) -> pa.Table:
+            texts = batch.column("text").to_pylist()
+            return pa.table(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "n_tokens": pa.array([token_count(t) for t in texts], pa.int64()),
+                }
+            )
+
+        return _read(sf_dir, "documents").map_batches(_tc, batch_format="pyarrow")
+
+    def docs_text_quality(sf_dir):
+        import math
+        import re as _re
+
+        alpha_re = _re.compile(r"[A-Za-zԱ-և]")
+
+        def _r4(x: float) -> float:
+            # round-half-away like DuckDB's ROUND (builtin round() is half-even)
+            return math.floor(x * 10_000 + 0.5) / 10_000
+
+        def _q(batch: pa.Table) -> pa.Table:
+            texts = batch.column("text").to_pylist()
+            ratio = [
+                _r4(len(alpha_re.findall(t)) / len(t)) if t else 0.0 for t in texts
+            ]
+            return pa.table(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "alpha_ratio": pa.array(ratio, pa.float64()),
+                }
+            )
+
+        return _read(sf_dir, "documents").map_batches(_q, batch_format="pyarrow")
+
+    def docs_lang_counts(sf_dir):
+        return A.value_counts(_read(sf_dir, "documents"), "lang")
+
+    def embeddings_knn(sf_dir):
+        import ray.data
+
+        ds = _read(sf_dir, "embeddings")
+        q = None
+        for row in ds.iter_rows():
+            if row["vec_id"] == 0:
+                q = np.asarray(row["embedding"], dtype=np.float64)
+                break
+        out = S.knn_brute(ds, q[None, :], k=10)
+        out = out.drop(columns=["query_idx"])
+        out["score"] = out["score"].round(4)
+        return out.sort_values(["score", "vec_id"], ascending=[False, True]).reset_index(drop=True)
+
+    def events_running_sum(sf_dir):
+        def _cum(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["ts", "event_id"], kind="mergesort")
+            return pd.DataFrame(
+                {"event_id": g["event_id"],
+                 "running_value": g["value"].cumsum().round(4)}
+            )
+
+        return (
+            _read(sf_dir, "events")
+            .select_columns(["event_id", "user_id", "ts", "value"])
+            .groupby("user_id")
+            .map_groups(_cum, batch_format="pandas")
+        )
+
+    # ---------- flagship linkage operators (rows-only driver check; the exact
+    # semantics are pytest-gated against the pandas oracle in tests/) ----------
+
+    def _registries(sf_dir):
+        import ray.data
+
+        p = _registry_paths(sf_dir)
+        return (
+            ray.data.read_parquet(p["registry_spr"]),
+            ray.data.read_parquet(p["registry_cad"]),
+            p,
+        )
+
+    def match_pairs(sf_dir):
+        spr, cad, _ = _registries(sf_dir)
+        return linkage.match_registries(spr, cad, PipelineConfig())
+
+    def match_pairs_shuffle_plan(sf_dir):
+        spr, cad, _ = _registries(sf_dir)
+        return linkage.match_registries(spr, cad, PipelineConfig(fuzzy_strategy="shuffle"))
+
+    def match_clusters(sf_dir):
+        spr, cad, _ = _registries(sf_dir)
+        m = linkage.match_registries(spr, cad, PipelineConfig()).materialize()
+        return linkage.cluster_matches(m)
+
+    def unmatched_spr(sf_dir):
+        spr, cad, _ = _registries(sf_dir)
+        m = linkage.match_registries(spr, cad, PipelineConfig()).materialize()
+        return A.unmatched_records(spr, m)
+
+    def pages_flagship(sf_dir):
+        import ray.data
+
+        _, cad, p = _registries(sf_dir)
+        pages = ray.data.read_parquet(p["pages"])
+        return linkage.pages_to_match_clusters(pages, cad)["matches"]
+
+    def docs_minhash_dedup(sf_dir):
+        ds = _read(sf_dir, "documents")
+        return D.minhash_lsh_dedup(ds, "text", "doc_id", jaccard_threshold=0.7)["clusters"]
+
+    def docs_simhash_dedup(sf_dir):
+        ds = _read(sf_dir, "documents")
+        return D.simhash_dedup(ds, "text", "doc_id", hamming_threshold=3)["clusters"]
+
+    def docs_ngram_neardup_pairs(sf_dir):
+        ds = _read(sf_dir, "documents")
+        return D.ngram_jaccard_pairs(ds, "text", "doc_id", threshold=0.7)
+
+    def embeddings_lsh_knn(sf_dir):
+        ds = _read(sf_dir, "embeddings")
+        q = None
+        for row in ds.iter_rows():
+            if row["vec_id"] == 0:
+                q = np.asarray(row["embedding"], dtype=np.float64)
+                break
+        out = S.knn_lsh(ds, q[None, :], k=10)
+        out["score"] = out["score"].round(4)
+        return out.drop(columns=["query_idx"])
+
+    def embeddings_neardup(sf_dir):
+        # driver embeddings are near-orthogonal (max offdiag cosine ~0.51); 0.45
+        # keeps the operator's verify path non-degenerate at this sf
+        ds = _read(sf_dir, "embeddings")
+        return S.embedding_neardup(ds, cosine_threshold=0.45, n_bits=4)["pairs"]
+
+    def docs_text_stats(sf_dir):
+        out = A.text_stats(_read(sf_dir, "documents"), "text")
+        return out.select_columns(
+            ["doc_id", "n_tokens", "bpe_tokens", "lang_detected", "fingerprint"]
+        )
+
+    return {
+        "lineitem_agg": lineitem_agg,
+        "docs_quality_metrics": docs_quality_metrics,
+        "orders_price_stats": orders_price_stats,
+        "events_type_counts": events_type_counts,
+        "orders_price_histogram": orders_price_histogram,
+        "events_hourly": events_hourly,
+        "lineitem_corr": lineitem_corr,
+        "lineitem_topk": lineitem_topk,
+        "customers_without_orders": customers_without_orders,
+        "customers_with_orders": customers_with_orders,
+        "orders_union_filters": orders_union_filters,
+        "distinct_returnflags": distinct_returnflags,
+        "part_name_contains": part_name_contains,
+        "orders_bucketized": orders_bucketized,
+        "orders_customer_join": orders_customer_join,
+        "lineitem_page": lineitem_page,
+        "docs_exact_dedup": docs_exact_dedup,
+        "docs_fingerprint_dedup": docs_fingerprint_dedup,
+        "docs_token_counts": docs_token_counts,
+        "docs_text_quality": docs_text_quality,
+        "docs_lang_counts": docs_lang_counts,
+        "embeddings_knn": embeddings_knn,
+        "events_running_sum": events_running_sum,
+        "match_pairs": match_pairs,
+        "match_pairs_shuffle_plan": match_pairs_shuffle_plan,
+        "match_clusters": match_clusters,
+        "unmatched_spr": unmatched_spr,
+        "pages_flagship": pages_flagship,
+        "docs_minhash_dedup": docs_minhash_dedup,
+        "docs_simhash_dedup": docs_simhash_dedup,
+        "docs_ngram_neardup_pairs": docs_ngram_neardup_pairs,
+        "embeddings_lsh_knn": embeddings_lsh_knn,
+        "embeddings_neardup": embeddings_neardup,
+        "docs_text_stats": docs_text_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "lineitem_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 3) AS sum_qty,
+                   round(sum(l_extendedprice), 3) AS sum_price,
+                   round(avg(l_discount), 3) AS avg_disc,
+                   count(*) AS cnt
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "docs_quality_metrics": """
+            SELECT count(*) AS total_records,
+                   count(DISTINCT text) AS unique_texts,
+                   count(*) - count(DISTINCT text) AS duplicate_docs,
+                   round(avg(n_chars), 3) AS avg_chars
+            FROM documents
+        """,
+        "orders_price_stats": """
+            SELECT round(avg(o_totalprice), 3) AS mean_price,
+                   round(stddev_samp(o_totalprice), 3) AS std_price,
+                   round(min(o_totalprice), 3) AS min_price,
+                   round(max(o_totalprice), 3) AS max_price,
+                   round(median(o_totalprice), 3) AS median_price,
+                   count(*) AS n
+            FROM orders
+        """,
+        "events_type_counts": """
+            SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type
+        """,
+        "orders_price_histogram": """
+            SELECT CAST(least(greatest(floor((o_totalprice - 0.0) / 25000.0), 0), 19) AS BIGINT) AS bin,
+                   count(*) AS cnt
+            FROM orders GROUP BY 1
+        """,
+        "events_hourly": """
+            SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hour, count(*) AS cnt
+            FROM events GROUP BY 1
+        """,
+        "lineitem_corr": """
+            SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+            FROM lineitem
+        """,
+        "lineitem_topk": """
+            SELECT l_orderkey, l_linenumber, l_extendedprice
+            FROM lineitem
+            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+            LIMIT 10
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
+        """,
+        "customers_with_orders": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "orders_union_filters": """
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_totalprice > 400000.0
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+        """,
+        "distinct_returnflags": """
+            SELECT DISTINCT l_returnflag FROM lineitem
+        """,
+        "part_name_contains": """
+            SELECT p_partkey, p_name FROM part WHERE p_name ILIKE '%re%'
+        """,
+        "orders_bucketized": """
+            SELECT CASE WHEN o_totalprice >= 300000 THEN 'Excellent'
+                        WHEN o_totalprice >= 150000 THEN 'Good'
+                        WHEN o_totalprice >= 50000 THEN 'Fair'
+                        ELSE 'Poor' END AS price_bucket,
+                   count(*) AS cnt
+            FROM orders GROUP BY 1
+        """,
+        "orders_customer_join": """
+            SELECT c_mktsegment,
+                   round(sum(o_totalprice), 3) AS revenue,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "lineitem_page": """
+            SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+            ORDER BY l_orderkey, l_linenumber LIMIT 50 OFFSET 100
+        """,
+        "docs_exact_dedup": """
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "docs_fingerprint_dedup": r"""
+            SELECT min(doc_id) AS doc_id FROM documents
+            GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        """,
+        "docs_token_counts": r"""
+            SELECT doc_id,
+                   length(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens
+            FROM documents
+        """,
+        "docs_text_quality": r"""
+            SELECT doc_id,
+                   CASE WHEN length(text) > 0
+                        THEN round(length(regexp_replace(text, '[^A-Za-zԱ-և]', '', 'g')) * 1.0 / length(text), 4)
+                        ELSE 0.0 END AS alpha_ratio
+            FROM documents
+        """,
+        "docs_lang_counts": """
+            SELECT lang, count(*) AS cnt FROM documents GROUP BY lang
+        """,
+        "embeddings_knn": """
+            SELECT b.vec_id,
+                   round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS score
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id = 0
+            ORDER BY round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) DESC,
+                     b.vec_id
+            LIMIT 10
+        """,
+        "events_running_sum": """
+            SELECT event_id,
+                   round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS running_value
+            FROM events
+        """,
+    }

@@ -1,0 +1,141 @@
+"""Text-analysis kernels for the large-scale training-data operators.
+
+Not in the reference (its payload is short address strings); these are the
+document-level operators a 100 TB web-text pipeline needs (language-ID, quality
+scoring, token counting, fingerprinting). All pure and vectorizable: each has a
+batch entry point over Arrow arrays used by stateless ``map_batches`` stages, with
+regexes/tables compiled once at module import. Deterministic across processes
+(md5/crc, no salted hashes).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import Dict, List
+
+import numpy as np
+import pyarrow as pa
+
+_TOKEN_RE = re.compile(r"\S+")
+# BPE-ish subword pieces: letter-runs, digit-runs, single punctuation marks
+_BPE_RE = re.compile(r"[A-Za-zԱ-և]+|[0-9]+|[^\sA-Za-zԱ-և0-9]")
+_WS_RE = re.compile(r"\s+")
+_ALPHA_RE = re.compile(r"[A-Za-zԱ-և]")
+_PUNCT_RE = re.compile(r"[^\w\s]", re.UNICODE)
+
+_EN_STOP = frozenset(
+    "the a an and or of to in is are was were be been it this that for on with as at by from".split()
+)
+_HY_RANGE = (0x0531, 0x058F)
+
+
+def token_count(text: str) -> int:
+    """Whitespace tokens."""
+    return len(_TOKEN_RE.findall(text or ""))
+
+
+def bpe_token_count(text: str) -> int:
+    """BPE-ish subword count: letter runs, digit runs, single punctuation marks."""
+    return len(_BPE_RE.findall(text or ""))
+
+
+def quality_features(text: str) -> Dict[str, float]:
+    """Length/punctuation/stopword heuristics (one pass per doc)."""
+    text = text or ""
+    n = len(text)
+    toks = _TOKEN_RE.findall(text)
+    n_tok = len(toks)
+    alpha = len(_ALPHA_RE.findall(text))
+    punct = len(_PUNCT_RE.findall(text))
+    stop = sum(1 for t in toks if t.lower() in _EN_STOP)
+    return {
+        "n_chars": float(n),
+        "n_tokens": float(n_tok),
+        "avg_token_len": (sum(len(t) for t in toks) / n_tok) if n_tok else 0.0,
+        "alpha_ratio": alpha / n if n else 0.0,
+        "punct_ratio": punct / n if n else 0.0,
+        "stopword_ratio": stop / n_tok if n_tok else 0.0,
+    }
+
+
+def detect_lang(text: str) -> str:
+    """Tiny deterministic language-ID heuristic: script ranges + EN stopwords.
+
+    Returns 'hy' (Armenian script dominant), 'en' (latin + stopword evidence),
+    'la' (latin, no stopword evidence) or 'und'."""
+    text = text or ""
+    hy = lat = 0
+    for ch in text:
+        o = ord(ch)
+        if _HY_RANGE[0] <= o <= _HY_RANGE[1]:
+            hy += 1
+        elif ("a" <= ch <= "z") or ("A" <= ch <= "Z"):
+            lat += 1
+    letters = hy + lat
+    if letters == 0:
+        return "und"
+    if hy / letters >= 0.5:
+        return "hy"
+    toks = [t.lower() for t in _TOKEN_RE.findall(text)]
+    stop = sum(1 for t in toks if t in _EN_STOP)
+    return "en" if toks and stop / len(toks) >= 0.05 else "la"
+
+
+def fingerprint(text: str) -> str:
+    """Document fingerprint: md5 hex of the casefolded, whitespace-collapsed text.
+
+    Definition chosen to be SQL-expressible (md5(lower(regexp_replace(...)))) so the
+    DuckDB oracle can cross-check it exactly."""
+    canon = _WS_RE.sub(" ", (text or "").lower()).strip()
+    return hashlib.md5(canon.encode("utf-8")).hexdigest()
+
+
+def ngram_set(text: str, n: int = 3) -> frozenset:
+    """Character n-gram set (casefolded, whitespace collapsed)."""
+    canon = _WS_RE.sub(" ", (text or "").lower()).strip()
+    if len(canon) < n:
+        return frozenset([canon] if canon else [])
+    return frozenset(canon[i : i + n] for i in range(len(canon) - n + 1))
+
+
+def jaccard(a: frozenset, b: frozenset) -> float:
+    if not a and not b:
+        return 1.0
+    u = len(a | b)
+    return len(a & b) / u if u else 0.0
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens (md5-derived stable token hashes)."""
+    acc = np.zeros(64, dtype=np.int64)
+    for tok in _TOKEN_RE.findall((text or "").lower()):
+        h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+        for b in range(64):
+            acc[b] += 1 if (h >> b) & 1 else -1
+    out = 0
+    for b in range(64):
+        if acc[b] > 0:
+            out |= 1 << b
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+# -------- batch entry points (Arrow in / Arrow columns out) --------
+
+
+def text_stats_columns(arr: pa.Array | pa.ChunkedArray) -> Dict[str, pa.Array]:
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    texts = arr.to_pylist()
+    feats = [quality_features(t) for t in texts]
+    keys = ("n_chars", "n_tokens", "avg_token_len", "alpha_ratio", "punct_ratio",
+            "stopword_ratio")
+    out = {k: pa.array([f[k] for f in feats], pa.float64()) for k in keys}
+    out["bpe_tokens"] = pa.array([bpe_token_count(t) for t in texts], pa.int64())
+    out["lang_detected"] = pa.array([detect_lang(t) for t in texts], pa.string())
+    out["fingerprint"] = pa.array([fingerprint(t) for t in texts], pa.string())
+    return out

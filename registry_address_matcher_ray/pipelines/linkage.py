@@ -58,7 +58,9 @@ def match_registries(
         exact = matching.exact_matches(spr, cad, cfg.num_partitions).materialize()
         parts.append(exact)
         if cfg.do_fuzzy:
-            exclude_ids = set(exact.unique("ADDRESS_ID_SPR"))
+            from ..stages.analytics import distinct_values
+
+            exclude_ids = set(distinct_values(exact, "ADDRESS_ID_SPR"))
 
     if cfg.do_fuzzy:
         residue = matching.filter_out_ids(spr, "ADDRESS_ID", exclude_ids)

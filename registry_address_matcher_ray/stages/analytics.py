@@ -1,0 +1,259 @@
+"""Aggregations, filters, top-k and anti-joins (SURVEY.md §2.5-2.7).
+
+Each operator mirrors a reference computation (citations below) as a Ray Data
+aggregate/groupby with partial (per-batch) pre-aggregation where it cuts shuffle
+volume. All are SQL-expressible and cross-checked against DuckDB via
+``__ray_entry__.oracle_sql()``.
+
+- A1 quality metrics        /root/reference/address.py:729-741
+- A2 score stats            /root/reference/address.py:861-867, 1564-1568
+- A3 value counts           /root/reference/address.py:765, 1330
+- A4 histogram (20 bins)    /root/reference/address.py:759-762
+- A5 hourly counts          /root/reference/address.py:779-785
+- A6 Pearson correlation    /root/reference/address.py:1583-1584
+- A8/M12 score buckets      /root/reference/address.py:1368-1376; engine.py:106-115
+- O1 top-k                  /root/reference/address.py:1380-1383
+- J4/J5 anti-join           /root/reference/address.py:458-462, 1589-1590
+- M11 substring filter      /root/reference/address.py:1410-1414
+- D1 union / D5 distinct    /root/reference/address.py:1214, 1185-1187
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterable, List, Optional, Sequence
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
+
+
+def quality_metrics(
+    ds: ray.data.Dataset,
+    raw_cols: Sequence[str] = ("STREET_NAME", "HOUSE", "BUILDING"),
+    norm_col: str = "STREET_NORM",
+    full_col: str = "FULL_ADDRESS",
+    completeness_col: str = "COMPLETENESS_SCORE",
+) -> dict:
+    """A1: count, per-column notna rates, exact nunique, mean completeness, dup count.
+
+    One pass of partial aggregates per batch + tiny final combine; the two exact
+    distinct counts run as ``groupby(col).count().count()`` (shuffles only the
+    distinct keys thanks to pre-aggregation inside Ray's groupby)."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        out = {"n": [batch.num_rows]}
+        for c in raw_cols:
+            out[f"notna_{c}"] = [pc.sum(pc.cast(pc.is_valid(batch.column(c)), pa.int64())).as_py() or 0]
+        out["sum_completeness"] = [pc.sum(batch.column(completeness_col)).as_py() or 0.0]
+        return pa.table(out)
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    n = int(parts["n"].sum())
+    uniq_streets = ds.groupby(norm_col).count().count()
+    uniq_full = ds.groupby(full_col).count().count()
+    metrics = {
+        "total_records": n,
+        "unique_streets": int(uniq_streets),
+        "avg_completeness": float(parts["sum_completeness"].sum() / n) if n else 0.0,
+        "duplicate_addresses": int(n - uniq_full),
+    }
+    for c in raw_cols:
+        metrics[f"{c.lower()}_completeness"] = float(parts[f"notna_{c}"].sum() / n) if n else 0.0
+    return metrics
+
+
+def score_stats(ds: ray.data.Dataset, col: str = "MATCH_SCORE") -> dict:
+    """A2: mean/std/min/max (+ exact median via distributed sort + index pick)."""
+    agg = ds.aggregate(
+        Mean(col, alias_name="mean"),
+        Std(col, alias_name="std", ddof=1),
+        Min(col, alias_name="min"),
+        Max(col, alias_name="max"),
+        Count(alias_name="n"),
+    )
+    n = agg["n"]
+    med = None
+    if n:
+        s = ds.select_columns([col]).sort(col)
+        mid = (n - 1) // 2
+        vals = s.limit(mid + 2).take_all()
+        if n % 2:
+            med = vals[mid][col]
+        else:
+            med = (vals[mid][col] + vals[mid + 1][col]) / 2.0
+    return {
+        "mean": agg["mean"], "std": agg["std"], "min": agg["min"], "max": agg["max"],
+        "median": med, "n": n,
+    }
+
+
+def value_counts(ds: ray.data.Dataset, col: str) -> ray.data.Dataset:
+    """A3: group-count by a column; output (col, cnt)."""
+    out = ds.groupby(col).count()
+    return out.map_batches(
+        lambda b: b.rename_columns([col, "cnt"]), batch_format="pyarrow"
+    )
+
+
+def histogram(
+    ds: ray.data.Dataset, col: str, bins: int, lo: float, hi: float
+) -> ray.data.Dataset:
+    """A4: fixed-width binned counts; output (bin, cnt), bin in [0, bins-1]."""
+    width = (hi - lo) / bins
+
+    def _bin(batch: pa.Table) -> pa.Table:
+        x = pc.cast(batch.column(col), pa.float64())
+        b = pc.floor(pc.divide(pc.subtract(x, lo), width))
+        b = pc.min_element_wise(pc.max_element_wise(b, 0.0), float(bins - 1))
+        return pa.table({"bin": pc.cast(b, pa.int64())})
+
+    out = ds.map_batches(_bin, batch_format="pyarrow").groupby("bin").count()
+    return out.map_batches(lambda b: b.rename_columns(["bin", "cnt"]), batch_format="pyarrow")
+
+
+def hourly_counts(ds: ray.data.Dataset, ts_col: str) -> ray.data.Dataset:
+    """A5: count per hour-of-day of a timestamp column; output (hour, cnt)."""
+
+    def _hour(batch: pa.Table) -> pa.Table:
+        return pa.table({"hour": pc.cast(pc.hour(batch.column(ts_col)), pa.int64())})
+
+    out = ds.map_batches(_hour, batch_format="pyarrow").groupby("hour").count()
+    return out.map_batches(lambda b: b.rename_columns(["hour", "cnt"]), batch_format="pyarrow")
+
+
+def pearson_corr(ds: ray.data.Dataset, x: str, y: str) -> float:
+    """A6: Pearson correlation via one pass of partial moments + driver combine."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        xa = pc.cast(batch.column(x), pa.float64())
+        ya = pc.cast(batch.column(y), pa.float64())
+        xy = pc.multiply(xa, ya)
+        return pa.table(
+            {
+                "n": [batch.num_rows],
+                "sx": [pc.sum(xa).as_py() or 0.0],
+                "sy": [pc.sum(ya).as_py() or 0.0],
+                "sxx": [pc.sum(pc.multiply(xa, xa)).as_py() or 0.0],
+                "syy": [pc.sum(pc.multiply(ya, ya)).as_py() or 0.0],
+                "sxy": [pc.sum(xy).as_py() or 0.0],
+            }
+        )
+
+    p = ds.map_batches(_partial, batch_format="pyarrow").to_pandas().sum()
+    n = p["n"]
+    cov = p["sxy"] - p["sx"] * p["sy"] / n
+    vx = p["sxx"] - p["sx"] ** 2 / n
+    vy = p["syy"] - p["sy"] ** 2 / n
+    denom = math.sqrt(vx * vy)
+    return float(cov / denom) if denom else float("nan")
+
+
+def bucketize(
+    ds: ray.data.Dataset,
+    col: str,
+    edges: Sequence[float] = (95, 85, 70),
+    labels: Sequence[str] = ("Excellent", "Good", "Fair", "Poor"),
+    out_col: str = "quality_bucket",
+) -> ray.data.Dataset:
+    """M12/A8: score -> category label (descending threshold semantics:
+    >= edges[0] -> labels[0], >= edges[1] -> labels[1], ..., else labels[-1])."""
+
+    def _cat(batch: pa.Table) -> pa.Table:
+        x = pc.cast(batch.column(col), pa.float64())
+        lab = pa.array([labels[-1]] * batch.num_rows, pa.string())
+        for e, l in zip(reversed(edges), reversed(labels[:-1])):
+            lab = pc.if_else(pc.greater_equal(x, float(e)), l, lab)
+        return batch.append_column(out_col, lab)
+
+    return ds.map_batches(_cat, batch_format="pyarrow")
+
+
+def top_k(
+    ds: ray.data.Dataset, col: str, k: int, tie_cols: Sequence[str] = ()
+) -> ray.data.Dataset:
+    """O1: global top-k by ``col`` desc with deterministic tie-break columns asc."""
+    keys = [col] + list(tie_cols)
+    desc = [True] + [False] * len(tie_cols)
+    return ds.sort(keys, descending=desc).limit(k)
+
+
+def semi_join_ids(
+    ds: ray.data.Dataset, id_col: str, ids_ds: ray.data.Dataset, ids_col: str,
+    anti: bool = False,
+) -> ray.data.Dataset:
+    """J4/J5 semi/anti-join by broadcast key set (small side collected once)."""
+    keys = set(distinct_values(ids_ds, ids_col))
+    value_set_ref = ray.put(pa.array(sorted(str(k) for k in keys), pa.string()))
+
+    def _flt(batch: pa.Table) -> pa.Table:
+        vs = ray.get(value_set_ref)
+        mask = pc.is_in(pc.cast(batch.column(id_col), pa.string()), value_set=vs)
+        if anti:
+            mask = pc.invert(mask)
+        return batch.filter(mask)
+
+    return ds.map_batches(_flt, batch_format="pyarrow")
+
+
+def unmatched_records(
+    registry: ray.data.Dataset, matches: ray.data.Dataset,
+    id_col: str = "ADDRESS_ID", match_id_col: str = "ADDRESS_ID_SPR",
+) -> ray.data.Dataset:
+    """J5: registry rows whose id never appears in the match set (anti-join)."""
+    return semi_join_ids(registry, id_col, matches, match_id_col, anti=True)
+
+
+def substring_filter(
+    ds: ray.data.Dataset, cols: Sequence[str], query: str
+) -> ray.data.Dataset:
+    """M11: case-insensitive substring match on any of ``cols`` (OR)."""
+
+    def _flt(batch: pa.Table) -> pa.Table:
+        mask = None
+        for c in cols:
+            m = pc.match_substring(
+                pc.fill_null(pc.cast(batch.column(c), pa.string()), ""),
+                query, ignore_case=True,
+            )
+            mask = m if mask is None else pc.or_(mask, m)
+        return batch.filter(mask)
+
+    return ds.map_batches(_flt, batch_format="pyarrow")
+
+
+def distinct_values(ds: ray.data.Dataset, col: str) -> List:
+    """D5: distinct values of one column.
+
+    Implemented as per-batch ``pc.unique`` pre-aggregation + ``groupby(col)`` over
+    the (small) distinct keys — ``Dataset.unique`` in ray 2.49 breaks merging
+    accumulators across blocks (unhashable numpy.ndarray), and the pre-aggregated
+    form ships only distinct keys into the shuffle anyway."""
+
+    def _uniq(batch: pa.Table) -> pa.Table:
+        col_arr = batch.column(col)
+        if isinstance(col_arr, pa.ChunkedArray):
+            col_arr = col_arr.combine_chunks()
+        return pa.table({col: pc.unique(col_arr)})
+
+    out = ds.map_batches(_uniq, batch_format="pyarrow").groupby(col).count()
+    return [r[col] for r in out.select_columns([col]).take_all()]
+
+
+def text_stats(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    """Document text-analysis stage: language-ID, quality features, token counts,
+    fingerprint (functions/textfns.py) appended as columns. Stateless map_batches."""
+    from ..functions.textfns import text_stats_columns
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        cols = text_stats_columns(batch.column(text_col))
+        out = batch
+        for name, arr in cols.items():
+            if name in out.column_names:
+                out = out.drop_columns([name])
+            out = out.append_column(name, arr)
+        return out
+
+    return ds.map_batches(_stats, batch_format="pyarrow")

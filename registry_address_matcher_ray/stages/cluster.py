@@ -104,6 +104,14 @@ def connected_components(
             list(edges.select_columns([src, dst]).iter_batches(batch_format="pyarrow")),
             promote_options="default",
         )
+        # node ids are canonicalized to strings in both paths, so the cluster_id
+        # (min node id) is identical regardless of which path ran
+        tbl = pa.table(
+            {
+                src: pc.cast(tbl.column(src), pa.string()),
+                dst: pc.cast(tbl.column(dst), pa.string()),
+            }
+        )
         return ray.data.from_arrow(_union_find_local(tbl, src, dst))
 
     def _edge_norm(batch: pa.Table) -> pa.Table:
