@@ -1,0 +1,222 @@
+"""Benchmark harness: headline linkage pipeline + operator suite.
+
+Plain run (driver contract): one JSON line
+    {"metric": "linkage_pages_sec", "value": <sec>, "unit": "sec",
+     "queries": {...per-pipeline seconds...}, "sf": <sf>, "num_cpus": N,
+     "extras": {...pairs-scored throughput...}}
+
+Inputs: $GRAFT_SF_DIR (default /root/testdata/sf0.1) for the document/embedding
+operator benches, plus deterministic synthetic registries/pages scaled to the same
+sf (cached under /tmp, identical bytes across runs/parallelism levels).
+
+``--scaling``: runs this same script in two fresh processes with
+RAY_GRAFT_CPUS=8 and =32 on the same input (cache pre-warmed by an untimed run)
+and reports throughput at both plus efficiency = (t8/t32)/(32/8) — the sandbox
+evidence for the N->4N cluster-scaling criterion (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import subprocess
+import sys
+import time
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _fixture_paths(sf: float) -> dict:
+    """Bench-scale synthetic registries/pages (larger than the driver-check ones)."""
+    import pyarrow.parquet as pq
+
+    from registry_address_matcher_ray.sources import synth
+
+    n = max(2000, int(sf * 600_000))
+    cache = f"/tmp/ram_ray_bench/n{n}_seed42"
+    names = ("registry_spr", "registry_cad", "pages")
+    paths = {k: f"{cache}/{k}.parquet" for k in names}
+    if not all(os.path.exists(p) for p in paths.values()):
+        os.makedirs(cache, exist_ok=True)
+        t = synth.synth_registries(n, seed=42)
+        for k in ("registry_spr", "registry_cad"):
+            pq.write_table(t[k], paths[k] + ".tmp")
+            os.replace(paths[k] + ".tmp", paths[k])
+        pages = synth.synth_pages(t["registry_spr"], seed=42)
+        pq.write_table(pages, paths["pages"] + ".tmp")
+        os.replace(paths["pages"] + ".tmp", paths["pages"])
+    return paths
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+    import ray.data
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    import numpy as np
+
+    from registry_address_matcher_ray.pipelines import linkage
+    from registry_address_matcher_ray.pipelines.config import PipelineConfig
+    from registry_address_matcher_ray.sources import io as rio
+    from registry_address_matcher_ray.stages import analytics as A
+    from registry_address_matcher_ray.stages import dedup as D
+    from registry_address_matcher_ray.stages import similarity as S
+
+    sf = _sf_of(sf_dir)
+    paths = _fixture_paths(sf)
+    cfg = PipelineConfig(
+        fuzzy_concurrency=(2, max(2, num_cpus - 2)),
+        num_partitions=max(8, num_cpus),
+    )
+    queries: dict = {}
+    extras: dict = {}
+
+    # warm the OS page cache (untimed)
+    for p in paths.values():
+        with open(p, "rb") as f:
+            while f.read(1 << 24):
+                pass
+
+    # ---- headline: pages -> extract -> records -> match -> cluster -> write
+    t0 = time.time()
+    pages = ray.data.read_parquet(paths["pages"])
+    cad = ray.data.read_parquet(paths["registry_cad"])
+    out = linkage.pages_to_match_clusters(pages, cad, cfg)
+    rio.write_dataset(out["matches"], "/tmp/ram_ray_bench/out_matches")
+    n_clusters = out["clusters"].count()
+    headline = time.time() - t0
+    queries["linkage_pages"] = round(headline, 3)
+    n_matches = out["matches"].count()
+    extras["n_matches"] = n_matches
+    extras["n_cluster_rows"] = n_clusters
+
+    # candidate-pairs-scored throughput (the BASELINE.md reported metric):
+    # pairs = sum over fuzzy-probed SPR rows of their (house,building) block size
+    import pyarrow.parquet as pq
+    import pandas as pd
+
+    from registry_address_matcher_ray.functions.normalize import normalize
+
+    spr_df = pq.read_table(paths["registry_spr"]).to_pandas()
+    cad_df = pq.read_table(paths["registry_cad"]).to_pandas()
+    for df in (spr_df, cad_df):
+        for c in ("STREET_NAME", "HOUSE", "BUILDING"):
+            df[c] = df[c].fillna("")
+        df["HN"] = df["HOUSE"].map(normalize)
+        df["BN"] = df["BUILDING"].map(normalize)
+        df["SN"] = df["STREET_NAME"].map(normalize)
+    matched = pq.read_table("/tmp/ram_ray_bench/out_matches").to_pandas()
+    exact_ids = set(matched.loc[matched.MATCH_TYPE.str.startswith("EXACT"), "ADDRESS_ID_SPR"])
+    residue = spr_df[~spr_df.ADDRESS_ID.isin(exact_ids)]
+    blk = cad_df[(cad_df.HN != "") & (cad_df.SN != "")].groupby(["HN", "BN"]).size()
+    keys = pd.MultiIndex.from_frame(residue[["HN", "BN"]])
+    pairs_scored = int(blk.reindex(keys).fillna(0).sum())
+    extras["candidate_pairs_scored"] = pairs_scored
+    extras["pairs_scored_per_sec"] = round(pairs_scored / headline, 1)
+
+    # ---- registry-direct linkage (no pages layer)
+    t0 = time.time()
+    m = linkage.match_registries(
+        ray.data.read_parquet(paths["registry_spr"]),
+        ray.data.read_parquet(paths["registry_cad"]),
+        cfg,
+    )
+    m_count = m.count()
+    queries["match_registries"] = round(time.time() - t0, 3)
+    extras["match_registries_rows"] = m_count
+
+    # ---- document/embedding operator suite over the driver tables
+    docs_path = f"{sf_dir}/documents.parquet"
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    if os.path.exists(docs_path):
+        t0 = time.time()
+        ds = ray.data.read_parquet(docs_path)
+        A.text_stats(ds, "text").count()
+        queries["text_stats"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        D.exact_dedup_by_fingerprint(
+            ray.data.read_parquet(docs_path, columns=["doc_id", "text"]), "text", "doc_id"
+        ).count()
+        queries["exact_dedup"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        D.minhash_lsh_dedup(
+            ray.data.read_parquet(docs_path), "text", "doc_id", jaccard_threshold=0.7
+        )["clusters"].count()
+        queries["minhash_dedup"] = round(time.time() - t0, 3)
+
+    if os.path.exists(emb_path):
+        t0 = time.time()
+        ds = ray.data.read_parquet(emb_path)
+        row = ds.take(1)[0]
+        q = np.asarray(row["embedding"], dtype=np.float64)[None, :]
+        S.knn_brute(ds, q, k=10)
+        queries["knn_brute"] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "linkage_pages_sec",
+        "value": queries["linkage_pages"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "extras": extras,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling(sf_dir: str) -> dict:
+    """Fresh-process N vs 4N CPU runs on identical input (cache pre-warmed)."""
+    env_base = dict(os.environ)
+
+    def once(ncpu: int) -> dict:
+        env = dict(env_base, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    once(8)  # warm caches / fixture generation, untimed
+    r8 = once(8)
+    r32 = once(32)
+    t8, t32 = r8["value"], r32["value"]
+    p8 = r8["extras"]["pairs_scored_per_sec"]
+    p32 = r32["extras"]["pairs_scored_per_sec"]
+    eff = (t8 / t32) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": t8,
+        "sec_32": t32,
+        "pairs_per_sec_8": p8,
+        "pairs_per_sec_32": p32,
+        "sf": _sf_of(sf_dir),
+        "queries": {"headline_8cpu": t8, "headline_32cpu": t32},
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf_dir)))
+    else:
+        ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+        print(json.dumps(run_bench(sf_dir, ncpu)))

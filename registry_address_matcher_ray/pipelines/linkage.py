@@ -46,6 +46,14 @@ def match_registries(
     if cfg.max_records is not None:
         spr = spr.limit(cfg.max_records)
 
+    # Preprocessed registries feed several consumers (two exact joins, the fuzzy
+    # residue, the broadcast index). Materialize ONCE so the normalize stage is not
+    # re-executed per consumer — this is the pipeline's stage boundary (the object
+    # store spills if a registry exceeds memory; at larger scale checkpoint.py
+    # persists the same boundary to parquet instead).
+    spr = spr.materialize()
+    cad = cad.materialize()
+
     # Empty side -> no pairs. Also guards Dataset.join, which loses the key schema
     # on all-empty partitions (observed on ray 2.49: ArrowInvalid "No match ... key
     # field reference" when the left side has zero rows).

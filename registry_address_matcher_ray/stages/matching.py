@@ -107,14 +107,33 @@ def _finalize_match_batch(batch: pa.Table, score, match_type: Optional[str]) -> 
 
 
 def dedup_keep_last(
-    ds: ray.data.Dataset, key: str, ord_col: str = "_ord"
+    ds: ray.data.Dataset, key: str, ord_col: str = "_ord",
+    num_partitions: Optional[int] = None,
 ) -> ray.data.Dataset:
-    """Keep the max-``ord_col`` row per ``key`` (reference build-dict last-wins, D4)."""
+    """Keep the max-``ord_col`` row per ``key`` (reference build-dict last-wins, D4).
 
-    def _keep_last(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(ord_col, kind="mergesort").tail(1)
+    Fully vectorized: per-batch partial keep-last (pandas C kernels), then a
+    ``groupby(key).max(ord)`` aggregate (arrow kernels) and an equi-join back on the
+    unique ``ord_col`` — no per-group Python. Scales: the aggregate ships only
+    distinct keys; the join is hash-partitioned."""
+    nparts = num_partitions or _num_partitions(ds)
 
-    return ds.groupby(key).map_groups(_keep_last, batch_format="pandas")
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(ord_col, kind="mergesort").drop_duplicates(
+            subset=[key], keep="last"
+        )
+
+    partial = ds.map_batches(_partial, batch_format="pandas").materialize()
+    winners = partial.groupby(key).max(ord_col)
+
+    def _keys_only(batch: pa.Table) -> pa.Table:
+        return pa.table({"_win_ord": batch.column(f"max({ord_col})")})
+
+    winners = winners.map_batches(_keys_only, batch_format="pyarrow")
+    return partial.join(
+        winners, join_type="inner", num_partitions=nparts,
+        on=(ord_col,), right_on=("_win_ord",),
+    )
 
 
 def _num_partitions(ds: ray.data.Dataset) -> int:
@@ -186,38 +205,56 @@ def exact_match_key(
     return joined.map_batches(_fin, batch_format="pyarrow")
 
 
-def dedup_pairs_phase_priority(matches: ray.data.Dataset) -> ray.data.Dataset:
-    """D2: one record per (spr_id, cad_id); EXACT_FULL (phase 1) wins over EXACT_KEY.
-
-    The reference achieves this with a linear scan over the accumulated match list
-    (address.py:418-423); here it is a hash-partitioned groupby on the pair key.
-    """
-
-    def _rank(batch: pa.Table) -> pa.Table:
-        rank = pc.if_else(
-            pc.equal(batch.column("MATCH_TYPE"), "EXACT_FULL"),
-            pa.scalar(0, pa.int8()),
-            pa.scalar(1, pa.int8()),
-        )
-        return batch.append_column("_phase", rank)
-
-    ranked = matches.map_batches(_rank, batch_format="pyarrow")
-
-    def _keep_best(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values("_phase", kind="mergesort").head(1).drop(columns=["_phase"])
-
-    return ranked.groupby(["ADDRESS_ID_SPR", "ADDRESS_ID_CAD"]).map_groups(
-        _keep_best, batch_format="pandas"
+def _pair_key_array(batch: pa.Table) -> pa.Array:
+    return pc.binary_join_element_wise(
+        pc.cast(batch.column("ADDRESS_ID_SPR"), pa.string()),
+        pc.cast(batch.column("ADDRESS_ID_CAD"), pa.string()),
+        "\x00",
     )
+
+
+def anti_join_pairs(
+    matches: ray.data.Dataset, exclude_pairs: ray.data.Dataset
+) -> ray.data.Dataset:
+    """D2: drop rows whose (spr_id, cad_id) pair appears in ``exclude_pairs``.
+
+    Broadcast anti-join: the exclude pair-key set is collected once (it is
+    O(matched rows), same magnitude as the fuzzy exclusion id set the reference
+    already implies) and applied as a vectorized ``pc.is_in`` per batch. The
+    reference's equivalent is an O(n²) linear scan (address.py:418-423)."""
+
+    def _keys(batch: pa.Table) -> pa.Table:
+        return pa.table({"k": _pair_key_array(batch)})
+
+    key_batches = [
+        b.column("k").combine_chunks()
+        for b in exclude_pairs.map_batches(_keys, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+        if b.num_rows
+    ]
+    if not key_batches:
+        return matches
+    value_set = pc.unique(pa.concat_arrays([pa.array(kb) if not isinstance(kb, pa.Array) else kb for kb in key_batches]))
+    vs_ref = ray.put(value_set)
+
+    def _flt(batch: pa.Table) -> pa.Table:
+        vs = ray.get(vs_ref)
+        return batch.filter(pc.invert(pc.is_in(_pair_key_array(batch), value_set=vs)))
+
+    return matches.map_batches(_flt, batch_format="pyarrow")
 
 
 def exact_matches(
     spr: ray.data.Dataset, cad: ray.data.Dataset, num_partitions: Optional[int] = None
 ) -> ray.data.Dataset:
-    """Both exact phases with pair-level phase-priority dedup (J1 + J2 + D2)."""
-    p1 = exact_match_full(spr, cad, num_partitions)
+    """Both exact phases with pair-level phase-priority dedup (J1 + J2 + D2).
+
+    Phase-1 pairs win: phase-2 output is anti-joined against the phase-1 pair set
+    (within each phase, pairs are unique by construction — unique ids per side)."""
+    p1 = exact_match_full(spr, cad, num_partitions).materialize()
     p2 = exact_match_key(spr, cad, num_partitions)
-    return dedup_pairs_phase_priority(p1.union(p2))
+    return p1.union(anti_join_pairs(p2, p1))
 
 
 # ------------------------------------------------------------------ fuzzy phase
@@ -231,13 +268,13 @@ def build_cad_block_table(cad: ray.data.Dataset) -> pa.Table:
     """
     cols = ["ADDRESS_ID", "STREET_NAME", "HOUSE", "BUILDING", "FULL_ADDRESS",
             "COMPLETENESS_SCORE", "STREET_NORM", "HOUSE_NORM", "BUILDING_NORM", "_ord"]
-    batches = list(
-        cad.select_columns(cols).sort("_ord").iter_batches(batch_format="pyarrow")
-    )
+    batches = list(cad.select_columns(cols).iter_batches(batch_format="pyarrow"))
     if not batches:
         fields = [(c, pa.float64() if c == "COMPLETENESS_SCORE" else pa.string()) for c in cols]
         return pa.table({c: pa.array([], t) for c, t in fields})
-    return pa.concat_tables(batches, promote_options="default")
+    # local sort on the collected table (it IS the broadcast small side) — no
+    # distributed sort shuffle for data that ends up on the driver anyway
+    return pa.concat_tables(batches, promote_options="default").sort_by("_ord")
 
 
 class _BlockIndex:
