@@ -1,0 +1,226 @@
+"""Multimodal (image/audio/video) stages: opaque ``binary`` payload columns with
+typed metadata, processed by actor-pool ``map_batches`` stages.
+
+The reference is text-only, but a 100 TB training-data pipeline carries media
+payloads. Design contract here:
+
+- payloads are opaque ``pa.binary()`` columns plus typed metadata columns
+  (``media_type:string``, ``width/height:int32``, ``duration_ms:int32`` …) — blocks
+  stay Arrow end-to-end, the object store handles the bytes;
+- every stage is a callable CLASS on an actor pool: codec/model setup happens once
+  per actor in ``__init__``, per-batch work in ``__call__``;
+- batch sizes are SMALL (default 32) because each row may carry megabytes — batch
+  bytes × concurrency must fit worker heaps;
+- the actual codec is NOT available in this container (no PIL/ffmpeg), so decoding
+  is stubbed: ``codec="fake"`` (default) derives deterministic pseudo-pixels /
+  pseudo-samples from a SHA-256 of the payload (stable across runs and
+  parallelism — testable plumbing); ``codec="real"`` raises ``NotImplementedError``
+  at actor construction, marking exactly where PIL/libav plugs in.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+IMAGE_SCHEMA = pa.schema([
+    ("media_id", pa.string()),
+    ("media_type", pa.string()),      # e.g. "image/jpeg"
+    ("payload", pa.binary()),
+    ("width", pa.int32()),
+    ("height", pa.int32()),
+])
+
+AUDIO_SCHEMA = pa.schema([
+    ("media_id", pa.string()),
+    ("media_type", pa.string()),      # e.g. "audio/wav"
+    ("payload", pa.binary()),
+    ("sample_rate", pa.int32()),
+    ("duration_ms", pa.int32()),
+])
+
+VIDEO_SCHEMA = pa.schema([
+    ("media_id", pa.string()),
+    ("media_type", pa.string()),      # e.g. "video/mp4"
+    ("payload", pa.binary()),
+    ("duration_ms", pa.int32()),
+    ("fps", pa.float32()),
+])
+
+
+def _fake_floats(payload: bytes, n: int, tag: bytes) -> np.ndarray:
+    """Deterministic pseudo-signal from payload bytes (stub for a real codec)."""
+    out = np.empty(n, dtype=np.float32)
+    filled = 0
+    counter = 0
+    seed = hashlib.sha256(tag + payload).digest()
+    while filled < n:
+        block = hashlib.sha256(seed + counter.to_bytes(4, "big")).digest()
+        vals = np.frombuffer(block, dtype=np.uint8).astype(np.float32) / 255.0
+        take = min(len(vals), n - filled)
+        out[filled:filled + take] = vals[:take]
+        filled += take
+        counter += 1
+    return out
+
+
+class _MediaActor:
+    """Base: validates codec availability once per actor (the __init__ contract)."""
+
+    def __init__(self, codec: str = "fake"):
+        if codec == "real":
+            raise NotImplementedError(
+                "real media codecs (PIL/libav) are not available in this "
+                "environment; plug the decoder in here"
+            )
+        if codec != "fake":
+            raise ValueError(f"unknown codec {codec!r}")
+        self.codec = codec
+
+
+class ImageDecodeActor(_MediaActor):
+    """payload -> fixed-size feature embedding (decode + feature-extract stub).
+
+    Output adds ``features: list<float32>[dim]``; real implementation would decode
+    pixels and run a vision encoder loaded once in ``__init__``.
+    """
+
+    def __init__(self, codec: str = "fake", dim: int = 64):
+        super().__init__(codec)
+        self.dim = dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        feats = np.stack([_fake_floats(p or b"", self.dim, b"img") for p in payloads]) \
+            if payloads else np.empty((0, self.dim), np.float32)
+        arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(feats.ravel(), pa.float32()), self.dim
+        )
+        return batch.append_column("features", arr)
+
+
+class ImageResizeActor(_MediaActor):
+    """Resize stub: rewrites width/height metadata and emits a deterministic
+    resized-payload digest column (a real codec would emit re-encoded bytes)."""
+
+    def __init__(self, codec: str = "fake", target: Tuple[int, int] = (224, 224)):
+        super().__init__(codec)
+        self.target = target
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        w = pa.array([self.target[0]] * n, pa.int32())
+        h = pa.array([self.target[1]] * n, pa.int32())
+        digests = pa.array(
+            [hashlib.sha256(b"resize" + (p or b"")).digest()
+             for p in batch.column("payload").to_pylist()],
+            pa.binary(),
+        )
+        out = batch.drop_columns(["width", "height"])
+        return out.append_column("width", w).append_column("height", h) \
+                  .append_column("resized_digest", digests)
+
+
+class AudioFeatureActor(_MediaActor):
+    """Audio feature-extract stub: n_mels×frames mel-like matrix, flattened."""
+
+    def __init__(self, codec: str = "fake", n_mels: int = 16, frames: int = 8):
+        super().__init__(codec)
+        self.n = n_mels * frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        feats = np.stack([_fake_floats(p or b"", self.n, b"aud") for p in payloads]) \
+            if payloads else np.empty((0, self.n), np.float32)
+        arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(feats.ravel(), pa.float32()), self.n
+        )
+        return batch.append_column("audio_features", arr)
+
+
+class FrameSampleActor(_MediaActor):
+    """Video frame-sampling stub: one output row per sampled frame timestamp.
+
+    Real implementation seeks the container; the stub computes the deterministic
+    timestamp grid from ``duration_ms``/``fps`` metadata and a per-frame digest.
+    Demonstrates the 1->N (flat-map-shaped) media stage in plain ``map_batches``.
+    """
+
+    def __init__(self, codec: str = "fake", every_ms: int = 1000, max_frames: int = 16):
+        super().__init__(codec)
+        self.every_ms = every_ms
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, ts, digests = [], [], []
+        payloads = batch.column("payload").to_pylist()
+        durations = batch.column("duration_ms").to_pylist()
+        for mid, dur, p in zip(batch.column("media_id").to_pylist(), durations, payloads):
+            grid = range(0, max(int(dur or 0), 1), self.every_ms)
+            for i, t in zip(range(self.max_frames), grid):
+                ids.append(mid)
+                ts.append(t)
+                digests.append(hashlib.sha256(
+                    b"frame" + (p or b"") + t.to_bytes(8, "big")).digest())
+        return pa.table({
+            "media_id": pa.array(ids, pa.string()),
+            "frame_ts_ms": pa.array(ts, pa.int64()),
+            "frame_digest": pa.array(digests, pa.binary()),
+        })
+
+
+def _pool(ds: ray.data.Dataset, actor, batch_size: int, concurrency, **kw):
+    return ds.map_batches(
+        actor, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, fn_constructor_kwargs=kw,
+    )
+
+
+def decode_images(ds, codec: str = "fake", dim: int = 64,
+                  batch_size: int = 32, concurrency=(1, 4)) -> ray.data.Dataset:
+    return _pool(ds, ImageDecodeActor, batch_size, concurrency, codec=codec, dim=dim)
+
+
+def resize_images(ds, codec: str = "fake", target: Tuple[int, int] = (224, 224),
+                  batch_size: int = 32, concurrency=(1, 4)) -> ray.data.Dataset:
+    return _pool(ds, ImageResizeActor, batch_size, concurrency, codec=codec, target=target)
+
+
+def audio_features(ds, codec: str = "fake", batch_size: int = 32,
+                   concurrency=(1, 4)) -> ray.data.Dataset:
+    return _pool(ds, AudioFeatureActor, batch_size, concurrency, codec=codec)
+
+
+def sample_frames(ds, codec: str = "fake", every_ms: int = 1000, max_frames: int = 16,
+                  batch_size: int = 16, concurrency=(1, 4)) -> ray.data.Dataset:
+    return _pool(ds, FrameSampleActor, batch_size, concurrency,
+                 codec=codec, every_ms=every_ms, max_frames=max_frames)
+
+
+def synth_media(n: int, kind: str = "image", seed: int = 0) -> pa.Table:
+    """Deterministic synthetic media table for tests/benches (payload = seeded bytes)."""
+    rng = np.random.default_rng(seed)
+    ids = [f"{kind}-{i:06d}" for i in range(n)]
+    payloads = [rng.integers(0, 256, size=int(rng.integers(64, 512)),
+                             dtype=np.uint8).tobytes() for _ in range(n)]
+    if kind == "image":
+        return pa.table({
+            "media_id": ids, "media_type": ["image/jpeg"] * n, "payload": payloads,
+            "width": pa.array(rng.integers(100, 4000, n), pa.int32()),
+            "height": pa.array(rng.integers(100, 4000, n), pa.int32()),
+        })
+    if kind == "audio":
+        return pa.table({
+            "media_id": ids, "media_type": ["audio/wav"] * n, "payload": payloads,
+            "sample_rate": pa.array([16000] * n, pa.int32()),
+            "duration_ms": pa.array(rng.integers(500, 60_000, n), pa.int32()),
+        })
+    return pa.table({
+        "media_id": ids, "media_type": ["video/mp4"] * n, "payload": payloads,
+        "duration_ms": pa.array(rng.integers(1000, 120_000, n), pa.int32()),
+        "fps": pa.array([30.0] * n, pa.float32()),
+    })
