@@ -47,11 +47,31 @@ def match_registries(
     if cfg.max_records is not None:
         spr = spr.limit(cfg.max_records)
 
+    if cfg.fuzzy_strategy == "broadcast":
+        # Fused single-stage plan: exact phase 1+2 and the fuzzy phase all run
+        # inside one actor-pool map_batches over the streaming SPR side, probing
+        # broadcast in-actor indexes of the (small) cadastre side. Zero shuffles,
+        # no driver-side barriers — the whole matcher pipelines under the
+        # streaming executor.
+        cad_tbl = matching.build_cad_block_table(cad)
+        if cad_tbl.num_rows == 0 and cfg.do_exact:
+            # nothing to match against; keep the stable empty schema
+            return ray.data.from_arrow(matching.MATCH_SCHEMA.empty_table())
+        cad_ref = ray.put(cad_tbl)
+        return spr.map_batches(
+            matching.BroadcastMatcherActor,
+            fn_constructor_args=(cad_ref, cfg.threshold, cfg.do_exact, cfg.do_fuzzy),
+            batch_format="pyarrow",
+            batch_size=cfg.fuzzy_batch_size,
+            concurrency=cfg.fuzzy_concurrency,
+        )
+
+    # ---- shuffle plan: both sides large; equi-join / groupby exchanges ----
     # Preprocessed registries feed several consumers (two exact joins, the fuzzy
-    # residue, the broadcast index). Materialize ONCE so the normalize stage is not
-    # re-executed per consumer — this is the pipeline's stage boundary (the object
-    # store spills if a registry exceeds memory; at larger scale checkpoint.py
-    # persists the same boundary to parquet instead).
+    # residue). Materialize ONCE so the normalize stage is not re-executed per
+    # consumer — this is the pipeline's stage boundary (the object store spills if
+    # a registry exceeds memory; at larger scale checkpoint.py persists the same
+    # boundary to parquet instead).
     spr = spr.materialize()
     cad = cad.materialize()
 
@@ -73,20 +93,9 @@ def match_registries(
 
     if cfg.do_fuzzy:
         residue = matching.filter_out_ids(spr, "ADDRESS_ID", exclude_ids)
-        if cfg.fuzzy_strategy == "broadcast":
-            cad_tbl = matching.build_cad_block_table(cad)
-            cad_ref = ray.put(cad_tbl)
-            fuzzy = matching.fuzzy_matches_broadcast(
-                residue,
-                cad_ref,
-                threshold=cfg.threshold,
-                concurrency=cfg.fuzzy_concurrency,
-                batch_size=cfg.fuzzy_batch_size,
-            )
-        else:
-            fuzzy = matching.fuzzy_matches_shuffle(
-                residue, cad, threshold=cfg.threshold, num_partitions=cfg.num_partitions
-            )
+        fuzzy = matching.fuzzy_matches_shuffle(
+            residue, cad, threshold=cfg.threshold, num_partitions=cfg.num_partitions
+        )
         parts.append(fuzzy)
 
     if not parts:

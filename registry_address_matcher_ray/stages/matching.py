@@ -42,6 +42,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from ..functions.block_scorer import PreparedBlock, best_match_block
+from ..functions.scorers import _token_sorted as _TOKEN_SORTED
 from ..functions.scorers import best_match_multi_strategy
 
 MATCH_COLUMNS = [
@@ -267,7 +269,8 @@ def build_cad_block_table(cad: ray.data.Dataset) -> pa.Table:
     is the small side and fits each scoring actor. Column-pruned before collection.
     """
     cols = ["ADDRESS_ID", "STREET_NAME", "HOUSE", "BUILDING", "FULL_ADDRESS",
-            "COMPLETENESS_SCORE", "STREET_NORM", "HOUSE_NORM", "BUILDING_NORM", "_ord"]
+            "SEARCH_KEY", "COMPLETENESS_SCORE", "STREET_NORM", "HOUSE_NORM",
+            "BUILDING_NORM", "_ord"]
     batches = list(cad.select_columns(cols).iter_batches(batch_format="pyarrow"))
     if not batches:
         fields = [(c, pa.float64() if c == "COMPLETENESS_SCORE" else pa.string()) for c in cols]
@@ -285,9 +288,18 @@ class _BlockIndex:
     ``count`` is the block size BEFORE the empty-street filter (the reference's
     CANDIDATES_COUNT), ``streets``/``rows`` keep only non-empty street candidates
     in block order (the extractOne choice list).
+
+    Scoring accelerators (exact-equivalent, see :class:`FuzzyScorerActor`):
+    ``u_streets``/``u_pos`` — unique candidate streets in first-occurrence order
+    (a duplicate street can never beat its first occurrence under extractOne's
+    lowest-index tie-break); ``ts_first`` — token-sorted street -> lowest candidate
+    position (token_sort_ratio is the FIRST strategy and hits exactly 100 iff the
+    sorted-token strings are equal, so a hit here decides the row instantly).
     """
 
     def __init__(self, cad_table: pa.Table):
+        from ..functions.scorers import _token_sorted
+
         self.blocks: Dict[Tuple[str, str], dict] = {}
         cols = {c: cad_table.column(c).to_pylist() for c in cad_table.column_names}
         n = cad_table.num_rows
@@ -298,12 +310,21 @@ class _BlockIndex:
             key = (house, cols["BUILDING_NORM"][i])
             blk = self.blocks.get(key)
             if blk is None:
-                blk = {"count": 0, "streets": [], "rows": []}
+                blk = {"count": 0, "streets": [], "rows": [], "u_seen": set(),
+                       "u_streets": [], "u_pos": [], "ts_first": {}}
                 self.blocks[key] = blk
             blk["count"] += 1
             street = cols["STREET_NORM"][i]
             if street:
+                pos = len(blk["streets"])
                 blk["streets"].append(street)
+                if street not in blk["u_seen"]:
+                    blk["u_seen"].add(street)
+                    blk["u_streets"].append(street)
+                    blk["u_pos"].append(pos)
+                ts = _token_sorted(street)
+                if ts not in blk["ts_first"]:
+                    blk["ts_first"][ts] = pos
                 blk["rows"].append(
                     {
                         "ADDRESS_ID_CAD": cols["ADDRESS_ID"][i] or "",
@@ -316,38 +337,150 @@ class _BlockIndex:
                 )
 
 
-class FuzzyScorerActor:
-    """Actor-pool scoring stage: broadcast cad block index, batched top-1 scoring.
+def _best_multi_strategy_cached(
+    query: str, u_streets: List[str], u_pos: List[int], cache: Dict
+) -> Optional[Tuple[float, int, str]]:
+    """:func:`best_match_multi_strategy` over the deduped street list with a
+    per-actor (query, choice) score cache.
 
-    ``__init__`` runs once per actor (index build + cache); ``__call__`` scores a
-    whole Arrow batch of SPR rows. A per-actor memo on the full
-    (street, house, building) probe triple short-circuits repeated addresses —
-    address vocabularies are heavily repeated at scale.
+    Exact-equivalent to running the 4-strategy extractOne loop over the FULL
+    candidate list: a duplicate street scores identically to its first occurrence
+    and extractOne keeps the lowest index, so deduped-first-occurrence evaluation
+    preserves every tie-break; the returned position is the original one via
+    ``u_pos``. Street vocabularies repeat massively across blocks, so the pair
+    cache turns the dominant cost into dict hits.
+    """
+    from ..functions.scorers import STRATEGIES
+
+    best_score = 0.0
+    best_upos: Optional[int] = None
+    best_strategy = ""
+    for k, (name, scorer) in enumerate(STRATEGIES):
+        bs = -1.0
+        bi: Optional[int] = None
+        for i, choice in enumerate(u_streets):
+            ck = (query, choice)
+            v = cache.get(ck)
+            if v is None:
+                v = [None, None, None, None]
+                if len(cache) < 2_000_000:
+                    cache[ck] = v
+            sc = v[k]
+            if sc is None:
+                sc = scorer(query, choice)
+                v[k] = sc
+            if sc > bs:
+                bs = sc
+                bi = i
+                if bs >= 100.0:
+                    break
+        if bi is not None and bs > best_score:
+            best_score = bs
+            best_upos = u_pos[bi]
+            best_strategy = name
+            if best_score >= 100.0:
+                break
+    if best_upos is None or best_score <= 0.0:
+        return None
+    return best_score, best_upos, best_strategy
+
+
+class BroadcastMatcherActor:
+    """Fused broadcast matcher: all three reference phases in ONE streaming stage.
+
+    The broadcast physical plan (BASELINE.json north_star): the cadastre table is
+    ``ray.put`` once; each actor builds, once in ``__init__``:
+
+    - ``full_index``: FULL_ADDRESS -> last cad row (J1's last-wins build dict,
+      address.py:358) — table arrives sorted by ``_ord`` so insertion order IS the
+      reference's row order;
+    - ``key_index``: (SEARCH_KEY, BUILDING_NORM) -> [cad rows] in order (J2,
+      address.py:400-426);
+    - the (HOUSE_NORM, BUILDING_NORM) fuzzy block index (J3) with its scoring
+      accelerators.
+
+    Per SPR row: phase 1, then phase 2 (skipping the phase-1 pair — pair collisions
+    can only happen within one SPR row because ids are unique, so the reference's
+    global pair dedup D2 reduces to this local check), then fuzzy only if no exact
+    hit (the reference's exclude-ids gating, address.py:1185-1203, likewise reduces
+    to per-row state). Zero shuffles; the SPR side streams through the actor pool.
+
+    A per-actor memo on the normalized probe triple short-circuits repeated
+    addresses — every probe key (FULL_ADDRESS, SEARCH_KEY, fuzzy block + query) is a
+    function of (STREET_NORM, HOUSE_NORM, BUILDING_NORM).
     """
 
-    def __init__(self, cad_table, threshold: float):
+    def __init__(self, cad_table, threshold: float,
+                 do_exact: bool = True, do_fuzzy: bool = True):
         if isinstance(cad_table, ray.ObjectRef):
             cad_table = ray.get(cad_table)
-        self.index = _BlockIndex(cad_table)
         self.threshold = float(threshold)
-        self.memo: Dict[Tuple[str, str, str], Optional[Tuple]] = {}
+        self.do_exact = do_exact
+        self.do_fuzzy = do_fuzzy
+        self.index = _BlockIndex(cad_table)
+        self.full_index: Dict[str, dict] = {}
+        self.key_index: Dict[Tuple[str, str], List[dict]] = {}
+        if do_exact:
+            cols = {c: cad_table.column(c).to_pylist() for c in cad_table.column_names}
+            for i in range(cad_table.num_rows):
+                row = {
+                    "ADDRESS_ID_CAD": cols["ADDRESS_ID"][i] or "",
+                    "STREET_NAME_CAD": cols["STREET_NAME"][i] or "",
+                    "HOUSE_CAD": cols["HOUSE"][i] or "",
+                    "BUILDING_CAD": cols["BUILDING"][i] or "",
+                    "FULL_ADDRESS_CAD": cols["FULL_ADDRESS"][i] or "",
+                    "COMPLETENESS_CAD": float(cols["COMPLETENESS_SCORE"][i] or 0.0),
+                }
+                self.full_index[cols["FULL_ADDRESS"][i] or ""] = row  # last wins
+                kk = (cols["SEARCH_KEY"][i] or "", cols["BUILDING_NORM"][i] or "")
+                self.key_index.setdefault(kk, []).append(row)
+        # memo: probe triple -> list of (score, match_type, cad_row, count)
+        self.memo: Dict[Tuple[str, str, str], List[Tuple]] = {}
+        self.pair_cache: Dict[Tuple[str, str], list] = {}
         self.pairs_scored = 0
 
-    def _best_for(self, street: str, house: str, building: str):
+    def _matches_for(self, street: str, house: str, building: str) -> List[Tuple]:
         key = (street, house, building)
-        if key in self.memo:
-            return self.memo[key]
-        result = None
-        blk = self.index.blocks.get((house, building))
-        if blk is not None and street and blk["streets"]:
-            best = best_match_multi_strategy(street, blk["streets"])
-            self.pairs_scored += len(blk["streets"])
-            if best is not None and best[0] >= self.threshold:
-                score, pos, strategy = best
-                result = (score, strategy, blk["rows"][pos], blk["count"])
+        hit = self.memo.get(key)
+        if hit is not None:
+            return hit
+        out: List[Tuple] = []
+        if self.do_exact:
+            full = f"{street} {house} {building}".strip()
+            skey = f"{street}_{house}"
+            full_row = self.full_index.get(full)
+            if full_row is not None:
+                out.append((100.0, "EXACT_FULL", full_row, 1))
+            for row in self.key_index.get((skey, building), ()):
+                if full_row is not None and row["ADDRESS_ID_CAD"] == full_row["ADDRESS_ID_CAD"]:
+                    continue  # D2: phase-1 pair wins
+                out.append((100.0, "EXACT_KEY", row, 1))
+        if self.do_fuzzy and not out:
+            blk = self.index.blocks.get((house, building))
+            if blk is not None and street and blk["u_streets"]:
+                ts_q = _TOKEN_SORTED(street)
+                ts_pos = blk["ts_first"].get(ts_q)
+                if ts_pos is not None:
+                    best = (100.0, ts_pos, "token_sort_ratio")
+                elif len(street) <= 62 and len(ts_q) <= 62:
+                    prep = blk.get("prep")
+                    if prep is None:
+                        prep = PreparedBlock(blk["u_streets"])
+                        blk["prep"] = prep
+                    b = best_match_block(street, prep, self.threshold)
+                    best = None if b is None else (b[0], blk["u_pos"][b[1]], b[2])
+                    self.pairs_scored += len(blk["u_streets"])
+                else:  # very long query: scalar bit-parallel path
+                    best = _best_multi_strategy_cached(
+                        street, blk["u_streets"], blk["u_pos"], self.pair_cache)
+                    self.pairs_scored += len(blk["u_streets"])
+                if best is not None and best[0] >= self.threshold:
+                    score, pos, strategy = best
+                    out.append((score, f"FUZZY_STREET_{strategy.upper()}",
+                                blk["rows"][pos], blk["count"]))
         if len(self.memo) < 500_000:
-            self.memo[key] = result
-        return result
+            self.memo[key] = out
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         g = lambda c: batch.column(c).to_pylist()
@@ -357,26 +490,30 @@ class FuzzyScorerActor:
         full, compl = g("FULL_ADDRESS"), g("COMPLETENESS_SCORE")
         rows: Dict[str, list] = {c: [] for c in MATCH_COLUMNS}
         for i in range(batch.num_rows):
-            hit = self._best_for(street_n[i] or "", house_n[i] or "", building_n[i] or "")
-            if hit is None:
-                continue
-            score, strategy, cad_row, count = hit
-            rows["ADDRESS_ID_SPR"].append(addr[i] or "")
-            rows["STREET_NAME_SPR"].append(s_name[i] or "")
-            rows["HOUSE_SPR"].append(house[i] or "")
-            rows["BUILDING_SPR"].append(building[i] or "")
-            rows["FULL_ADDRESS_SPR"].append(full[i] or "")
-            for c in ("ADDRESS_ID_CAD", "STREET_NAME_CAD", "HOUSE_CAD", "BUILDING_CAD",
-                      "FULL_ADDRESS_CAD"):
-                rows[c].append(cad_row[c])
-            rows["MATCH_SCORE"].append(float(score))
-            rows["MATCH_TYPE"].append(f"FUZZY_STREET_{strategy.upper()}")
-            rows["CANDIDATES_COUNT"].append(int(count))
-            rows["COMPLETENESS_SPR"].append(float(compl[i] or 0.0))
-            rows["COMPLETENESS_CAD"].append(cad_row["COMPLETENESS_CAD"])
+            for score, mtype, cad_row, count in self._matches_for(
+                    street_n[i] or "", house_n[i] or "", building_n[i] or ""):
+                rows["ADDRESS_ID_SPR"].append(addr[i] or "")
+                rows["STREET_NAME_SPR"].append(s_name[i] or "")
+                rows["HOUSE_SPR"].append(house[i] or "")
+                rows["BUILDING_SPR"].append(building[i] or "")
+                rows["FULL_ADDRESS_SPR"].append(full[i] or "")
+                for c in ("ADDRESS_ID_CAD", "STREET_NAME_CAD", "HOUSE_CAD",
+                          "BUILDING_CAD", "FULL_ADDRESS_CAD"):
+                    rows[c].append(cad_row[c])
+                rows["MATCH_SCORE"].append(float(score))
+                rows["MATCH_TYPE"].append(mtype)
+                rows["CANDIDATES_COUNT"].append(int(count))
+                rows["COMPLETENESS_SPR"].append(float(compl[i] or 0.0))
+                rows["COMPLETENESS_CAD"].append(cad_row["COMPLETENESS_CAD"])
         return pa.Table.from_pydict(
             {c: pa.array(rows[c], MATCH_SCHEMA.field(c).type) for c in MATCH_COLUMNS}
         )
+
+
+#: kept name for existing callers/tests — fuzzy-only configuration of the fused actor
+class FuzzyScorerActor(BroadcastMatcherActor):
+    def __init__(self, cad_table, threshold: float):
+        super().__init__(cad_table, threshold, do_exact=False, do_fuzzy=True)
 
 
 def fuzzy_matches_broadcast(
