@@ -48,38 +48,59 @@ class PreparedBlock:
     maps returned positions back through its own position table.
     """
 
-    __slots__ = ("streets", "n", "codes", "lens", "ts_streets", "ts_codes",
-                 "ts_lens", "token_sets", "tok_len_sum", "max_code")
+    __slots__ = ("streets", "n", "codes", "lens_sorted", "inv", "lens",
+                 "ts_streets", "ts_codes", "ts_lens_sorted", "ts_inv", "ts_lens",
+                 "token_sets", "tok_len_sum", "max_code", "postings")
 
     def __init__(self, streets: List[str]):
         self.streets = streets
         self.n = len(streets)
         self.ts_streets = [_token_sorted(s) for s in streets]
-        self.codes, self.lens, mc1 = _code_matrix(streets)
-        self.ts_codes, self.ts_lens, mc2 = _code_matrix(self.ts_streets)
+        self.codes, self.lens_sorted, mc1, self.lens, self.inv = _code_matrix(streets)
+        (self.ts_codes, self.ts_lens_sorted, mc2,
+         self.ts_lens, self.ts_inv) = _code_matrix(self.ts_streets)
         self.max_code = max(mc1, mc2)
         self.token_sets = [frozenset(s.split()) for s in streets]
         # sum(len(t)+1) over a candidate's unique tokens (join length + 1)
-        self.tok_len_sum = [sum(len(t) + 1 for t in ts) for ts in self.token_sets]
+        self.tok_len_sum = np.fromiter(
+            (sum(len(t) + 1 for t in ts) for ts in self.token_sets),
+            dtype=np.int64, count=self.n)
+        # token -> candidate indices containing it (for vectorized intersections)
+        post: dict = {}
+        for i, ts in enumerate(self.token_sets):
+            for t in ts:
+                post.setdefault(t, []).append(i)
+        self.postings = {t: np.asarray(ix, dtype=np.int64) for t, ix in post.items()}
 
 
-def _code_matrix(strings: List[str]) -> Tuple[np.ndarray, np.ndarray, int]:
+def _code_matrix(strings: List[str]):
+    """(length-desc-sorted codes matrix, sorted lens, max code, lens in original
+    order, inverse permutation to restore original order)."""
     n = len(strings)
     lens = np.fromiter((len(s) for s in strings), dtype=np.int64, count=n)
     lmax = int(lens.max()) if n else 0
+    order = np.argsort(-lens, kind="stable")
+    inv = np.empty(n, dtype=np.int64)
+    inv[order] = np.arange(n)
     codes = np.zeros((n, lmax), dtype=np.int32)
-    for i, s in enumerate(strings):
+    for r, i in enumerate(order):
+        s = strings[int(i)]
         if s:
-            codes[i, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)[
+            codes[r, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)[
                 : len(s)
             ].astype(np.int32)
     mc = int(codes.max()) if codes.size else 0
-    return codes, lens, mc
+    return codes, lens[order], mc, lens, inv
 
 
-def _vector_lcs(query: str, codes: np.ndarray, lens: np.ndarray, max_code: int
-                ) -> np.ndarray:
-    """LCS(query, candidate_i) for all i — bit-parallel over uint64 lanes."""
+def _vector_lcs(query: str, codes: np.ndarray, lens_desc: np.ndarray, max_code: int,
+                inv_perm: np.ndarray) -> np.ndarray:
+    """LCS(query, candidate_i) for all i — bit-parallel over uint64 lanes.
+
+    ``codes``/``lens_desc`` are length-descending-sorted (columns shrink as the
+    scan advances, so each step touches only still-active rows); ``inv_perm``
+    restores original candidate order in the returned array.
+    """
     lq = len(query)
     n = codes.shape[0]
     if lq == 0 or n == 0:
@@ -94,15 +115,19 @@ def _vector_lcs(query: str, codes: np.ndarray, lens: np.ndarray, max_code: int
     mask = np.uint64((1 << lq) - 1)
     v = np.full(n, mask, dtype=np.uint64)
     lmax = codes.shape[1]
-    active_rows = lens  # candidates shorter than k keep their final v
+    active = n
     for k in range(lmax):
-        m = lut[codes[:, k]]
-        u = v & m
-        nv = ((v + u) | (v & ~m)) & mask
-        v = np.where(active_rows > k, nv, v)
-    # popcount via uint8 view
+        # rows are length-desc sorted: rows with len <= k are a suffix
+        while active and lens_desc[active - 1] <= k:
+            active -= 1
+        if not active:
+            break
+        va = v[:active]
+        m = lut[codes[:active, k]]
+        u = va & m
+        v[:active] = ((va + u) | (va & ~m)) & mask
     pop = np.unpackbits(v.view(np.uint8).reshape(n, 8), axis=1).sum(axis=1)
-    return lq - pop.astype(np.int64)
+    return (lq - pop.astype(np.int64))[inv_perm]
 
 
 def _ratio_from_lcs(lcs: np.ndarray, la: int, lb: np.ndarray) -> np.ndarray:
@@ -112,58 +137,77 @@ def _ratio_from_lcs(lcs: np.ndarray, la: int, lb: np.ndarray) -> np.ndarray:
 
 
 def _token_set_extract_one(
-    query: str, blk: PreparedBlock, early_exit: float = 100.0
+    query: str, blk: PreparedBlock, threshold: float,
+    ts_lcs: Optional[np.ndarray] = None,
 ) -> Tuple[float, int]:
-    """extractOne under token_set_ratio with lazy diff-DP; returns (score, idx)."""
+    """extractOne under token_set_ratio, vectorized closed forms + pruned diff-DP.
+
+    Per-candidate closed forms (``sect`` is a prefix of both combined strings, so
+    two of the three component ratios need no DP) are computed with numpy via the
+    block's token postings lists. The third component's DP runs only for candidates
+    whose upper bound ``200*(|sect|+1+min(|dab|,|dba|))/(|s1|+|s2|)`` reaches
+    ``max(threshold, best-closed-form)`` — any candidate skipped is provably unable
+    to be (or displace) an at/above-threshold extractOne winner, so the returned
+    winner is exact whenever its score matters to the caller (>= threshold);
+    below-threshold returns may understate, which callers discard.
+    """
     qt = frozenset(query.split())
-    q_toks = {t: len(t) for t in qt}
-    best = -1.0
-    best_i = -1
-    for i in range(blk.n):
-        ct = blk.token_sets[i]
-        inter = qt & ct
-        n_inter = len(inter)
-        sect_len = (sum(len(t) + 1 for t in inter) - 1) if n_inter else 0
-        dab_len_p1 = sum(l + 1 for t, l in q_toks.items() if t not in ct)
-        dab_len = dab_len_p1 - 1 if dab_len_p1 else 0
-        dba_len_p1 = blk.tok_len_sum[i] - (sect_len + 1 if n_inter else 0)
-        dba_len = dba_len_p1 - 1 if dba_len_p1 else 0
-        # s1 = strip(sect + " " + dab), s2 = strip(sect + " " + dba)
-        s1_len = sect_len + 1 + dab_len if (n_inter and dab_len_p1) else \
-            (sect_len if n_inter else dab_len)
-        s2_len = sect_len + 1 + dba_len if (n_inter and dba_len_p1) else \
-            (sect_len if n_inter else dba_len)
-        # ratio(sect, s1): sect is a prefix of s1 -> LCS == sect_len
-        t1 = sect_len + s1_len
-        cf1 = 100.0 * (2.0 * sect_len) / t1 if t1 > 0 else 100.0
-        t2 = sect_len + s2_len
-        cf2 = 100.0 * (2.0 * sect_len) / t2 if t2 > 0 else 100.0
-        sc = cf1 if cf1 >= cf2 else cf2
-        # third component: ratio(s1, s2)
-        if not dab_len_p1:
-            dp = cf2  # s1 == sect exactly
-        elif not dba_len_p1:
-            dp = cf1
-        else:
-            prefix = sect_len + 1 if n_inter else 0
-            t3 = s1_len + s2_len
-            ub = 100.0 * (2.0 * (prefix + min(dab_len, dba_len))) / t3 if t3 else 100.0
-            need = best if best > sc else sc
-            if ub > need:
-                dab = " ".join(sorted(t for t in qt if t not in ct))
-                dba = " ".join(sorted(t for t in ct if t not in qt))
-                lcs3 = prefix + lcs_length(dab, dba)
-                dp = 100.0 * (2.0 * lcs3) / t3 if t3 else 100.0
-            else:
-                dp = -1.0  # provably cannot change max(cf1, cf2, dp) beyond `need`
-        if dp > sc:
-            sc = dp
-        if sc > best:
-            best = sc
-            best_i = i
-            if best >= early_exit:
-                break
-    return best, best_i
+    n = blk.n
+    q_total_p1 = sum(len(t) + 1 for t in qt)
+    inter_p1 = np.zeros(n, dtype=np.int64)
+    n_inter = np.zeros(n, dtype=np.int64)
+    for t in qt:
+        ix = blk.postings.get(t)
+        if ix is not None:
+            inter_p1[ix] += len(t) + 1
+            n_inter[ix] += 1
+    has_inter = n_inter > 0
+    sect_len = np.where(has_inter, inter_p1 - 1, 0)
+    dab_p1 = q_total_p1 - inter_p1
+    dba_p1 = blk.tok_len_sum - inter_p1
+    dab_len = np.maximum(dab_p1 - 1, 0)
+    dba_len = np.maximum(dba_p1 - 1, 0)
+    s1_len = np.where(has_inter & (dab_p1 > 0), sect_len + 1 + dab_len,
+                      np.where(has_inter, sect_len, dab_len))
+    s2_len = np.where(has_inter & (dba_p1 > 0), sect_len + 1 + dba_len,
+                      np.where(has_inter, sect_len, dba_len))
+    t1 = sect_len + s1_len
+    t2 = sect_len + s2_len
+    cf1 = np.where(t1 > 0, 100.0 * (2.0 * sect_len) / np.maximum(t1, 1), 100.0)
+    cf2 = np.where(t2 > 0, 100.0 * (2.0 * sect_len) / np.maximum(t2, 1), 100.0)
+    base = np.maximum(cf1, cf2)
+    # when either diff is empty the third component equals cf2/cf1 -> folded in base
+    both = (dab_p1 > 0) & (dba_p1 > 0)
+    prefix = np.where(has_inter, sect_len + 1, 0)
+    t3 = s1_len + s2_len
+    # LCS(dab, dba) <= min(|dab|, |dba|) and <= LCS of the sorted-token strings
+    # (dab/dba are subsequences of those, and LCS is monotone under subsequence)
+    lcs_cap = np.minimum(dab_len, dba_len)
+    if ts_lcs is not None:
+        lcs_cap = np.minimum(lcs_cap, ts_lcs)
+    ub = np.where(
+        t3 > 0,
+        100.0 * (2.0 * (prefix + lcs_cap)) / np.maximum(t3, 1),
+        100.0,
+    )
+    best0_i = int(np.argmax(base))
+    best0 = float(base[best0_i])
+    need = max(threshold, best0)
+    scores = base
+    survivors = np.nonzero(both & (ub >= need))[0]
+    if survivors.size:
+        scores = base.copy()
+        for i in survivors:
+            i = int(i)
+            ct = blk.token_sets[i]
+            dab = " ".join(sorted(t for t in qt if t not in ct))
+            dba = " ".join(sorted(t for t in ct if t not in qt))
+            lcs3 = int(prefix[i]) + lcs_length(dab, dba)
+            dp = 100.0 * (2.0 * lcs3) / float(t3[i])
+            if dp > scores[i]:
+                scores[i] = dp
+    bi = int(np.argmax(scores))
+    return float(scores[bi]), bi
 
 
 def best_match_block(
@@ -188,7 +232,8 @@ def best_match_block(
         return None  # caller falls back to the scalar path
 
     # strategy 1: token_sort_ratio (vectorized)
-    ts_lcs = _vector_lcs(ts_query, blk.ts_codes, blk.ts_lens, blk.max_code)
+    ts_lcs = _vector_lcs(ts_query, blk.ts_codes, blk.ts_lens_sorted, blk.max_code,
+                         blk.ts_inv)
     ts_scores = _ratio_from_lcs(ts_lcs, len(ts_query), blk.ts_lens)
     i0 = int(np.argmax(ts_scores))
     s0 = float(ts_scores[i0])
@@ -197,12 +242,12 @@ def best_match_block(
         0.0, -1, "")
     if best_score < 100.0:
         # strategy 2: token_set_ratio (closed forms + lazy DP)
-        s1, i1 = _token_set_extract_one(query, blk)
+        s1, i1 = _token_set_extract_one(query, blk, threshold, ts_lcs)
         if s1 > best_score:
             best_score, best_i, best_name = s1, i1, "token_set_ratio"
 
     # full-string LCS powers both the ratio strategy and the partial bound
-    r_lcs = _vector_lcs(query, blk.codes, blk.lens, blk.max_code)
+    r_lcs = _vector_lcs(query, blk.codes, blk.lens_sorted, blk.max_code, blk.inv)
     r_scores = _ratio_from_lcs(r_lcs, lq, blk.lens)
     i3 = int(np.argmax(r_scores))
     s3 = float(r_scores[i3])
