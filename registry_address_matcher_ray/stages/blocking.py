@@ -153,13 +153,27 @@ def pages_to_registry_records(ds: ray.data.Dataset) -> ray.data.Dataset:
 # ------------------------------------------------------------ MinHash-LSH bands
 
 
+_SHINGLE_P = np.uint64(1099511628211)  # FNV prime; wrap-around mul is the mix
+
+
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    # zlib.crc32 is stable across processes (unlike str hash(), which is salted)
+    """Distinct k-byte shingle hashes, vectorized (polynomial rolling hash).
+
+    Deterministic across processes/partitions (no salted str hash). The hash is a
+    degree-k polynomial in the FNV prime over the raw bytes, computed with k
+    shifted vector multiplies instead of a per-position Python loop.
+    """
     data = text.encode("utf-8")
-    if len(data) < k:
+    n = len(data)
+    if n < k:
         return np.array([zlib.crc32(data)], dtype=np.uint64)
-    hs = {zlib.crc32(data[i : i + k]) for i in range(len(data) - k + 1)}
-    return np.fromiter(hs, dtype=np.uint64, count=len(hs))
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    m = n - k + 1
+    h = np.zeros(m, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            h = h * _SHINGLE_P + arr[j : j + m]
+    return np.unique(h)
 
 
 class MinHasher:

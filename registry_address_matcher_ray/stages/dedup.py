@@ -20,9 +20,11 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Tuple
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data
 
 from ..functions import textfns
@@ -32,12 +34,33 @@ from . import blocking, cluster
 def exact_dedup(
     ds: ray.data.Dataset, key_col: str, id_col: str
 ) -> ray.data.Dataset:
-    """Keep exactly one row (min ``id_col``) per distinct ``key_col`` value."""
+    """Keep exactly one row (min ``id_col``) per distinct ``key_col`` value.
 
-    def _keep_min(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col, kind="mergesort").head(1)
+    Fully vectorized: per-batch partial keep-min (pandas C kernels), then a
+    ``groupby(key).min(id)`` aggregate over the survivors and a broadcast
+    ``is_in`` filter on the winning ids — no per-group Python. The winner-id set
+    is O(distinct keys); at scales where that outgrows the driver swap the final
+    filter for an equi-join on ``(key, min_id)``.
+    """
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(id_col, kind="mergesort").drop_duplicates(
+            subset=[key_col], keep="first")
 
-    return ds.groupby(key_col).map_groups(_keep_min, batch_format="pandas")
+    partial = ds.map_batches(_partial, batch_format="pandas").materialize()
+    winners = partial.groupby(key_col).min(id_col)
+    win_col = f"min({id_col})"
+    ids = [b.column(win_col) for b in winners.iter_batches(batch_format="pyarrow")
+           if b.num_rows]
+    if not ids:
+        return partial
+    value_set = pc.unique(pa.concat_arrays(
+        [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in ids]))
+    vs_ref = ray.put(value_set)
+
+    def _flt(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column(id_col), value_set=ray.get(vs_ref)))
+
+    return partial.map_batches(_flt, batch_format="pyarrow")
 
 
 def exact_dedup_by_fingerprint(
@@ -56,36 +79,82 @@ def exact_dedup_by_fingerprint(
     return exact_dedup(with_fp, "_fp", id_col).drop_columns(["_fp"])
 
 
-def _candidate_pairs_from_groups(
-    grouped: ray.data.Dataset, id_col: str, payload_col: Optional[str],
-    max_group: int,
+def _bucket_candidate_pairs(
+    melted: ray.data.Dataset, bucket_col: str, id_col: str, max_group: int,
 ) -> ray.data.Dataset:
-    """Within each bucket group emit all id-ordered pairs (group size capped)."""
+    """Distinct id-ordered candidate pairs from bucket co-membership.
+
+    Scale shape: singleton buckets (the overwhelming majority) are eliminated by a
+    vectorized ``groupby(bucket).count()`` BEFORE any per-group Python runs — only
+    rows in buckets with >= 2 members (broadcast ``is_in`` filter on the hot bucket
+    set; O(#duplicate buckets), logged) reach the per-group pairing, and pair dedup
+    is a vectorized ``groupby(id_a, id_b).count()``. Buckets larger than
+    ``max_group`` are truncated deterministically (by id).
+    """
+    counts = melted.groupby(bucket_col).count()
+
+    def _gt1(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch.column("count()"), 1)) \
+                    .select([bucket_col])
+
+    hot = [b for b in counts.map_batches(_gt1, batch_format="pyarrow")
+           .iter_batches(batch_format="pyarrow") if b.num_rows]
+    if not hot:
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}))
+    hot_set = pc.unique(pa.concat_arrays(
+        [t.column(bucket_col).combine_chunks() for t in hot]))
+    hot_ref = ray.put(hot_set)
+
+    def _flt(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.is_in(batch.column(bucket_col), value_set=ray.get(hot_ref)))
+
+    dup_rows = melted.map_batches(_flt, batch_format="pyarrow")
 
     def _pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col, kind="mergesort").head(max_group)
-        ids = g[id_col].tolist()
-        pay = g[payload_col].tolist() if payload_col else [None] * len(ids)
-        rows = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                rows.append((ids[i], ids[j], pay[i], pay[j]))
-        if not rows:
-            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                 "id_b": pd.Series([], dtype="int64"),
-                                 "pay_a": pd.Series([], dtype="object"),
-                                 "pay_b": pd.Series([], dtype="object")})
-        out = pd.DataFrame(rows, columns=["id_a", "id_b", "pay_a", "pay_b"])
-        return out
+        ids = g[id_col].sort_values(kind="mergesort").head(max_group).tolist()
+        rows = [(ids[i], ids[j])
+                for i in range(len(ids)) for j in range(i + 1, len(ids))]
+        return pd.DataFrame(rows, columns=["id_a", "id_b"]) if rows else \
+            pd.DataFrame({"id_a": pd.Series([], dtype=g[id_col].dtype),
+                          "id_b": pd.Series([], dtype=g[id_col].dtype)})
 
-    return grouped.map_groups(_pairs, batch_format="pandas")
+    pairs = dup_rows.groupby(bucket_col).map_groups(_pairs, batch_format="pandas")
+    # Local (per-batch) dedup only: cross-band duplicate pairs are a few percent,
+    # so re-verifying them is far cheaper than a global pair-key shuffle here;
+    # callers dedup the (small) verified output with _distinct_pairs_with_value.
+    return pairs.map_batches(
+        lambda df: df.drop_duplicates(subset=["id_a", "id_b"]),
+        batch_format="pandas")
 
 
-def _dedup_pairs(pairs: ray.data.Dataset) -> ray.data.Dataset:
-    def _first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+def _distinct_pairs_with_value(
+    pairs: ray.data.Dataset, value_col: str, id_type: pa.DataType
+) -> ray.data.Dataset:
+    """Distinct (id_a, id_b) rows, keeping ``value_col`` (identical per pair).
 
-    return pairs.groupby(["id_a", "id_b"]).map_groups(_first, batch_format="pandas")
+    Single-key groupby on a packed pair string (Ray's multi-key groupby aggregate
+    is an order of magnitude slower than single-key at this shape).
+    """
+    def _pack(batch: pa.Table) -> pa.Table:
+        pk = pc.binary_join_element_wise(
+            pc.cast(batch.column("id_a"), pa.string()),
+            pc.cast(batch.column("id_b"), pa.string()), "\x00")
+        return pa.table({"pk": pk, value_col: batch.column(value_col)})
+
+    packed = pairs.map_batches(_pack, batch_format="pyarrow")
+    agg = packed.groupby("pk").max(value_col)
+
+    def _unpack(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch.column("pk"), "\x00")
+        return pa.table({
+            "id_a": pc.cast(pc.list_element(parts, 0), id_type),
+            "id_b": pc.cast(pc.list_element(parts, 1), id_type),
+            value_col: batch.column(f"max({value_col})"),
+        })
+
+    return agg.map_batches(_unpack, batch_format="pyarrow")
 
 
 def minhash_lsh_dedup(
@@ -112,46 +181,64 @@ def minhash_lsh_dedup(
     )
 
     def _melt(batch: pa.Table) -> pa.Table:
+        # ids only through the shuffle — the text payload NEVER enters the
+        # all-to-all exchange (it would be replicated x bands otherwise)
         n = batch.num_rows
-        ids, texts, bidx, bhash = [], [], [], []
+        ids, bkey = [], []
         id_vals = batch.column(id_col).to_pylist()
-        t_vals = batch.column(text_col).to_pylist()
         for b in range(bands):
-            h = batch.column(f"band_{b}").to_pylist()
+            h = batch.column(f"band_{b}").to_numpy(zero_copy_only=False)
+            # fold the band index into the bucket key (single int64 group key)
             ids.extend(id_vals)
-            texts.extend(t_vals)
-            bidx.extend([b] * n)
-            bhash.extend(h)
-        return pa.table(
-            {
-                "band_idx": pa.array(bidx, pa.int32()),
-                "band_hash": pa.array(bhash, pa.int64()),
-                id_col: pa.array(ids),
-                text_col: pa.array(texts),
-            }
-        )
+            bkey.append((h.astype("int64") * np.int64(31)) ^ np.int64(b * 0x9E3779B9))
+        return pa.table({
+            "bucket": pa.array(np.concatenate(bkey) if bkey else
+                               np.array([], dtype="int64"), pa.int64()),
+            id_col: pa.array(ids),
+        })
 
     melted = banded.map_batches(_melt, batch_format="pyarrow")
-    grouped = melted.groupby(["band_idx", "band_hash"])
-    pairs = _candidate_pairs_from_groups(grouped, id_col, text_col, max_group)
-    pairs = _dedup_pairs(pairs)
+    pairs = _bucket_candidate_pairs(melted, "bucket", id_col, max_group)
 
     thr = float(jaccard_threshold)
+    # Broadcast id -> text for verification (the candidate-id set is O(near-dup
+    # rows); at scales beyond driver memory swap for two equi-joins on id).
+    texts_ref = ray.put({
+        r[0]: r[1]
+        for b in ds.select_columns([id_col, text_col]).iter_batches(
+            batch_format="pyarrow")
+        for r in zip(b.column(id_col).to_pylist(), b.column(text_col).to_pylist())
+    })
 
-    def _verify(batch: pa.Table) -> pa.Table:
-        a = batch.column("pay_a").to_pylist()
-        b = batch.column("pay_b").to_pylist()
-        jac = [textfns.jaccard(textfns.ngram_set(x), textfns.ngram_set(y)) for x, y in zip(a, b)]
-        out = pa.table(
-            {
+    class _Verify:
+        def __init__(self):
+            self.texts = ray.get(texts_ref)
+            self.ngrams: Dict = {}
+
+        def _ng(self, i):
+            s = self.ngrams.get(i)
+            if s is None:
+                s = textfns.ngram_set(self.texts.get(i) or "")
+                self.ngrams[i] = s
+            return s
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            a = batch.column("id_a").to_pylist()
+            b = batch.column("id_b").to_pylist()
+            jac = [textfns.jaccard(self._ng(x), self._ng(y)) for x, y in zip(a, b)]
+            out = pa.table({
                 "id_a": batch.column("id_a"),
                 "id_b": batch.column("id_b"),
                 "jaccard": pa.array(jac, pa.float64()),
-            }
-        )
-        return out.filter(pc.greater_equal(out.column("jaccard"), thr))
+            })
+            return out.filter(pc.greater_equal(out.column("jaccard"), thr))
 
-    verified = pairs.map_batches(_verify, batch_format="pyarrow").materialize()
+    sch = ds.schema()
+    id_type = dict(zip(sch.names, sch.types))[id_col]
+    verified = _distinct_pairs_with_value(
+        pairs.map_batches(_Verify, batch_format="pyarrow", concurrency=(1, 4)),
+        "jaccard", id_type,
+    ).materialize()
     clusters = cluster.connected_components(verified, "id_a", "id_b")
     return {"pairs": verified, "clusters": clusters}
 
@@ -182,50 +269,56 @@ def simhash_dedup(
             )
         return out
 
-    sigds = ds.select_columns([id_col, text_col]).map_batches(_sig, batch_format="pyarrow")
+    sigds = ds.select_columns([id_col, text_col]).map_batches(
+        _sig, batch_format="pyarrow").materialize()
 
     def _melt(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        ids, sh, bidx, bhash = [], [], [], []
+        ids, bkey = [], []
         id_vals = batch.column(id_col).to_pylist()
-        s_vals = batch.column("simhash").to_pylist()
         for b in range(4):
-            h = batch.column(f"sh_band_{b}").to_pylist()
+            h = batch.column(f"sh_band_{b}").to_numpy(zero_copy_only=False)
             ids.extend(id_vals)
-            sh.extend(s_vals)
-            bidx.extend([b] * n)
-            bhash.extend(h)
-        return pa.table(
-            {
-                "band_idx": pa.array(bidx, pa.int32()),
-                "band_hash": pa.array(bhash, pa.int64()),
-                id_col: pa.array(ids),
-                "simhash": pa.array(sh, pa.int64()),
-            }
-        )
+            bkey.append((h.astype("int64") * np.int64(31)) ^ np.int64(b * 0x9E3779B9))
+        return pa.table({
+            "bucket": pa.array(np.concatenate(bkey) if bkey else
+                               np.array([], dtype="int64"), pa.int64()),
+            id_col: pa.array(ids),
+        })
 
     melted = sigds.map_batches(_melt, batch_format="pyarrow")
-    pairs = _candidate_pairs_from_groups(
-        melted.groupby(["band_idx", "band_hash"]), id_col, "simhash", max_group
-    )
-    pairs = _dedup_pairs(pairs)
+    pairs = _bucket_candidate_pairs(melted, "bucket", id_col, max_group)
     thr = int(hamming_threshold)
 
-    def _verify(batch: pa.Table) -> pa.Table:
-        a = batch.column("pay_a").to_pylist()
-        b = batch.column("pay_b").to_pylist()
-        ham = [textfns.hamming64(int(x) & ((1 << 64) - 1), int(y) & ((1 << 64) - 1))
-               for x, y in zip(a, b)]
-        out = pa.table(
-            {
+    sig_ref = ray.put({
+        r[0]: r[1]
+        for b in sigds.select_columns([id_col, "simhash"]).iter_batches(
+            batch_format="pyarrow")
+        for r in zip(b.column(id_col).to_pylist(), b.column("simhash").to_pylist())
+    })
+
+    class _Verify:
+        def __init__(self):
+            self.sig = ray.get(sig_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            a = batch.column("id_a").to_pylist()
+            b = batch.column("id_b").to_pylist()
+            mask = (1 << 64) - 1
+            ham = [textfns.hamming64(int(self.sig[x]) & mask, int(self.sig[y]) & mask)
+                   for x, y in zip(a, b)]
+            out = pa.table({
                 "id_a": batch.column("id_a"),
                 "id_b": batch.column("id_b"),
                 "hamming": pa.array(ham, pa.int64()),
-            }
-        )
-        return out.filter(pc.less_equal(out.column("hamming"), thr))
+            })
+            return out.filter(pc.less_equal(out.column("hamming"), thr))
 
-    verified = pairs.map_batches(_verify, batch_format="pyarrow").materialize()
+    sch = ds.schema()
+    id_type = dict(zip(sch.names, sch.types))[id_col]
+    verified = _distinct_pairs_with_value(
+        pairs.map_batches(_Verify, batch_format="pyarrow", concurrency=(1, 4)),
+        "hamming", id_type,
+    ).materialize()
     clusters = cluster.connected_components(verified, "id_a", "id_b")
     return {"pairs": verified, "clusters": clusters}
 

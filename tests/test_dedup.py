@@ -1,0 +1,112 @@
+"""Dedup operators: exact, MinHash-LSH, SimHash — planted-duplicate recovery,
+pandas-oracle equality for exact dedup, and partition invariance."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from registry_address_matcher_ray.stages import dedup as D
+
+_LETTERS = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+
+
+def _mk_docs(n=200, dup_groups=12, seed=5):
+    """n base docs + planted near/exact duplicates with known group labels.
+
+    Tokens are random 8-letter words, so unrelated docs share almost no shingles
+    and only the planted duplicates exceed the jaccard threshold.
+    """
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        words = ["".join(rng.choice(_LETTERS, size=8)) for _ in range(60)]
+        rows.append({"doc_id": i, "text": " ".join(words), "dup_group": -1})
+    next_id = n
+    planted = []
+    for g in range(dup_groups):
+        base = rows[int(rng.integers(0, n))]
+        base["dup_group"] = g
+        # exact copy
+        rows.append({"doc_id": next_id, "text": base["text"], "dup_group": g})
+        next_id += 1
+        # near copy: swap one word
+        toks = base["text"].split()
+        toks[int(rng.integers(0, len(toks)))] = "zulu"
+        rows.append({"doc_id": next_id, "text": " ".join(toks), "dup_group": g})
+        next_id += 1
+        planted.append(g)
+    return pd.DataFrame(rows)
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return _mk_docs()
+
+
+def test_exact_dedup_oracle(docs, ray_session):
+    ds = ray.data.from_pandas(docs[["doc_id", "text"]])
+    got = D.exact_dedup(ds, "text", "doc_id").to_pandas().sort_values("doc_id")
+    exp = (docs.sort_values("doc_id").drop_duplicates(subset=["text"], keep="first")
+           [["doc_id", "text"]].reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[["doc_id", "text"]].reset_index(drop=True), exp)
+
+
+def test_exact_dedup_partition_invariance(docs, ray_session):
+    ds1 = ray.data.from_pandas(docs[["doc_id", "text"]])
+    ds8 = ds1.repartition(8)
+    a = sorted(D.exact_dedup(ds1, "text", "doc_id").to_pandas()["doc_id"])
+    b = sorted(D.exact_dedup(ds8, "text", "doc_id").to_pandas()["doc_id"])
+    assert a == b
+
+
+def test_minhash_finds_planted_dups(docs, ray_session):
+    ds = ray.data.from_pandas(docs[["doc_id", "text"]])
+    res = D.minhash_lsh_dedup(ds, "text", "doc_id", jaccard_threshold=0.5)
+    pairs = res["pairs"].to_pandas()
+    clusters = res["clusters"].to_pandas()
+    id2group = dict(zip(docs.doc_id, docs.dup_group))
+    # every planted group (base + exact copy + near copy) must cluster together
+    by_group = docs[docs.dup_group >= 0].groupby("dup_group")["doc_id"].apply(list)
+    # cluster node ids are canonicalized to strings (stages/cluster.py)
+    node2cl = dict(zip(clusters["node"].astype(str), clusters["cluster_id"]))
+    for g, ids in by_group.items():
+        labels = {node2cl.get(str(i)) for i in ids}
+        assert None not in labels, f"group {g}: member missing from clusters"
+        assert len(labels) == 1, f"group {g} split across clusters"
+    # no pairs between two different planted groups, and none between a planted
+    # doc and an unrelated base doc
+    for _, r in pairs.iterrows():
+        ga, gb = id2group[int(r.id_a)], id2group[int(r.id_b)]
+        assert ga == gb and ga >= 0
+
+
+def test_minhash_partition_invariance(docs, ray_session):
+    ds = ray.data.from_pandas(docs[["doc_id", "text"]])
+    p1 = D.minhash_lsh_dedup(ds, "text", "doc_id")["pairs"].to_pandas()
+    p8 = D.minhash_lsh_dedup(ds.repartition(8), "text", "doc_id")["pairs"].to_pandas()
+    k1 = sorted(map(tuple, p1[["id_a", "id_b"]].values.tolist()))
+    k8 = sorted(map(tuple, p8[["id_a", "id_b"]].values.tolist()))
+    assert k1 == k8
+
+
+def test_simhash_finds_exact_copies(docs, ray_session):
+    ds = ray.data.from_pandas(docs[["doc_id", "text"]])
+    res = D.simhash_dedup(ds, "text", "doc_id")
+    pairs = res["pairs"].to_pandas()
+    # every exact-copy pair (identical text) must be found (hamming 0)
+    texts = docs.groupby("text")["doc_id"].apply(list)
+    expected = set()
+    for ids in texts:
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                expected.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+    got = set(map(tuple, pairs[["id_a", "id_b"]].values.tolist()))
+    assert expected <= got
+
+
+def test_ngram_jaccard_pairs_threshold(docs, ray_session):
+    ds = ray.data.from_pandas(docs[["doc_id", "text"]])
+    pairs = D.ngram_jaccard_pairs(ds, "text", "doc_id", threshold=0.9).to_pandas()
+    assert (pairs["jaccard"] >= 0.9).all()
