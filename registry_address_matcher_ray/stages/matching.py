@@ -297,44 +297,58 @@ class _BlockIndex:
     sorted-token strings are equal, so a hit here decides the row instantly).
     """
 
-    def __init__(self, cad_table: pa.Table):
+    def __init__(self, cad_df: "pd.DataFrame"):
+        import numpy as np
+
+        self.streets_arr = cad_df["STREET_NORM"].to_numpy()
+        hn = cad_df["HOUSE_NORM"].to_numpy()
+        mask = hn != ""
+        sub_pos = np.nonzero(mask)[0]
+        # Separator notes: numpy elementwise `arr + "\x00"` silently DROPS a
+        # NUL separator (fixed-width unicode truncation), and pandas' string
+        # hashtable hashes C strings, collapsing keys at the first NUL — so the
+        # composite key uses \x1f (unit separator; normalization strips control
+        # chars, so it cannot occur in the values) with Python-level concat.
+        hn_sub = hn[sub_pos]
+        bn_sub = cad_df["BUILDING_NORM"].to_numpy()[sub_pos]
+        key = pd.Series([h + "\x1f" + b for h, b in zip(hn_sub, bn_sub)])
+        # groupby.indices preserves order of appearance, which is cad _ord order
+        # (the table arrives sorted) — the reference's index insertion order
+        self.groups: Dict[str, "np.ndarray"] = {
+            k: sub_pos[v] for k, v in key.groupby(key).indices.items()
+        }
+        self._built: Dict[str, Optional[dict]] = {}
+
+    def block(self, house: str, building: str) -> Optional[dict]:
+        """Lazily build per-block scoring structures on first probe."""
         from ..functions.scorers import _token_sorted
 
-        self.blocks: Dict[Tuple[str, str], dict] = {}
-        cols = {c: cad_table.column(c).to_pylist() for c in cad_table.column_names}
-        n = cad_table.num_rows
-        for i in range(n):
-            house = cols["HOUSE_NORM"][i]
-            if not house:
-                continue
-            key = (house, cols["BUILDING_NORM"][i])
-            blk = self.blocks.get(key)
-            if blk is None:
-                blk = {"count": 0, "streets": [], "rows": [], "u_seen": set(),
-                       "u_streets": [], "u_pos": [], "ts_first": {}}
-                self.blocks[key] = blk
-            blk["count"] += 1
-            street = cols["STREET_NORM"][i]
-            if street:
-                pos = len(blk["streets"])
-                blk["streets"].append(street)
-                if street not in blk["u_seen"]:
-                    blk["u_seen"].add(street)
-                    blk["u_streets"].append(street)
-                    blk["u_pos"].append(pos)
-                ts = _token_sorted(street)
-                if ts not in blk["ts_first"]:
-                    blk["ts_first"][ts] = pos
-                blk["rows"].append(
-                    {
-                        "ADDRESS_ID_CAD": cols["ADDRESS_ID"][i] or "",
-                        "STREET_NAME_CAD": cols["STREET_NAME"][i] or "",
-                        "HOUSE_CAD": cols["HOUSE"][i] or "",
-                        "BUILDING_CAD": cols["BUILDING"][i] or "",
-                        "FULL_ADDRESS_CAD": cols["FULL_ADDRESS"][i] or "",
-                        "COMPLETENESS_CAD": float(cols["COMPLETENESS_SCORE"][i] or 0.0),
-                    }
-                )
+        key = house + "\x1f" + building
+        if key in self._built:
+            return self._built[key]
+        idx = self.groups.get(key)
+        blk = None
+        if idx is not None:
+            streets_all = self.streets_arr[idx]
+            keep = streets_all != ""
+            rows = idx[keep]
+            streets = streets_all[keep].tolist()
+            u_seen: Dict[str, int] = {}
+            u_streets: List[str] = []
+            u_pos: List[int] = []
+            ts_first: Dict[str, int] = {}
+            for pos, st in enumerate(streets):
+                if st not in u_seen:
+                    u_seen[st] = pos
+                    u_streets.append(st)
+                    u_pos.append(pos)
+                ts = _token_sorted(st)
+                if ts not in ts_first:
+                    ts_first[ts] = pos
+            blk = {"count": int(len(idx)), "rows": rows, "streets": streets,
+                   "u_streets": u_streets, "u_pos": u_pos, "ts_first": ts_first}
+        self._built[key] = blk
+        return blk
 
 
 def _best_multi_strategy_cached(
@@ -410,31 +424,41 @@ class BroadcastMatcherActor:
     function of (STREET_NORM, HOUSE_NORM, BUILDING_NORM).
     """
 
+    _CAD_OUT = (("ADDRESS_ID", "ADDRESS_ID_CAD"), ("STREET_NAME", "STREET_NAME_CAD"),
+                ("HOUSE", "HOUSE_CAD"), ("BUILDING", "BUILDING_CAD"),
+                ("FULL_ADDRESS", "FULL_ADDRESS_CAD"))
+
     def __init__(self, cad_table, threshold: float,
                  do_exact: bool = True, do_fuzzy: bool = True):
+        import numpy as np
+
         if isinstance(cad_table, ray.ObjectRef):
             cad_table = ray.get(cad_table)
         self.threshold = float(threshold)
         self.do_exact = do_exact
         self.do_fuzzy = do_fuzzy
-        self.index = _BlockIndex(cad_table)
-        self.full_index: Dict[str, dict] = {}
-        self.key_index: Dict[Tuple[str, str], List[dict]] = {}
+        df = cad_table.to_pandas()
+        for c in df.columns:
+            if c != "COMPLETENESS_SCORE":
+                df[c] = df[c].fillna("")
+        # cad rows are referenced by integer position (no per-row dicts)
+        self.cad = {c: df[c].to_numpy() for c, _ in self._CAD_OUT}
+        self.cad_compl = df["COMPLETENESS_SCORE"].fillna(0.0).to_numpy(dtype=float)
+        self.index = _BlockIndex(df)
+        self.full_index: Dict[str, int] = {}
+        self.key_index: Dict[str, "np.ndarray"] = {}
         if do_exact:
-            cols = {c: cad_table.column(c).to_pylist() for c in cad_table.column_names}
-            for i in range(cad_table.num_rows):
-                row = {
-                    "ADDRESS_ID_CAD": cols["ADDRESS_ID"][i] or "",
-                    "STREET_NAME_CAD": cols["STREET_NAME"][i] or "",
-                    "HOUSE_CAD": cols["HOUSE"][i] or "",
-                    "BUILDING_CAD": cols["BUILDING"][i] or "",
-                    "FULL_ADDRESS_CAD": cols["FULL_ADDRESS"][i] or "",
-                    "COMPLETENESS_CAD": float(cols["COMPLETENESS_SCORE"][i] or 0.0),
-                }
-                self.full_index[cols["FULL_ADDRESS"][i] or ""] = row  # last wins
-                kk = (cols["SEARCH_KEY"][i] or "", cols["BUILDING_NORM"][i] or "")
-                self.key_index.setdefault(kk, []).append(row)
-        # memo: probe triple -> list of (score, match_type, cad_row, count)
+            # dict(zip) keeps the LAST occurrence per key — the reference's
+            # last-wins build dict (address.py:358) — at C speed
+            self.full_index = dict(zip(df["FULL_ADDRESS"].to_numpy(),
+                                       range(len(df))))
+            # \x1f separator + python concat (see _BlockIndex separator notes)
+            kk = pd.Series([s + "\x1f" + b
+                            for s, b in zip(df["SEARCH_KEY"].to_numpy(),
+                                            df["BUILDING_NORM"].to_numpy())])
+            self.key_index = {k: np.asarray(v)
+                              for k, v in kk.groupby(kk).indices.items()}
+        # memo: probe triple -> list of (score, match_type, cad_position, count)
         self.memo: Dict[Tuple[str, str, str], List[Tuple]] = {}
         self.pair_cache: Dict[Tuple[str, str], list] = {}
         self.pairs_scored = 0
@@ -447,16 +471,15 @@ class BroadcastMatcherActor:
         out: List[Tuple] = []
         if self.do_exact:
             full = f"{street} {house} {building}".strip()
-            skey = f"{street}_{house}"
-            full_row = self.full_index.get(full)
-            if full_row is not None:
-                out.append((100.0, "EXACT_FULL", full_row, 1))
-            for row in self.key_index.get((skey, building), ()):
-                if full_row is not None and row["ADDRESS_ID_CAD"] == full_row["ADDRESS_ID_CAD"]:
+            full_pos = self.full_index.get(full, -1)
+            if full_pos >= 0:
+                out.append((100.0, "EXACT_FULL", full_pos, 1))
+            for pos in self.key_index.get(f"{street}_{house}\x1f{building}", ()):
+                if pos == full_pos:
                     continue  # D2: phase-1 pair wins
-                out.append((100.0, "EXACT_KEY", row, 1))
+                out.append((100.0, "EXACT_KEY", int(pos), 1))
         if self.do_fuzzy and not out:
-            blk = self.index.blocks.get((house, building))
+            blk = self.index.block(house, building) if house else None
             if blk is not None and street and blk["u_streets"]:
                 ts_q = _TOKEN_SORTED(street)
                 ts_pos = blk["ts_first"].get(ts_q)
@@ -477,7 +500,7 @@ class BroadcastMatcherActor:
                 if best is not None and best[0] >= self.threshold:
                     score, pos, strategy = best
                     out.append((score, f"FUZZY_STREET_{strategy.upper()}",
-                                blk["rows"][pos], blk["count"]))
+                                int(blk["rows"][pos]), blk["count"]))
         if len(self.memo) < 500_000:
             self.memo[key] = out
         return out
@@ -488,26 +511,40 @@ class BroadcastMatcherActor:
         addr, s_name = g("ADDRESS_ID"), g("STREET_NAME")
         house, building = g("HOUSE"), g("BUILDING")
         full, compl = g("FULL_ADDRESS"), g("COMPLETENESS_SCORE")
-        rows: Dict[str, list] = {c: [] for c in MATCH_COLUMNS}
+        spr_rows: List[int] = []
+        cad_pos: List[int] = []
+        scores: List[float] = []
+        mtypes: List[str] = []
+        counts: List[int] = []
         for i in range(batch.num_rows):
-            for score, mtype, cad_row, count in self._matches_for(
+            for score, mtype, pos, count in self._matches_for(
                     street_n[i] or "", house_n[i] or "", building_n[i] or ""):
-                rows["ADDRESS_ID_SPR"].append(addr[i] or "")
-                rows["STREET_NAME_SPR"].append(s_name[i] or "")
-                rows["HOUSE_SPR"].append(house[i] or "")
-                rows["BUILDING_SPR"].append(building[i] or "")
-                rows["FULL_ADDRESS_SPR"].append(full[i] or "")
-                for c in ("ADDRESS_ID_CAD", "STREET_NAME_CAD", "HOUSE_CAD",
-                          "BUILDING_CAD", "FULL_ADDRESS_CAD"):
-                    rows[c].append(cad_row[c])
-                rows["MATCH_SCORE"].append(float(score))
-                rows["MATCH_TYPE"].append(mtype)
-                rows["CANDIDATES_COUNT"].append(int(count))
-                rows["COMPLETENESS_SPR"].append(float(compl[i] or 0.0))
-                rows["COMPLETENESS_CAD"].append(cad_row["COMPLETENESS_CAD"])
-        return pa.Table.from_pydict(
-            {c: pa.array(rows[c], MATCH_SCHEMA.field(c).type) for c in MATCH_COLUMNS}
-        )
+                spr_rows.append(i)
+                cad_pos.append(pos)
+                scores.append(score)
+                mtypes.append(mtype)
+                counts.append(count)
+        cols: Dict[str, pa.Array] = {}
+        cols["ADDRESS_ID_SPR"] = pa.array(
+            [addr[i] or "" for i in spr_rows], pa.string())
+        cols["STREET_NAME_SPR"] = pa.array(
+            [s_name[i] or "" for i in spr_rows], pa.string())
+        cols["HOUSE_SPR"] = pa.array([house[i] or "" for i in spr_rows], pa.string())
+        cols["BUILDING_SPR"] = pa.array(
+            [building[i] or "" for i in spr_rows], pa.string())
+        cols["FULL_ADDRESS_SPR"] = pa.array(
+            [full[i] or "" for i in spr_rows], pa.string())
+        for src, dst in self._CAD_OUT:
+            arr = self.cad[src]
+            cols[dst] = pa.array([arr[p] for p in cad_pos], pa.string())
+        cols["MATCH_SCORE"] = pa.array(scores, pa.float64())
+        cols["MATCH_TYPE"] = pa.array(mtypes, pa.string())
+        cols["CANDIDATES_COUNT"] = pa.array(counts, pa.int64())
+        cols["COMPLETENESS_SPR"] = pa.array(
+            [float(compl[i] or 0.0) for i in spr_rows], pa.float64())
+        cols["COMPLETENESS_CAD"] = pa.array(
+            [float(self.cad_compl[p]) for p in cad_pos], pa.float64())
+        return pa.table(cols).select(MATCH_COLUMNS)
 
 
 #: kept name for existing callers/tests — fuzzy-only configuration of the fused actor
