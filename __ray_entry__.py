@@ -381,6 +381,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["doc_id", "n_tokens", "bpe_tokens", "lang_detected", "fingerprint"]
         )
 
+    def engine_variant_pairs(sf_dir):
+        """The reference's alternate engine matcher (SURVEY §3.3, J6/T4/T5/O2)."""
+        import ray
+        from registry_address_matcher_ray.stages import engine_variant as EV
+
+        spr, cad, _ = _registries(sf_dir)
+        spr_p = linkage.preprocess(spr)
+        cad_p = linkage.preprocess(cad).materialize()
+        cad_ref = ray.put(EV.build_engine_cad_table(cad_p))
+        return EV.engine_variant_matches(spr_p, cad_ref)
+
+    def media_image_features(sf_dir):
+        """Actor-pool image decode/feature stage over opaque binary payloads."""
+        import ray.data
+        from registry_address_matcher_ray.stages import multimodal as M
+
+        n = max(50, int(_sf_of(sf_dir) * 20_000))
+        ds = ray.data.from_arrow(M.synth_media(n, "image", seed=42))
+        out = M.decode_images(ds, dim=32)
+        return out.drop_columns(["payload"])
+
+    def media_frame_sample(sf_dir):
+        """1->N video frame-sampling stage (deterministic stub codec)."""
+        import ray.data
+        from registry_address_matcher_ray.stages import multimodal as M
+
+        n = max(50, int(_sf_of(sf_dir) * 20_000))
+        ds = ray.data.from_arrow(M.synth_media(n, "video", seed=42))
+        return M.sample_frames(ds, every_ms=5000, max_frames=8)
+
     return {
         "lineitem_agg": lineitem_agg,
         "docs_quality_metrics": docs_quality_metrics,
@@ -416,6 +446,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_lsh_knn": embeddings_lsh_knn,
         "embeddings_neardup": embeddings_neardup,
         "docs_text_stats": docs_text_stats,
+        "engine_variant_pairs": engine_variant_pairs,
+        "media_image_features": media_image_features,
+        "media_frame_sample": media_frame_sample,
     }
 
 

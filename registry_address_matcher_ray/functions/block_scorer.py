@@ -74,47 +74,67 @@ class PreparedBlock:
 
 
 def _code_matrix(strings: List[str]):
-    """(length-desc-sorted codes matrix, sorted lens, max code, lens in original
-    order, inverse permutation to restore original order)."""
+    """(length-desc-sorted TRANSPOSED codes matrix (lmax, n), sorted lens, max
+    code, lens in original order, inverse permutation to original order).
+
+    Transposed layout makes each char-step's slice ``codes_T[k, :active]``
+    contiguous; uint16 suffices (BMP code points; wider chars fall back to the
+    scalar path via the caller's length/max-code gate).
+    """
     n = len(strings)
     lens = np.fromiter((len(s) for s in strings), dtype=np.int64, count=n)
     lmax = int(lens.max()) if n else 0
     order = np.argsort(-lens, kind="stable")
     inv = np.empty(n, dtype=np.int64)
     inv[order] = np.arange(n)
-    codes = np.zeros((n, lmax), dtype=np.int32)
+    codes = np.zeros((n, lmax), dtype=np.uint16)
+    mc = 0
     for r, i in enumerate(order):
         s = strings[int(i)]
         if s:
-            codes[r, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)[
-                : len(s)
-            ].astype(np.int32)
-    mc = int(codes.max()) if codes.size else 0
-    return codes, lens[order], mc, lens, inv
+            cp = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)[: len(s)]
+            m = int(cp.max())
+            if m > mc:
+                mc = m
+            codes[r, : len(s)] = np.minimum(cp, 0xFFFF).astype(np.uint16)
+    return np.ascontiguousarray(codes.T), lens[order], mc, lens, inv
 
 
-def _vector_lcs(query: str, codes: np.ndarray, lens_desc: np.ndarray, max_code: int,
-                inv_perm: np.ndarray) -> np.ndarray:
+#: reusable per-call scratch (grown on demand; module-level = per worker process)
+_SCRATCH: dict = {}
+
+
+def _scratch(n: int):
+    buf = _SCRATCH.get("buf")
+    if buf is None or buf.shape[1] < n:
+        buf = np.empty((4, max(n, 1024)), dtype=np.uint64)
+        _SCRATCH["buf"] = buf
+    return buf
+
+
+def _vector_lcs(query: str, codes_t: np.ndarray, lens_desc: np.ndarray,
+                max_code: int, inv_perm: np.ndarray) -> np.ndarray:
     """LCS(query, candidate_i) for all i — bit-parallel over uint64 lanes.
 
-    ``codes``/``lens_desc`` are length-descending-sorted (columns shrink as the
-    scan advances, so each step touches only still-active rows); ``inv_perm``
-    restores original candidate order in the returned array.
+    Candidates are length-desc sorted (each step touches only the still-active
+    contiguous prefix); all intermediates live in preallocated scratch buffers,
+    so a call allocates nothing in the hot loop.
     """
     lq = len(query)
-    n = codes.shape[0]
+    n = codes_t.shape[1] if codes_t.ndim == 2 else 0
     if lq == 0 or n == 0:
         return np.zeros(n, dtype=np.int64)
-    lut = np.zeros(max_code + 2, dtype=np.uint64)
+    lut = np.zeros(min(max_code, 0xFFFF) + 2, dtype=np.uint64)
     bit = 1
     for ch in query:
         c = ord(ch)
-        if c <= max_code:
+        if c < len(lut):
             lut[c] |= np.uint64(bit)
         bit <<= 1
     mask = np.uint64((1 << lq) - 1)
     v = np.full(n, mask, dtype=np.uint64)
-    lmax = codes.shape[1]
+    scratch = _scratch(n)
+    lmax = codes_t.shape[0]
     active = n
     for k in range(lmax):
         # rows are length-desc sorted: rows with len <= k are a suffix
@@ -123,9 +143,15 @@ def _vector_lcs(query: str, codes: np.ndarray, lens_desc: np.ndarray, max_code: 
         if not active:
             break
         va = v[:active]
-        m = lut[codes[:active, k]]
-        u = va & m
-        v[:active] = ((va + u) | (va & ~m)) & mask
+        m = scratch[0, :active]
+        np.take(lut, codes_t[k, :active], out=m)
+        u = scratch[1, :active]
+        np.bitwise_and(va, m, out=u)          # u = v & m
+        np.invert(m, out=m)
+        np.bitwise_and(va, m, out=m)          # m = v & ~m
+        np.add(va, u, out=va)                 # v += u
+        np.bitwise_or(va, m, out=va)          # v = (v+u) | (v&~m)
+        np.bitwise_and(va, mask, out=va)
     pop = np.unpackbits(v.view(np.uint8).reshape(n, 8), axis=1).sum(axis=1)
     return (lq - pop.astype(np.int64))[inv_perm]
 

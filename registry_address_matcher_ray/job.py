@@ -35,7 +35,7 @@ def build_config(args, num_cpus: int):
         fuzzy_strategy=args.fuzzy_strategy,
         max_records=args.max_records,
         num_partitions=args.num_partitions or max(8, num_cpus),
-        fuzzy_concurrency=(2, max(2, num_cpus - 2)),
+        fuzzy_concurrency=max(2, num_cpus - 2),
     )
 
 

@@ -25,8 +25,18 @@ class PipelineConfig:
     # physical plan
     fuzzy_strategy: str = "broadcast"  # "broadcast" | "shuffle"
     num_partitions: Optional[int] = None
-    fuzzy_concurrency: Tuple[int, int] = (2, 8)
+    #: int = fixed actor count (provisioned eagerly); (min, max) = autoscaling
+    fuzzy_concurrency: "int | Tuple[int, int]" = (2, 8)
     fuzzy_batch_size: int = 4096
+    #: probe-side block count for the broadcast plan (tasks per actor stage);
+    #: None -> 6x the max actor count. Task granularity bounds both actor-pool
+    #: utilization and straggler size.
+    score_blocks: Optional[int] = None
+
+    @property
+    def max_fuzzy_actors(self) -> int:
+        c = self.fuzzy_concurrency
+        return c if isinstance(c, int) else c[1]
 
     # clustering
     cluster_max_iters: int = 25
@@ -35,8 +45,9 @@ class PipelineConfig:
     def __post_init__(self):
         if self.method not in METHODS:
             raise ValueError(f"unknown method {self.method!r}; one of {METHODS}")
-        if self.fuzzy_strategy not in ("broadcast", "shuffle"):
-            raise ValueError("fuzzy_strategy must be 'broadcast' or 'shuffle'")
+        if self.fuzzy_strategy not in ("broadcast", "broadcast_dedup", "shuffle"):
+            raise ValueError(
+                "fuzzy_strategy must be 'broadcast', 'broadcast_dedup' or 'shuffle'")
 
     @property
     def do_exact(self) -> bool:

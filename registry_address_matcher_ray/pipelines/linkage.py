@@ -47,17 +47,27 @@ def match_registries(
     if cfg.max_records is not None:
         spr = spr.limit(cfg.max_records)
 
-    if cfg.fuzzy_strategy == "broadcast":
-        # Fused single-stage plan: exact phase 1+2 and the fuzzy phase all run
-        # inside one actor-pool map_batches over the streaming SPR side, probing
-        # broadcast in-actor indexes of the (small) cadastre side. Zero shuffles,
-        # no driver-side barriers — the whole matcher pipelines under the
-        # streaming executor.
+    if cfg.fuzzy_strategy in ("broadcast", "broadcast_dedup"):
+        # Broadcast plans: exact phase 1+2 and the fuzzy phase all run inside
+        # actor-pool map_batches probing broadcast in-actor indexes of the
+        # (small) cadastre side — the big probe side never shuffles.
         cad_tbl = matching.build_cad_block_table(cad)
         if cad_tbl.num_rows == 0 and cfg.do_exact:
             # nothing to match against; keep the stable empty schema
             return ray.data.from_arrow(matching.MATCH_SCHEMA.empty_table())
         cad_ref = ray.put(cad_tbl)
+        # Probe-side task granularity: actor-pool parallelism is bounded by the
+        # number of input blocks, and the largest block bounds the straggler
+        # tail — split to several tasks per actor.
+        nblocks = cfg.score_blocks or cfg.max_fuzzy_actors * 6
+        if cfg.fuzzy_strategy == "broadcast_dedup":
+            # scale path: score each distinct probe triple once job-wide
+            return matching.broadcast_matches_dedup(
+                spr, cad_ref, cfg.threshold, cfg.do_exact, cfg.do_fuzzy,
+                concurrency=cfg.fuzzy_concurrency,
+                batch_size=cfg.fuzzy_batch_size, num_blocks=nblocks,
+            )
+        spr = spr.repartition(nblocks)
         return spr.map_batches(
             matching.BroadcastMatcherActor,
             fn_constructor_args=(cad_ref, cfg.threshold, cfg.do_exact, cfg.do_fuzzy),

@@ -429,7 +429,8 @@ class BroadcastMatcherActor:
                 ("FULL_ADDRESS", "FULL_ADDRESS_CAD"))
 
     def __init__(self, cad_table, threshold: float,
-                 do_exact: bool = True, do_fuzzy: bool = True):
+                 do_exact: bool = True, do_fuzzy: bool = True,
+                 build_indexes: bool = True):
         import numpy as np
 
         if isinstance(cad_table, ray.ObjectRef):
@@ -437,14 +438,26 @@ class BroadcastMatcherActor:
         self.threshold = float(threshold)
         self.do_exact = do_exact
         self.do_fuzzy = do_fuzzy
-        df = cad_table.to_pandas()
+        # single-threaded conversion: actor processes are already one-per-core;
+        # arrow's internal pool would oversubscribe
+        df = cad_table.to_pandas(use_threads=False)
         for c in df.columns:
             if c != "COMPLETENESS_SCORE":
                 df[c] = df[c].fillna("")
         # cad rows are referenced by integer position (no per-row dicts)
         self.cad = {c: df[c].to_numpy() for c, _ in self._CAD_OUT}
         self.cad_compl = df["COMPLETENESS_SCORE"].fillna(0.0).to_numpy(dtype=float)
-        self.index = _BlockIndex(df)
+        if not build_indexes:
+            # emit-only mode (MatchEmitActor): match decisions come precomputed
+            self.index = None
+            self.full_index = {}
+            self.key_index = {}
+            self.memo = {}
+            self.pair_cache = {}
+            self.pairs_scored = 0
+            return
+        # the fuzzy block index is only needed when fuzzy scoring runs
+        self.index = _BlockIndex(df) if do_fuzzy else None
         self.full_index: Dict[str, int] = {}
         self.key_index: Dict[str, "np.ndarray"] = {}
         if do_exact:
@@ -462,6 +475,12 @@ class BroadcastMatcherActor:
         self.memo: Dict[Tuple[str, str, str], List[Tuple]] = {}
         self.pair_cache: Dict[Tuple[str, str], list] = {}
         self.pairs_scored = 0
+
+    @staticmethod
+    def _prep(blk: dict) -> PreparedBlock:
+        prep = PreparedBlock(blk["u_streets"])
+        blk["prep"] = prep
+        return prep
 
     def _matches_for(self, street: str, house: str, building: str) -> List[Tuple]:
         key = (street, house, building)
@@ -485,15 +504,13 @@ class BroadcastMatcherActor:
                 ts_pos = blk["ts_first"].get(ts_q)
                 if ts_pos is not None:
                     best = (100.0, ts_pos, "token_sort_ratio")
-                elif len(street) <= 62 and len(ts_q) <= 62:
-                    prep = blk.get("prep")
-                    if prep is None:
-                        prep = PreparedBlock(blk["u_streets"])
-                        blk["prep"] = prep
-                    b = best_match_block(street, prep, self.threshold)
+                elif len(street) <= 62 and len(ts_q) <= 62 and (
+                        blk.get("prep") or self._prep(blk)).max_code <= 0xFFFF \
+                        and max(map(ord, street)) <= 0xFFFF:
+                    b = best_match_block(street, blk["prep"], self.threshold)
                     best = None if b is None else (b[0], blk["u_pos"][b[1]], b[2])
                     self.pairs_scored += len(blk["u_streets"])
-                else:  # very long query: scalar bit-parallel path
+                else:  # long query / non-BMP chars: scalar bit-parallel path
                     best = _best_multi_strategy_cached(
                         street, blk["u_streets"], blk["u_pos"], self.pair_cache)
                     self.pairs_scored += len(blk["u_streets"])
@@ -551,6 +568,163 @@ class BroadcastMatcherActor:
 class FuzzyScorerActor(BroadcastMatcherActor):
     def __init__(self, cad_table, threshold: float):
         super().__init__(cad_table, threshold, do_exact=False, do_fuzzy=True)
+
+
+# --------------------------------------------- broadcast plan with probe dedup
+
+
+class TripleScorerActor(BroadcastMatcherActor):
+    """Scores a batch of UNIQUE probe triples; emits compact match decisions.
+
+    Every match decision is a pure function of the normalized triple, so the
+    dedup plan (:func:`broadcast_matches_dedup`) scores each distinct triple
+    exactly once in the whole job — per-actor memo duplication (which grows with
+    the actor count and caps scaling) disappears.
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+        g = lambda c: batch.column(c).to_pylist()
+        streets, houses, buildings = g("STREET_NORM"), g("HOUSE_NORM"), g("BUILDING_NORM")
+        out_s, out_h, out_b = [], [], []
+        out_pos, out_score, out_type, out_cnt = [], [], [], []
+        for s, h, b in zip(streets, houses, buildings):
+            for score, mtype, pos, count in self._matches_for(s or "", h or "", b or ""):
+                out_s.append(s or "")
+                out_h.append(h or "")
+                out_b.append(b or "")
+                out_pos.append(pos)
+                out_score.append(score)
+                out_type.append(mtype)
+                out_cnt.append(count)
+        return pa.table({
+            "STREET_NORM": pa.array(out_s, pa.string()),
+            "HOUSE_NORM": pa.array(out_h, pa.string()),
+            "BUILDING_NORM": pa.array(out_b, pa.string()),
+            "cad_pos": pa.array(out_pos, pa.int64()),
+            "score": pa.array(out_score, pa.float64()),
+            "mtype": pa.array(out_type, pa.string()),
+            "count": pa.array(out_cnt, pa.int64()),
+        })
+
+
+class MatchEmitActor(BroadcastMatcherActor):
+    """Emit-only stage: maps SPR rows to full match records via the precomputed
+    triple-decision dict (no indexes, no scoring)."""
+
+    def __init__(self, cad_table, results_ref):
+        super().__init__(cad_table, 0.0, build_indexes=False)
+        self.results: Dict[Tuple[str, str, str], List[Tuple]] = ray.get(results_ref)
+
+    def _matches_for(self, street: str, house: str, building: str) -> List[Tuple]:
+        return self.results.get((street, house, building), ())
+
+
+def broadcast_matches_dedup(
+    spr: ray.data.Dataset,
+    cad_ref,
+    threshold: float,
+    do_exact: bool = True,
+    do_fuzzy: bool = True,
+    concurrency=8,
+    batch_size: int = 4096,
+    num_blocks: Optional[int] = None,
+) -> ray.data.Dataset:
+    """Broadcast plan with global probe dedup — the scale path.
+
+    1. distinct normalized probe triples (per-batch partial dedup, then one
+       small single-key groupby shuffle of packed triples — ids/payloads never
+       enter the exchange);
+    2. actor-pool scoring of the UNIQUE triples (each scored once in the job);
+    3. the compact decision set (triple -> [(cad_pos, score, type, count)]) is
+       collected and broadcast (O(matched triples) — bounded by the address
+       vocabulary, NOT the row count; if it ever outgrows the driver, fall back
+       to ``fuzzy_strategy="shuffle"``);
+    4. an emit-only actor stage streams SPR rows through dict lookups.
+
+    Output is row-for-row identical to the fused plan (property-tested).
+    """
+    trip_cols = ["STREET_NORM", "HOUSE_NORM", "BUILDING_NORM"]
+    # two consumers (dedup scan + emit) — materialize the preprocessed probe
+    # side once so extraction/normalization doesn't re-execute
+    if num_blocks:
+        spr = spr.repartition(num_blocks)
+    spr = spr.materialize()
+
+    def _pack(batch: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            *[pc.cast(batch.column(c), pa.string()) for c in trip_cols], "\x1f")
+        return pa.table({"k": pc.unique(pc.fill_null(k, "\x1f\x1f"))})
+
+    # Global dedup = per-batch partial unique + a driver-side set union of the
+    # partials. The gathered payload is the distinct-address vocabulary (a few
+    # MB), NOT the row count — the same bounded-vocabulary premise the broadcast
+    # plan already makes. This outruns a groupby shuffle by an order of magnitude
+    # at bench scale and keeps the probe rows themselves out of any exchange.
+    uniq_keys: set = set()
+    for b in spr.select_columns(trip_cols).map_batches(
+            _pack, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        uniq_keys.update(b.column("k").to_pylist())
+
+    # Exact phases are dict probes over the broadcast table — run them ONCE,
+    # driver-side, across the unique triples (sub-second); only the fuzzy
+    # residue fans out to the cluster.
+    results: Dict[Tuple[str, str, str], List[Tuple]] = {}
+    exact_probe = BroadcastMatcherActor(
+        ray.get(cad_ref), threshold, do_exact=do_exact, do_fuzzy=False)
+    residue: Dict[Tuple[str, str], List[Tuple[str, str, str]]] = {}
+    for k in uniq_keys:
+        s, h, bl = k.split("\x1f")
+        hits = exact_probe._matches_for(s, h, bl) if do_exact else ()
+        if hits:
+            results[(s, h, bl)] = list(hits)
+        elif do_fuzzy and s and h:
+            # fuzzy candidates exist only for non-empty street+house probes;
+            # group by BLOCK KEY so each block's scoring structures are built
+            # exactly once in the whole job (not once per actor)
+            residue.setdefault((h, bl), []).append((s, h, bl))
+
+    if residue:
+        max_actors = concurrency if isinstance(concurrency, int) else concurrency[1]
+        nparts = max(1, min(max_actors * 3, len(residue)))
+        parts: List[List[Tuple[str, str, str]]] = [[] for _ in range(nparts)]
+        # largest blocks first, to the emptiest partition: balances the skewed
+        # block-size distribution across tasks
+        for bk in sorted(residue, key=lambda x: -len(residue[x])):
+            tgt = min(range(nparts), key=lambda i: len(parts[i]))
+            parts[tgt].extend(residue[bk])
+        tables = [
+            pa.table({
+                "STREET_NORM": pa.array([t[0] for t in p], pa.string()),
+                "HOUSE_NORM": pa.array([t[1] for t in p], pa.string()),
+                "BUILDING_NORM": pa.array([t[2] for t in p], pa.string()),
+            })
+            for p in parts if p
+        ]
+        triples = ray.data.from_arrow(tables)
+        scored = triples.map_batches(
+            TripleScorerActor,
+            fn_constructor_args=(cad_ref, threshold, False, True),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+        for b in scored.iter_batches(batch_format="pyarrow"):
+            cols = {c: b.column(c).to_pylist() for c in
+                    ("STREET_NORM", "HOUSE_NORM", "BUILDING_NORM",
+                     "cad_pos", "score", "mtype", "count")}
+            for s, h, bl, pos, sc, mt, cnt in zip(
+                    cols["STREET_NORM"], cols["HOUSE_NORM"], cols["BUILDING_NORM"],
+                    cols["cad_pos"], cols["score"], cols["mtype"], cols["count"]):
+                results.setdefault((s, h, bl), []).append((sc, mt, pos, cnt))
+    results_ref = ray.put(results)
+
+    return spr.map_batches(
+        MatchEmitActor,
+        fn_constructor_args=(cad_ref, results_ref),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
 
 
 def fuzzy_matches_broadcast(

@@ -27,7 +27,7 @@ def _compare(expected: pd.DataFrame, got: pd.DataFrame):
             assert (a.astype(str) == b.astype(str)).all(), c
 
 
-@pytest.mark.parametrize("strategy", ["broadcast", "shuffle"])
+@pytest.mark.parametrize("strategy", ["broadcast", "broadcast_dedup", "shuffle"])
 def test_engine_matches_oracle(fixtures_small, strategy):
     t = fixtures_small
     spr_df = t["registry_spr"].to_pandas()
