@@ -80,9 +80,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     sf = _sf_of(sf_dir)
     paths = _fixture_paths(sf)
+    # fused plan at per-sf bench scale (lowest fixed cost); the scaling runs
+    # switch to broadcast_dedup (work independent of actor count) via env
     cfg = PipelineConfig(
-        fuzzy_strategy="broadcast_dedup",
-        fuzzy_concurrency=max(2, num_cpus),
+        fuzzy_strategy=os.environ.get("RAY_GRAFT_STRATEGY", "broadcast"),
+        fuzzy_concurrency=max(2, num_cpus - 2),
         num_partitions=max(8, num_cpus),
     )
     queries: dict = {}
@@ -204,6 +206,7 @@ def run_scaling(sf_dir: str) -> dict:
     env_base = dict(os.environ)
     env_base.setdefault("RAY_GRAFT_BENCH_N", "240000")
     env_base["RAY_GRAFT_HEADLINE_ONLY"] = "1"
+    env_base.setdefault("RAY_GRAFT_STRATEGY", "broadcast_dedup")
 
     def once(ncpu: int) -> dict:
         env = dict(env_base, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
