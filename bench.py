@@ -135,6 +135,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     extras["pairs_scored_per_sec"] = round(pairs_scored / headline, 1)
 
     # ---- registry-direct linkage (no pages layer)
+    if os.environ.get("RAY_GRAFT_HEADLINE_ONLY"):
+        result = {
+            "metric": "linkage_pages_sec", "value": queries["linkage_pages"],
+            "unit": "sec", "queries": queries, "sf": sf, "num_cpus": num_cpus,
+            "extras": extras,
+        }
+        ray.shutdown()
+        return result
     t0 = time.time()
     m = linkage.match_registries(
         ray.data.read_parquet(paths["registry_spr"]),
@@ -146,14 +154,6 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     extras["match_registries_rows"] = m_count
 
     # ---- document/embedding operator suite over the driver tables
-    if os.environ.get("RAY_GRAFT_HEADLINE_ONLY"):
-        result = {
-            "metric": "linkage_pages_sec", "value": queries["linkage_pages"],
-            "unit": "sec", "queries": queries, "sf": sf, "num_cpus": num_cpus,
-            "extras": extras,
-        }
-        ray.shutdown()
-        return result
     docs_path = f"{sf_dir}/documents.parquet"
     emb_path = f"{sf_dir}/embeddings.parquet"
     if os.path.exists(docs_path):
