@@ -383,13 +383,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def engine_variant_pairs(sf_dir):
         """The reference's alternate engine matcher (SURVEY §3.3, J6/T4/T5/O2)."""
-        import ray
         from registry_address_matcher_ray.stages import engine_variant as EV
 
         spr, cad, _ = _registries(sf_dir)
         spr_p = linkage.preprocess(spr)
         cad_p = linkage.preprocess(cad).materialize()
-        cad_ref = ray.put(EV.build_engine_cad_table(cad_p))
+        cad_ref = matching.put_broadcast(EV.build_engine_cad_table(cad_p))
         return EV.engine_variant_matches(spr_p, cad_ref)
 
     def media_image_features(sf_dir):

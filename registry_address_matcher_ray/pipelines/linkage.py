@@ -55,7 +55,9 @@ def match_registries(
         if cad_tbl.num_rows == 0 and cfg.do_exact:
             # nothing to match against; keep the stable empty schema
             return ray.data.from_arrow(matching.MATCH_SCHEMA.empty_table())
-        cad_ref = ray.put(cad_tbl)
+        # restart-safe broadcast: the holder keeps the actor constructor arg
+        # inline in the task spec (ray#53727); the ref stays driver-pinned
+        cad_ref = matching.put_broadcast(cad_tbl)
         # Probe-side task granularity: actor-pool parallelism is bounded by the
         # number of input blocks, and the largest block bounds the straggler
         # tail — split to several tasks per actor.
@@ -215,10 +217,26 @@ def pages_to_match_clusters(
       -> exact + fuzzy matching against the cadastre registry
       -> transitive clustering
     """
+    import os
+    import sys
+    import time
+
+    _dbg = os.environ.get("RAY_GRAFT_TIMING")
+    _t0 = time.time()
+
+    def _mark(label):
+        if _dbg:
+            print(f"[pages-pipeline] {label}: {time.time() - _t0:.2f}s",
+                  file=sys.stderr, flush=True)
+
     cfg = config or PipelineConfig()
     records = blocking.pages_to_registry_records(blocking.extract_pages(pages))
     spr = preprocess(records)
     cad_pre = preprocess(cad)
-    matches = match_registries(spr, cad_pre, cfg, preprocessed=True).materialize()
+    matches = match_registries(spr, cad_pre, cfg, preprocessed=True)
+    _mark("match plan built")
+    matches = matches.materialize()
+    _mark("matches materialized")
     clusters = cluster_matches(matches, cfg)
+    _mark("clusters computed")
     return {"records": spr, "matches": matches, "clusters": clusters}

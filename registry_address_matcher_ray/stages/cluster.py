@@ -50,36 +50,39 @@ def _unique_nodes(edges: ray.data.Dataset, src: str, dst: str) -> ray.data.Datas
 
 
 def _union_find_local(edge_table: pa.Table, src: str, dst: str) -> pa.Table:
-    parent: dict = {}
+    """Vectorized local connected components: numpy min-label propagation.
 
-    def find(x):
-        root = x
-        while parent.get(root, root) != root:
-            root = parent[root]
-        while parent.get(x, x) != x:
-            parent[x], x = root, parent[x]
-        return root
+    Nodes are factorized through ``np.unique`` (sorted), so the per-component
+    min label index IS the lexicographically smallest node id — identical
+    output to a union-find with smaller-id-becomes-root, at C speed
+    (a Python-dict union-find on 200k edges costs seconds of driver time;
+    this is ~50ms). Star/short-chain linkage graphs converge in 2-3 sweeps;
+    pointer jumping keeps pathological chains at O(log diameter).
+    """
+    import numpy as np
 
-    def union(a, b):
-        ra, rb = find(a), find(b)
-        if ra == rb:
-            return
-        # deterministic: smaller id becomes the root
-        if rb < ra:
-            ra, rb = rb, ra
-        parent[rb] = ra
-
-    srcs = edge_table.column(src).to_pylist()
-    dsts = edge_table.column(dst).to_pylist()
-    for a, b in zip(srcs, dsts):
-        parent.setdefault(a, a)
-        parent.setdefault(b, b)
-        union(a, b)
-    nodes = sorted(parent)
+    srcs = edge_table.column(src).to_numpy(zero_copy_only=False)
+    dsts = edge_table.column(dst).to_numpy(zero_copy_only=False)
+    nodes, inv = np.unique(np.concatenate([srcs, dsts]), return_inverse=True)
+    a, b = inv[: len(srcs)], inv[len(srcs):]
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        before = label
+        m = np.minimum(label[a], label[b])
+        label = label.copy()
+        np.minimum.at(label, a, m)
+        np.minimum.at(label, b, m)
+        while True:  # pointer jumping: label <- label[label] to fixpoint
+            nl = label[label]
+            if np.array_equal(nl, label):
+                break
+            label = nl
+        if np.array_equal(label, before):
+            break
     return pa.table(
         {
             "node": pa.array(nodes, pa.string()),
-            "cluster_id": pa.array([find(n) for n in nodes], pa.string()),
+            "cluster_id": pa.array(nodes[label], pa.string()),
         }
     )
 
@@ -160,9 +163,11 @@ def connected_components(
         )
         new_labels = (
             candidates.groupby("node")
-            .map_groups(
-                lambda g: g.sort_values("cluster_id", kind="mergesort").head(1),
-                batch_format="pandas",
+            .min("cluster_id")
+            .map_batches(
+                lambda b: pa.table({"node": b.column("node"),
+                                    "cluster_id": b.column("min(cluster_id)")}),
+                batch_format="pyarrow",
             )
             .materialize()
         )

@@ -87,9 +87,9 @@ class EngineVariantActor:
 
     def __init__(self, cad_table, threshold_poor: float = THRESHOLD_POOR,
                  max_results: int = MAX_RESULTS):
-        if isinstance(cad_table, ray.ObjectRef):
-            cad_table = ray.get(cad_table)
-        cad_table = cad_table.sort_by("_ord")
+        from .matching import resolve_broadcast
+
+        cad_table = resolve_broadcast(cad_table).sort_by("_ord")
         self.threshold_poor = float(threshold_poor)
         self.max_results = int(max_results)
         cols = {c: cad_table.column(c).to_pylist() for c in cad_table.column_names}

@@ -34,8 +34,10 @@ order, so results are identical at any parallelism/partitioning.
 
 from __future__ import annotations
 
+import heapq
 from typing import Dict, List, Optional, Set, Tuple
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -67,6 +69,88 @@ MATCH_SCHEMA = pa.schema(
         ("COMPLETENESS_CAD", pa.float64()),
     ]
 )
+
+
+class BroadcastRef:
+    """Tiny holder for a ``ray.ObjectRef`` passed as an actor constructor arg.
+
+    A bare ``ObjectRef`` (or any >100KB payload) used as an actor-pool
+    constructor argument lands in the object store, and with Ray Data's default
+    ``max_restarts > 0`` an actor restart fails if that argument object is lost
+    (ray issue 53727 — surfaced as an error log in BENCH_r01). Wrapping the ref
+    in this holder keeps the constructor argument itself inline in the
+    actor-creation task spec; the spec (not the plasma store) carries the
+    serialized ref, so a restarted actor re-resolves the same driver-pinned
+    object. Callers must keep the underlying ref alive for the job's lifetime
+    (the pipeline holds it on the driver until the run completes).
+    """
+
+    __slots__ = ("ref",)
+
+    def __init__(self, ref):
+        self.ref = ref
+
+    def get(self):
+        return ray.get(self.ref)
+
+
+def put_broadcast(obj) -> BroadcastRef:
+    """``ray.put`` once + wrap for restart-safe actor-pool constructor args."""
+    return BroadcastRef(ray.put(obj))
+
+
+def resolve_broadcast(x):
+    """Accept a BroadcastRef, a raw ObjectRef, or the plain object."""
+    if isinstance(x, BroadcastRef):
+        return x.get()
+    if isinstance(x, ray.ObjectRef):
+        return ray.get(x)
+    return x
+
+
+#: wall-clock marks of the most recent broadcast_matches_dedup run (seconds
+#: from plan start), keyed by phase label — read by bench.py to report the
+#: scoring-phase throughput alongside end-to-end numbers
+LAST_PHASE_TIMES: Dict[str, float] = {}
+
+#: per-worker-process cache for broadcast-derived stage state. Stateless tasks
+#: that share a broadcast object build their (index/CSR) structures ONCE per
+#: worker on first touch and reuse them for every subsequent task — actor-pool
+#: semantics without spawning a fresh process pool per stage (a pool spawn
+#: costs seconds of cold imports; tasks reuse the warm workers of earlier
+#: stages and every CPU participates).
+_WORKER_STATE: Dict = {}
+
+
+def _worker_state(key, builder):
+    st = _WORKER_STATE.get(key)
+    if st is None:
+        st = _WORKER_STATE[key] = builder()
+    return st
+
+
+def _tune_worker_gc() -> None:
+    """Freeze long-lived actor state out of the cyclic GC (Ray workers only).
+
+    Scoring actors hold large index dicts that every gen-2 pass would rescan
+    while the hot loop allocates millions of short-lived numpy temporaries;
+    freezing after ``__init__`` plus a larger gen-0 threshold removes that
+    recurring cost. No-op on the driver / in tests (worker-mode gated)."""
+    try:
+        import ray._private.worker as _w
+
+        if _w.global_worker.mode != _w.WORKER_MODE:
+            return
+    except Exception:
+        return
+    import gc
+
+    # NO gc.collect() here: a full gen-2 pass over a worker that already holds
+    # another stage's cached state costs seconds; freeze() alone is O(live
+    # objects) list splicing and achieves the goal (exclude current heap from
+    # future cyclic passes)
+    gc.freeze()
+    gc.set_threshold(50_000, 50, 50)
 
 
 def _suffix_columns(ds: ray.data.Dataset, suffix: str, keep: List[str]) -> ray.data.Dataset:
@@ -297,11 +381,10 @@ class _BlockIndex:
     sorted-token strings are equal, so a hit here decides the row instantly).
     """
 
-    def __init__(self, cad_df: "pd.DataFrame"):
+    def __init__(self, streets: "np.ndarray", hn: "np.ndarray", bn: "np.ndarray"):
         import numpy as np
 
-        self.streets_arr = cad_df["STREET_NORM"].to_numpy()
-        hn = cad_df["HOUSE_NORM"].to_numpy()
+        self.streets_arr = streets
         mask = hn != ""
         sub_pos = np.nonzero(mask)[0]
         # Separator notes: numpy elementwise `arr + "\x00"` silently DROPS a
@@ -310,7 +393,7 @@ class _BlockIndex:
         # composite key uses \x1f (unit separator; normalization strips control
         # chars, so it cannot occur in the values) with Python-level concat.
         hn_sub = hn[sub_pos]
-        bn_sub = cad_df["BUILDING_NORM"].to_numpy()[sub_pos]
+        bn_sub = bn[sub_pos]
         key = pd.Series([h + "\x1f" + b for h, b in zip(hn_sub, bn_sub)])
         # groupby.indices preserves order of appearance, which is cad _ord order
         # (the table arrives sorted) — the reference's index insertion order
@@ -429,12 +512,10 @@ class BroadcastMatcherActor:
                 ("FULL_ADDRESS", "FULL_ADDRESS_CAD"))
 
     def __init__(self, cad_table, threshold: float,
-                 do_exact: bool = True, do_fuzzy: bool = True,
-                 build_indexes: bool = True):
+                 do_exact: bool = True, do_fuzzy: bool = True):
         import numpy as np
 
-        if isinstance(cad_table, ray.ObjectRef):
-            cad_table = ray.get(cad_table)
+        cad_table = resolve_broadcast(cad_table)
         self.threshold = float(threshold)
         self.do_exact = do_exact
         self.do_fuzzy = do_fuzzy
@@ -447,17 +528,12 @@ class BroadcastMatcherActor:
         # cad rows are referenced by integer position (no per-row dicts)
         self.cad = {c: df[c].to_numpy() for c, _ in self._CAD_OUT}
         self.cad_compl = df["COMPLETENESS_SCORE"].fillna(0.0).to_numpy(dtype=float)
-        if not build_indexes:
-            # emit-only mode (MatchEmitActor): match decisions come precomputed
-            self.index = None
-            self.full_index = {}
-            self.key_index = {}
-            self.memo = {}
-            self.pair_cache = {}
-            self.pairs_scored = 0
-            return
         # the fuzzy block index is only needed when fuzzy scoring runs
-        self.index = _BlockIndex(df) if do_fuzzy else None
+        self.index = (
+            _BlockIndex(df["STREET_NORM"].to_numpy(), df["HOUSE_NORM"].to_numpy(),
+                        df["BUILDING_NORM"].to_numpy())
+            if do_fuzzy else None
+        )
         self.full_index: Dict[str, int] = {}
         self.key_index: Dict[str, "np.ndarray"] = {}
         if do_exact:
@@ -475,6 +551,7 @@ class BroadcastMatcherActor:
         self.memo: Dict[Tuple[str, str, str], List[Tuple]] = {}
         self.pair_cache: Dict[Tuple[str, str], list] = {}
         self.pairs_scored = 0
+        _tune_worker_gc()
 
     @staticmethod
     def _prep(blk: dict) -> PreparedBlock:
@@ -580,7 +657,33 @@ class TripleScorerActor(BroadcastMatcherActor):
     dedup plan (:func:`broadcast_matches_dedup`) scores each distinct triple
     exactly once in the whole job — per-actor memo duplication (which grows with
     the actor count and caps scaling) disappears.
+
+    Init is slimmed to exactly the fuzzy state: the block index over the three
+    normalized columns (no pandas conversion of the full table, no exact-phase
+    dicts, no cad output columns — this stage emits ``cad_pos`` integers only).
     """
+
+    def __init__(self, cad_table, threshold: float,
+                 do_exact: bool = False, do_fuzzy: bool = True):
+        cad_table = resolve_broadcast(cad_table)
+        self.threshold = float(threshold)
+        self.do_exact = False
+        self.do_fuzzy = True
+
+        def _col(name: str) -> np.ndarray:
+            col = cad_table.column(name)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            return pc.fill_null(col, "").to_numpy(zero_copy_only=False)
+
+        self.index = _BlockIndex(
+            _col("STREET_NORM"), _col("HOUSE_NORM"), _col("BUILDING_NORM"))
+        self.full_index: Dict[str, int] = {}
+        self.key_index: Dict[str, np.ndarray] = {}
+        self.memo: Dict[Tuple[str, str, str], List[Tuple]] = {}
+        self.pair_cache: Dict[Tuple[str, str], list] = {}
+        self.pairs_scored = 0
+        _tune_worker_gc()
 
     def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
         g = lambda c: batch.column(c).to_pylist()
@@ -607,16 +710,71 @@ class TripleScorerActor(BroadcastMatcherActor):
         })
 
 
-class MatchEmitActor(BroadcastMatcherActor):
+class MatchEmitActor:
     """Emit-only stage: maps SPR rows to full match records via the precomputed
-    triple-decision dict (no indexes, no scoring)."""
+    triple-decision table — fully vectorized, no per-row Python.
 
-    def __init__(self, cad_table, results_ref):
-        super().__init__(cad_table, 0.0, build_indexes=False)
-        self.results: Dict[Tuple[str, str, str], List[Tuple]] = ray.get(results_ref)
+    State (built once per actor from two broadcast objects):
 
-    def _matches_for(self, street: str, house: str, building: str) -> List[Tuple]:
-        return self.results.get((street, house, building), ())
+    - ``uindex``: pandas Index over the unique packed probe triples that have
+      >= 1 decision (C hash lookups via ``get_indexer``);
+    - CSR layout (``offsets`` into flat decision arrays sorted by
+      (triple, phase, cad position)) so a probe key expands to its 1..N match
+      decisions with ``np.repeat`` arithmetic;
+    - the cad output columns as Arrow arrays (``pc.take`` per batch).
+
+    Per batch: pack keys (Arrow kernels) -> ``get_indexer`` -> ragged-range
+    expansion (numpy) -> ``pc.take`` on every output column.
+    """
+
+    def __init__(self, cad_emit, decisions):
+        cad_tbl: pa.Table = resolve_broadcast(cad_emit)
+        d: dict = resolve_broadcast(decisions)
+        # everything arrives as Arrow/numeric-numpy = zero-copy out of plasma;
+        # the only per-worker materialization is the probe-key hash index
+        self.cad = {c: cad_tbl.column(c).combine_chunks()
+                    for c in cad_tbl.column_names}
+        self.uindex = pd.Index(d["ukeys"].to_pandas())
+        self.offsets: np.ndarray = d["offsets"]
+        dec: pa.Table = d["dec"]
+        self.cad_pos = dec.column("cad_pos").combine_chunks().to_numpy()
+        self.score = dec.column("score").combine_chunks()
+        self.mtype = dec.column("mtype").combine_chunks()
+        self.count = dec.column("count").combine_chunks()
+        _tune_worker_gc()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sstr = lambda c: pc.fill_null(pc.cast(batch.column(c), pa.string()), "")
+        keys = pc.binary_join_element_wise(
+            sstr("STREET_NORM"), sstr("HOUSE_NORM"), sstr("BUILDING_NORM"), "\x1f")
+        idx = self.uindex.get_indexer(keys.to_numpy(zero_copy_only=False))
+        hit = np.nonzero(idx >= 0)[0]
+        starts = self.offsets[idx[hit]]
+        cnts = self.offsets[idx[hit] + 1] - starts
+        total = int(cnts.sum())
+        rows = np.repeat(hit, cnts)
+        if total:
+            base = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+            dsel = np.repeat(starts - base, cnts) + np.arange(total, dtype=np.int64)
+        else:
+            dsel = np.array([], dtype=np.int64)
+        rows_pa = pa.array(rows, pa.int64())
+        dsel_pa = pa.array(dsel, pa.int64())
+        cpos_pa = pa.array(self.cad_pos[dsel], pa.int64())
+        cols: Dict[str, pa.Array] = {}
+        for c in ("ADDRESS_ID", "STREET_NAME", "HOUSE", "BUILDING", "FULL_ADDRESS"):
+            cols[c + "_SPR"] = pc.take(sstr(c), rows_pa)
+        for c in ("ADDRESS_ID_CAD", "STREET_NAME_CAD", "HOUSE_CAD",
+                  "BUILDING_CAD", "FULL_ADDRESS_CAD"):
+            cols[c] = pc.take(self.cad[c], cpos_pa)
+        cols["MATCH_SCORE"] = pc.take(self.score, dsel_pa)
+        cols["MATCH_TYPE"] = pc.take(self.mtype, dsel_pa)
+        cols["CANDIDATES_COUNT"] = pc.take(self.count, dsel_pa)
+        cols["COMPLETENESS_SPR"] = pc.take(
+            pc.fill_null(pc.cast(batch.column("COMPLETENESS_SCORE"), pa.float64()), 0.0),
+            rows_pa)
+        cols["COMPLETENESS_CAD"] = pc.take(self.cad["COMPLETENESS_CAD"], cpos_pa)
+        return pa.table(cols).select(MATCH_COLUMNS)
 
 
 def broadcast_matches_dedup(
@@ -631,100 +789,248 @@ def broadcast_matches_dedup(
 ) -> ray.data.Dataset:
     """Broadcast plan with global probe dedup — the scale path.
 
-    1. distinct normalized probe triples (per-batch partial dedup, then one
-       small single-key groupby shuffle of packed triples — ids/payloads never
-       enter the exchange);
-    2. actor-pool scoring of the UNIQUE triples (each scored once in the job);
-    3. the compact decision set (triple -> [(cad_pos, score, type, count)]) is
-       collected and broadcast (O(matched triples) — bounded by the address
-       vocabulary, NOT the row count; if it ever outgrows the driver, fall back
-       to ``fuzzy_strategy="shuffle"``);
-    4. an emit-only actor stage streams SPR rows through dict lookups.
+    1. distinct normalized probe triples: per-batch partial dedup (pandas C
+       kernels), driver-side concat + dedup — ids/payloads never enter any
+       exchange, and the gathered payload is the distinct-address VOCABULARY
+       (a few MB), not the row count;
+    2. exact phases as vectorized pandas merges over the unique triples, run
+       once driver-side (the same dict probes the fused actor does per row,
+       amortized to two C hash joins for the whole job);
+    3. actor-pool scoring of only the fuzzy-residue triples, bin-packed
+       largest-cost-first (cost ~= triples x cad-block size) onto
+       ``3 x max_actors`` partitions via a heap;
+    4. the compact decision set is broadcast as a CSR-layout table
+       (O(matched triples) — bounded by the address vocabulary; if it ever
+       outgrows the driver, fall back to ``fuzzy_strategy="shuffle"``);
+    5. a fully vectorized emit stage (:class:`MatchEmitActor`) streams SPR rows
+       through hash lookups + ``pc.take``.
 
     Output is row-for-row identical to the fused plan (property-tested).
     """
+    import os
+    import sys
+    import time
+
+    _t0 = time.time()
+    _dbg = os.environ.get("RAY_GRAFT_TIMING")
+    LAST_PHASE_TIMES.clear()
+
+    def _mark(label: str, detail: str = "") -> None:
+        LAST_PHASE_TIMES[label] = round(time.time() - _t0, 3)
+        if _dbg:
+            print(f"[dedup-plan] {label}{detail}: {time.time() - _t0:.2f}s",
+                  file=sys.stderr, flush=True)
+
     trip_cols = ["STREET_NORM", "HOUSE_NORM", "BUILDING_NORM"]
     # two consumers (dedup scan + emit) — materialize the preprocessed probe
     # side once so extraction/normalization doesn't re-execute
     if num_blocks:
         spr = spr.repartition(num_blocks)
     spr = spr.materialize()
+    _mark("spr materialized")
+    empty = ray.data.from_arrow(MATCH_SCHEMA.empty_table())
 
     def _pack(batch: pa.Table) -> pa.Table:
-        k = pc.binary_join_element_wise(
-            *[pc.cast(batch.column(c), pa.string()) for c in trip_cols], "\x1f")
-        return pa.table({"k": pc.unique(pc.fill_null(k, "\x1f\x1f"))})
+        cols = [pc.fill_null(pc.cast(batch.column(c), pa.string()), "")
+                for c in trip_cols]
+        k = pc.binary_join_element_wise(*cols, "\x1f")
+        return pa.table({"k": pc.unique(k)})
 
-    # Global dedup = per-batch partial unique + a driver-side set union of the
-    # partials. The gathered payload is the distinct-address vocabulary (a few
-    # MB), NOT the row count — the same bounded-vocabulary premise the broadcast
-    # plan already makes. This outruns a groupby shuffle by an order of magnitude
-    # at bench scale and keeps the probe rows themselves out of any exchange.
-    uniq_keys: set = set()
-    for b in spr.select_columns(trip_cols).map_batches(
-            _pack, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
-        uniq_keys.update(b.column("k").to_pylist())
+    # per-batch partial unique (arrow C kernels) + one driver-side pc.unique of
+    # the concatenated partials; the component columns are recovered by
+    # splitting the packed key (values cannot contain \x1f — normalization
+    # strips control characters), so no per-batch pandas anywhere
+    key_parts = [
+        b.column("k").combine_chunks()
+        for b in spr.select_columns(trip_cols)
+        .map_batches(_pack, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    if not key_parts:
+        return empty
+    keys = pc.unique(pa.concat_arrays(key_parts))
+    comp = pc.split_pattern(keys, "\x1f")
+    u = pd.DataFrame({
+        "k": keys.to_pandas(),
+        "s": pc.list_element(comp, 0).to_pandas(),
+        "h": pc.list_element(comp, 1).to_pandas(),
+        "b": pc.list_element(comp, 2).to_pandas(),
+    })
+    _mark("unique triples gathered", f" ({len(u)})")
 
-    # Exact phases are dict probes over the broadcast table — run them ONCE,
-    # driver-side, across the unique triples (sub-second); only the fuzzy
-    # residue fans out to the cluster.
-    results: Dict[Tuple[str, str, str], List[Tuple]] = {}
-    exact_probe = BroadcastMatcherActor(
-        ray.get(cad_ref), threshold, do_exact=do_exact, do_fuzzy=False)
-    residue: Dict[Tuple[str, str], List[Tuple[str, str, str]]] = {}
-    for k in uniq_keys:
-        s, h, bl = k.split("\x1f")
-        hits = exact_probe._matches_for(s, h, bl) if do_exact else ()
-        if hits:
-            results[(s, h, bl)] = list(hits)
-        elif do_fuzzy and s and h:
-            # fuzzy candidates exist only for non-empty street+house probes;
-            # group by BLOCK KEY so each block's scoring structures are built
-            # exactly once in the whole job (not once per actor)
-            residue.setdefault((h, bl), []).append((s, h, bl))
+    # ---- cad side, once, driver-side (the broadcast-plan premise: it fits) ----
+    cad_tbl: pa.Table = resolve_broadcast(cad_ref)
+    cdf = cad_tbl.to_pandas(use_threads=False)
+    for c in cdf.columns:
+        if c != "COMPLETENESS_SCORE":
+            cdf[c] = cdf[c].fillna("")
+    npos = len(cdf)
+    _mark("cad to_pandas")
 
-    if residue:
-        max_actors = concurrency if isinstance(concurrency, int) else concurrency[1]
-        nparts = max(1, min(max_actors * 3, len(residue)))
-        parts: List[List[Tuple[str, str, str]]] = [[] for _ in range(nparts)]
-        # largest blocks first, to the emptiest partition: balances the skewed
-        # block-size distribution across tasks
-        for bk in sorted(residue, key=lambda x: -len(residue[x])):
-            tgt = min(range(nparts), key=lambda i: len(parts[i]))
-            parts[tgt].extend(residue[bk])
-        tables = [
-            pa.table({
-                "STREET_NORM": pa.array([t[0] for t in p], pa.string()),
-                "HOUSE_NORM": pa.array([t[1] for t in p], pa.string()),
-                "BUILDING_NORM": pa.array([t[2] for t in p], pa.string()),
-            })
-            for p in parts if p
-        ]
-        triples = ray.data.from_arrow(tables)
-        scored = triples.map_batches(
-            TripleScorerActor,
-            fn_constructor_args=(cad_ref, threshold, False, True),
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            concurrency=concurrency,
-        )
-        for b in scored.iter_batches(batch_format="pyarrow"):
-            cols = {c: b.column(c).to_pylist() for c in
-                    ("STREET_NORM", "HOUSE_NORM", "BUILDING_NORM",
-                     "cad_pos", "score", "mtype", "count")}
-            for s, h, bl, pos, sc, mt, cnt in zip(
-                    cols["STREET_NORM"], cols["HOUSE_NORM"], cols["BUILDING_NORM"],
-                    cols["cad_pos"], cols["score"], cols["mtype"], cols["count"]):
-                results.setdefault((s, h, bl), []).append((sc, mt, pos, cnt))
-    results_ref = ray.put(results)
+    # ---- exact phases: two vectorized hash joins over the unique triples ----
+    dec_frames: List[pd.DataFrame] = []
+    matched = pd.Series(False, index=u.index)
+    if do_exact and npos:
+        # J1 EXACT_FULL: last-wins build dict == keep-last positional series
+        fa = pd.Series(np.arange(npos, dtype=np.int64), index=cdf["FULL_ADDRESS"])
+        fa = fa[~fa.index.duplicated(keep="last")]
+        full = (u["s"] + " " + u["h"] + " " + u["b"]).str.strip()
+        full_pos = full.map(fa)
+        hasf = full_pos.notna()
+        ef = pd.DataFrame({
+            "k": u.loc[hasf, "k"],
+            "cad_pos": full_pos[hasf].astype(np.int64),
+        })
+        ef["score"], ef["mtype"], ef["count"], ef["rank"] = 100.0, "EXACT_FULL", 1, 0
+        # J2 EXACT_KEY: (SEARCH_KEY, BUILDING_NORM) equi-join, minus the
+        # phase-1 pair (D2: phase-1 wins — pair collisions only happen within
+        # one probe triple because ids are unique per side)
+        cad_k = pd.DataFrame({
+            "kk": cdf["SEARCH_KEY"] + "\x1f" + cdf["BUILDING_NORM"],
+            "cad_pos": np.arange(npos, dtype=np.int64),
+        })
+        probe = pd.DataFrame({
+            "k": u["k"],
+            "kk": u["s"] + "_" + u["h"] + "\x1f" + u["b"],
+            "full_pos": full_pos.fillna(-1).astype(np.int64),
+        })
+        ek = probe.merge(cad_k, on="kk", how="inner")
+        ek = ek[ek["cad_pos"] != ek["full_pos"]][["k", "cad_pos"]].copy()
+        ek["score"], ek["mtype"], ek["count"], ek["rank"] = 100.0, "EXACT_KEY", 1, 1
+        dec_frames += [ef, ek]
+        matched = hasf | u["k"].isin(ek["k"])
+    _mark("exact phases probed")
 
-    return spr.map_batches(
-        MatchEmitActor,
-        fn_constructor_args=(cad_ref, results_ref),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
+    # ---- fuzzy residue: score each distinct unmatched triple exactly once ----
+    if do_fuzzy and npos:
+        res = u[~matched & (u["s"] != "") & (u["h"] != "")].reset_index(drop=True)
+        if len(res):
+            bk = res["h"] + "\x1f" + res["b"]
+            block_rows: Dict[str, np.ndarray] = bk.groupby(bk).indices
+            tri_counts = bk.value_counts()
+            cad_hb = cdf[cdf["HOUSE_NORM"] != ""]
+            cad_sizes = (cad_hb["HOUSE_NORM"] + "\x1f" + cad_hb["BUILDING_NORM"]
+                         ).value_counts()
+            # cost ~= scored pairs per block plus a per-triple fixed overhead
+            # (~64 pair-equivalents of numpy call setup — without it, units
+            # packed from many small blocks run far longer than modeled)
+            cost = (tri_counts * (cad_sizes.reindex(tri_counts.index).fillna(0.0)
+                                  + 64.0)).sort_values(ascending=False)
+            ncpu = _num_partitions(spr)
+            # Work units of ~target cost, one Ray block each (batch_size=None
+            # keeps task == block, so Ray cannot re-bundle across the cost
+            # boundaries): hot blocks are SPLIT into chunks (their triples are
+            # independent; only the per-chunk block-structure build is
+            # duplicated, O(block) vs the O(triples x block) scoring), and cold
+            # blocks are packed together. ~8 units per CPU lets the scheduler
+            # balance dynamically; the units are emitted largest-first so the
+            # biggest work starts earliest.
+            target = max(float(cost.sum()) / max(ncpu * 8, 1), 1000.0)
+            units: List[np.ndarray] = []
+            pack: List[np.ndarray] = []
+            pack_cost = 0.0
+            for key, cst in cost.items():
+                rows = block_rows[key]
+                if cst > target * 1.25:
+                    nchunks = int(np.ceil(cst / target))
+                    units.extend(np.array_split(rows, nchunks))
+                else:
+                    pack.append(rows)
+                    pack_cost += float(cst)
+                    if pack_cost >= target:
+                        units.append(np.concatenate(pack))
+                        pack, pack_cost = [], 0.0
+            if pack:
+                units.append(np.concatenate(pack))
+            rename = {"s": "STREET_NORM", "h": "HOUSE_NORM", "b": "BUILDING_NORM"}
+            tables = [
+                pa.Table.from_pandas(
+                    res.iloc[ix][["s", "h", "b"]].rename(columns=rename),
+                    preserve_index=False,
+                )
+                for ix in units if len(ix)
+            ]
+            # materialize first: a fused FromArrow input would ride along as
+            # task args of the downstream stage otherwise
+            triples = ray.data.from_arrow(tables).materialize()
+            # scoring tasks need only the three normalized columns
+            scorer_ref = put_broadcast(
+                cad_tbl.select(["STREET_NORM", "HOUSE_NORM", "BUILDING_NORM"]))
+            skey = ("scorer", scorer_ref.ref.hex(), float(threshold))
+
+            def _score(batch: pa.Table) -> pa.Table:
+                st = _worker_state(
+                    skey, lambda: TripleScorerActor(scorer_ref, threshold))
+                return st(batch)
+
+            # stateless tasks + per-worker cached index (see _WORKER_STATE):
+            # reuses warm workers, runs on every CPU, one task per cost unit
+            scored = triples.map_batches(
+                _score, batch_format="pyarrow", batch_size=None)
+            _mark("residue partitioned", f" ({len(res)} triples, {len(cost)} blocks)")
+            fu_parts = [b for b in scored.iter_batches(batch_format="pyarrow")
+                        if b.num_rows]
+            _mark("fuzzy scored")
+            if fu_parts:
+                ft = pa.concat_tables(fu_parts, promote_options="default")
+                fk = pc.binary_join_element_wise(
+                    ft.column("STREET_NORM"), ft.column("HOUSE_NORM"),
+                    ft.column("BUILDING_NORM"), "\x1f")
+                fdf = pd.DataFrame({
+                    "k": fk.to_pandas(),
+                    "cad_pos": ft.column("cad_pos").to_pandas().astype(np.int64),
+                    "score": ft.column("score").to_pandas(),
+                    "mtype": ft.column("mtype").to_pandas(),
+                    "count": ft.column("count").to_pandas().astype(np.int64),
+                })
+                fdf["rank"] = 2
+                dec_frames.append(fdf)
+
+    dec_frames = [d for d in dec_frames if len(d)]
+    if not dec_frames:
+        return empty
+    dec = pd.concat(dec_frames, ignore_index=True)
+    # CSR layout: decisions sorted by (triple, phase, cad position) — the fused
+    # actor's within-row emission order
+    dec = dec.sort_values(["k", "rank", "cad_pos"], kind="mergesort")
+    codes, ukeys = pd.factorize(dec["k"], sort=False)  # sorted -> grouped codes
+    counts = np.bincount(codes)
+    # Arrow/numeric-numpy payload: zero-copy plasma reads in every worker (an
+    # object-dtype payload would cost each worker a full pickle pass)
+    payload = {
+        "ukeys": pa.array(ukeys, pa.string()),
+        "offsets": np.concatenate(([0], np.cumsum(counts))).astype(np.int64),
+        "dec": pa.table({
+            "cad_pos": pa.array(dec["cad_pos"].to_numpy(np.int64), pa.int64()),
+            "score": pa.array(dec["score"].to_numpy(np.float64), pa.float64()),
+            "mtype": pa.Array.from_pandas(dec["mtype"], type=pa.string()),
+            "count": pa.array(dec["count"].to_numpy(np.int64), pa.int64()),
+        }),
+    }
+    # cad output columns, pre-filled and pre-renamed ONCE (actors just pc.take)
+    cad_emit = pa.table({
+        "ADDRESS_ID_CAD": pa.Array.from_pandas(cdf["ADDRESS_ID"], type=pa.string()),
+        "STREET_NAME_CAD": pa.Array.from_pandas(cdf["STREET_NAME"], type=pa.string()),
+        "HOUSE_CAD": pa.Array.from_pandas(cdf["HOUSE"], type=pa.string()),
+        "BUILDING_CAD": pa.Array.from_pandas(cdf["BUILDING"], type=pa.string()),
+        "FULL_ADDRESS_CAD": pa.Array.from_pandas(cdf["FULL_ADDRESS"], type=pa.string()),
+        "COMPLETENESS_CAD": pa.Array.from_pandas(
+            cdf["COMPLETENESS_SCORE"].fillna(0.0), type=pa.float64()),
+    })
+
+    _mark("decisions built", f" ({len(dec)})")
+    cad_emit_ref = put_broadcast(cad_emit)
+    payload_ref = put_broadcast(payload)
+    ekey = ("emit", cad_emit_ref.ref.hex(), payload_ref.ref.hex())
+
+    def _emit(batch: pa.Table) -> pa.Table:
+        st = _worker_state(
+            ekey, lambda: MatchEmitActor(cad_emit_ref, payload_ref))
+        return st(batch)
+
+    # stateless tasks + per-worker cached CSR state (see _WORKER_STATE)
+    return spr.map_batches(_emit, batch_format="pyarrow", batch_size=batch_size)
 
 
 def fuzzy_matches_broadcast(
