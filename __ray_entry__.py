@@ -55,6 +55,31 @@ def _registry_paths(sf_dir: str) -> dict:
     return paths
 
 
+def _prep_registry_paths(sf_dir: str) -> dict:
+    """Preprocessed (normalized + derived + ``_ord``) registries as parquet.
+
+    Written driver-side with the same vectorized batch function the Ray
+    pipeline uses (``stages/blocking._preprocess_batch``) so DuckDB oracles can
+    check the SQL-expressible join/dedup/anti-join semantics of the linkage
+    family over identical derived columns. No Ray session needed (pure Arrow).
+    """
+    import pyarrow.compute as pc
+
+    from registry_address_matcher_ray.stages import blocking
+
+    raw = _registry_paths(sf_dir)
+    cache = os.path.dirname(raw["registry_spr"])
+    out = {k: f"{cache}/pre_{k}.parquet" for k in ("spr", "cad")}
+    if not all(os.path.exists(p) for p in out.values()):
+        for k, src in (("spr", "registry_spr"), ("cad", "registry_cad")):
+            tbl = blocking._preprocess_batch(pq.read_table(raw[src]))
+            tbl = tbl.append_column(
+                "_ord", pc.cast(tbl.column("ADDRESS_ID"), "string"))
+            pq.write_table(tbl, out[k] + ".tmp")
+            os.replace(out[k] + ".tmp", out[k])
+    return out
+
+
 def _read(sf_dir: str, table: str):
     import ray.data
 
@@ -321,6 +346,74 @@ def queries() -> dict[str, Callable[[str], Any]]:
             p,
         )
 
+    def _pre_registries(sf_dir):
+        import ray.data
+
+        p = _prep_registry_paths(sf_dir)
+        return ray.data.read_parquet(p["spr"]), ray.data.read_parquet(p["cad"])
+
+    # ---------- SQL-oracle-checked linkage phases (J1/J2/D2/J5, §3.3 exact):
+    # the exact phases and anti-joins are relational; DuckDB checks them over
+    # the SAME preprocessed parquet the Ray side reads ----------
+
+    def match_exact_full(sf_dir):
+        spr, cad = _pre_registries(sf_dir)
+        return matching.exact_match_full(spr, cad)
+
+    def match_exact_key_p2(sf_dir):
+        spr, cad = _pre_registries(sf_dir)
+        p1 = matching.exact_match_full(spr, cad).materialize()
+        return matching.anti_join_pairs(matching.exact_match_key(spr, cad), p1)
+
+    def match_exact_pairs(sf_dir):
+        spr, cad = _pre_registries(sf_dir)
+        return matching.exact_matches(spr, cad)
+
+    def unmatched_exact_spr(sf_dir):
+        spr, cad = _pre_registries(sf_dir)
+        exact = matching.exact_matches(spr, cad).materialize()
+        return A.unmatched_records(spr, exact).select_columns(
+            ["ADDRESS_ID", "STREET_NAME", "HOUSE", "BUILDING", "FULL_ADDRESS"])
+
+    def engine_variant_exact(sf_dir):
+        import pyarrow.compute as pc
+
+        spr, cad = _pre_registries(sf_dir)
+
+        def _left(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.not_equal(pc.fill_null(b.column("SEARCH_KEY"), ""), ""))
+            return pa.table({"spr_index": b.column("_ord"),
+                             "SEARCH_KEY": b.column("SEARCH_KEY")})
+
+        def _right(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.not_equal(pc.fill_null(b.column("SEARCH_KEY"), ""), ""))
+            return pa.table({"cad_index": b.column("_ord"),
+                             "sk": b.column("SEARCH_KEY")})
+
+        joined = spr.map_batches(_left, batch_format="pyarrow").join(
+            cad.map_batches(_right, batch_format="pyarrow"),
+            join_type="inner", num_partitions=8,
+            on=("SEARCH_KEY",), right_on=("sk",),
+        )
+
+        def _fin(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "spr_index": b.column("spr_index"),
+                "cad_index": b.column("cad_index"),
+                "match_score": pa.array([100.0] * b.num_rows, pa.float64()),
+                "spr_search_key": b.column("SEARCH_KEY"),
+            })
+
+        return joined.map_batches(_fin, batch_format="pyarrow")
+
+    def spr_token_block_sizes(sf_dir):
+        """T7-adjacent: normalized-token sortkey blocking-key distribution."""
+        from registry_address_matcher_ray.stages import blocking
+
+        spr, _ = _pre_registries(sf_dir)
+        keyed = blocking.add_token_sortkey(spr, "STREET_NORM", "TOKEN_SORTKEY")
+        return A.value_counts(keyed, "TOKEN_SORTKEY")
+
     def match_pairs(sf_dir):
         spr, cad, _ = _registries(sf_dir)
         return linkage.match_registries(spr, cad, PipelineConfig())
@@ -373,7 +466,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver embeddings are near-orthogonal (max offdiag cosine ~0.51); 0.45
         # keeps the operator's verify path non-degenerate at this sf
         ds = _read(sf_dir, "embeddings")
-        return S.embedding_neardup(ds, cosine_threshold=0.45, n_bits=4)["pairs"]
+        return S.embedding_neardup(ds, cosine_threshold=0.45, bands=8, band_bits=4)["pairs"]
 
     def docs_text_stats(sf_dir):
         out = A.text_stats(_read(sf_dir, "documents"), "text")
@@ -434,6 +527,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_counts": docs_lang_counts,
         "embeddings_knn": embeddings_knn,
         "events_running_sum": events_running_sum,
+        "match_exact_full": match_exact_full,
+        "match_exact_key_p2": match_exact_key_p2,
+        "match_exact_pairs": match_exact_pairs,
+        "unmatched_exact_spr": unmatched_exact_spr,
+        "engine_variant_exact": engine_variant_exact,
+        "spr_token_block_sizes": spr_token_block_sizes,
         "match_pairs": match_pairs,
         "match_pairs_shuffle_plan": match_pairs_shuffle_plan,
         "match_clusters": match_clusters,
@@ -452,7 +551,70 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # the driver's correctness harness runs at sf0.01; the preprocessed
+    # registry fixtures are written (cached) the moment this is called, so the
+    # oracle can read them regardless of Ray-side execution order
+    p = _prep_registry_paths("/root/testdata/sf0.01")
+    _match_cols_sql = """
+           s.ADDRESS_ID AS "ADDRESS_ID_SPR", s.STREET_NAME AS "STREET_NAME_SPR",
+           s.HOUSE AS "HOUSE_SPR", s.BUILDING AS "BUILDING_SPR",
+           s.FULL_ADDRESS AS "FULL_ADDRESS_SPR",
+           c.ADDRESS_ID AS "ADDRESS_ID_CAD", c.STREET_NAME AS "STREET_NAME_CAD",
+           c.HOUSE AS "HOUSE_CAD", c.BUILDING AS "BUILDING_CAD",
+           c.FULL_ADDRESS AS "FULL_ADDRESS_CAD",
+           CAST(100.0 AS DOUBLE) AS "MATCH_SCORE", {mtype} AS "MATCH_TYPE",
+           CAST(1 AS BIGINT) AS "CANDIDATES_COUNT",
+           CAST(s.COMPLETENESS_SCORE AS DOUBLE) AS "COMPLETENESS_SPR",
+           CAST(c.COMPLETENESS_SCORE AS DOUBLE) AS "COMPLETENESS_CAD"
+    """
+    exact_full_sql = f"""
+        SELECT {_match_cols_sql.format(mtype="'EXACT_FULL'")}
+        FROM read_parquet('{p["spr"]}') s
+        JOIN read_parquet('{p["cad"]}') c ON c.FULL_ADDRESS = s.FULL_ADDRESS
+        JOIN (SELECT FULL_ADDRESS, max(_ord) AS word
+              FROM read_parquet('{p["cad"]}') GROUP BY FULL_ADDRESS) w
+          ON w.FULL_ADDRESS = c.FULL_ADDRESS AND c._ord = w.word
+    """
+    exact_key_sql = f"""
+        SELECT {_match_cols_sql.format(mtype="'EXACT_KEY'")}
+        FROM read_parquet('{p["spr"]}') s
+        JOIN read_parquet('{p["cad"]}') c
+          ON c.SEARCH_KEY = s.SEARCH_KEY AND c.BUILDING_NORM = s.BUILDING_NORM
+        LEFT JOIN (SELECT FULL_ADDRESS, max(_ord) AS word
+                   FROM read_parquet('{p["cad"]}') GROUP BY FULL_ADDRESS) w
+          ON w.FULL_ADDRESS = s.FULL_ADDRESS
+        WHERE w.word IS NULL
+           OR NOT (c.FULL_ADDRESS = s.FULL_ADDRESS AND c._ord = w.word)
+    """
     return {
+        "match_exact_full": exact_full_sql,
+        "match_exact_key_p2": exact_key_sql,
+        "match_exact_pairs": f"{exact_full_sql} UNION ALL {exact_key_sql}",
+        "unmatched_exact_spr": f"""
+            SELECT s.ADDRESS_ID AS "ADDRESS_ID", s.STREET_NAME AS "STREET_NAME",
+                   s.HOUSE AS "HOUSE", s.BUILDING AS "BUILDING",
+                   s.FULL_ADDRESS AS "FULL_ADDRESS"
+            FROM read_parquet('{p["spr"]}') s
+            WHERE NOT EXISTS (SELECT 1 FROM read_parquet('{p["cad"]}') c
+                              WHERE c.FULL_ADDRESS = s.FULL_ADDRESS)
+              AND NOT EXISTS (SELECT 1 FROM read_parquet('{p["cad"]}') c
+                              WHERE c.SEARCH_KEY = s.SEARCH_KEY
+                                AND c.BUILDING_NORM = s.BUILDING_NORM)
+        """,
+        "engine_variant_exact": f"""
+            SELECT s._ord AS "spr_index", c._ord AS "cad_index",
+                   CAST(100.0 AS DOUBLE) AS "match_score",
+                   s.SEARCH_KEY AS "spr_search_key"
+            FROM read_parquet('{p["spr"]}') s
+            JOIN read_parquet('{p["cad"]}') c ON c.SEARCH_KEY = s.SEARCH_KEY
+            WHERE s.SEARCH_KEY <> ''
+        """,
+        "spr_token_block_sizes": f"""
+            SELECT array_to_string(list_sort(string_split(STREET_NORM, ' ')), ' ')
+                       AS "TOKEN_SORTKEY",
+                   count(*) AS cnt
+            FROM read_parquet('{p["spr"]}') GROUP BY 1
+        """,
         "lineitem_agg": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 3) AS sum_qty,

@@ -272,6 +272,25 @@ SCORER_REGISTRY: dict = {
 }
 
 
+def per_strategy_bests(
+    query: str, choices: Sequence[str]
+) -> Tuple[Optional[Tuple[float, int]], ...]:
+    """Per-strategy extractOne results: ``((score, first_max_index) | None) x 4``.
+
+    The decomposed form of :func:`best_match_multi_strategy` for sharded
+    (salted) candidate blocks: per-strategy maxima with lowest-index tie-breaks
+    merge exactly across shards (max score, then min candidate order), and the
+    strict-``>`` strategy loop applied to the merged values reproduces the
+    unsharded winner bit-for-bit (a later strategy can never displace an equal
+    earlier one, mirroring the reference loop /root/reference/address.py:667-672).
+    """
+    out = []
+    for _name, scorer in STRATEGIES:
+        res = extract_one(query, choices, scorer)
+        out.append(None if res is None else (res[1], res[2]))
+    return tuple(out)
+
+
 def best_match_multi_strategy(
     query: str, choices: Sequence[str]
 ) -> Optional[Tuple[float, int, str]]:

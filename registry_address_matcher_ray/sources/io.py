@@ -81,6 +81,25 @@ def write_dataset(ds: ray.data.Dataset, out_dir: str, min_rows_per_file: int = 2
     return out_dir
 
 
+def write_csv_dataset(ds: ray.data.Dataset, out_dir: str) -> str:
+    """CSV sink (reference S5/S6, ``/root/reference/address.py:1622-1639``):
+    partitioned CSV directory with the same atomic tmp-dir + rename protocol as
+    :func:`write_dataset` (parquet remains the engine's primary sink; CSV is
+    the reference-parity export format)."""
+    parent = os.path.dirname(os.path.abspath(out_dir)) or "."
+    os.makedirs(parent, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix=".staging-", dir=parent)
+    try:
+        ds.write_csv(tmp)
+        if os.path.exists(out_dir):
+            shutil.rmtree(out_dir)
+        os.rename(tmp, out_dir)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    return out_dir
+
+
 def create_export_package(
     matches_path: str,
     unmatched_path: str,

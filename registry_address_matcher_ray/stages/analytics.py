@@ -79,11 +79,15 @@ def score_stats(ds: ray.data.Dataset, col: str = "MATCH_SCORE") -> dict:
     if n:
         s = ds.select_columns([col]).sort(col)
         mid = (n - 1) // 2
-        vals = s.limit(mid + 2).take_all()
+        # split at the median index and read ONLY the first row(s) of the right
+        # part — O(1) driver transfer (the old limit(mid).take_all() pulled n/2
+        # rows to the driver; ADVICE r1)
+        tail = s.split_at_indices([mid])[1]
+        vals = tail.take(2 if n % 2 == 0 else 1)
         if n % 2:
-            med = vals[mid][col]
+            med = vals[0][col]
         else:
-            med = (vals[mid][col] + vals[mid + 1][col]) / 2.0
+            med = (vals[0][col] + vals[1][col]) / 2.0
     return {
         "mean": agg["mean"], "std": agg["std"], "min": agg["min"], "max": agg["max"],
         "median": med, "n": n,

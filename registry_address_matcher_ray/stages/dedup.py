@@ -113,6 +113,13 @@ def _bucket_candidate_pairs(
     dup_rows = melted.map_batches(_flt, batch_format="pyarrow")
 
     def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) > max_group:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "bucket %s truncated: %d members capped to %d "
+                "(%d rows dropped from candidate generation)",
+                g[bucket_col].iloc[0], len(g), max_group, len(g) - max_group)
         ids = g[id_col].sort_values(kind="mergesort").head(max_group).tolist()
         rows = [(ids[i], ids[j])
                 for i in range(len(ids)) for j in range(i + 1, len(ids))]
@@ -157,6 +164,31 @@ def _distinct_pairs_with_value(
     return agg.map_batches(_unpack, batch_format="pyarrow")
 
 
+def _candidate_id_set(pairs: ray.data.Dataset) -> pa.Array:
+    """Distinct ids appearing in candidate pairs (small: O(near-dup rows))."""
+    parts = []
+    for b in pairs.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            parts.append(b.column("id_a").combine_chunks())
+            parts.append(b.column("id_b").combine_chunks())
+    if not parts:
+        return pa.array([], pa.int64())
+    return pc.unique(pa.concat_arrays(parts))
+
+
+def _semi_join_ids_arrow(
+    ds: ray.data.Dataset, id_col: str, ids: pa.Array
+) -> ray.data.Dataset:
+    """Rows whose ``id_col`` is in the broadcast ``ids`` set (vectorized)."""
+    ids_ref = ray.put(ids)
+
+    def _flt(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.is_in(batch.column(id_col), value_set=ray.get(ids_ref)))
+
+    return ds.map_batches(_flt, batch_format="pyarrow")
+
+
 def minhash_lsh_dedup(
     ds: ray.data.Dataset,
     text_col: str,
@@ -198,15 +230,19 @@ def minhash_lsh_dedup(
         })
 
     melted = banded.map_batches(_melt, batch_format="pyarrow")
-    pairs = _bucket_candidate_pairs(melted, "bucket", id_col, max_group)
+    # pairs feed two consumers (candidate-id gather + verify) — materialize once
+    pairs = _bucket_candidate_pairs(melted, "bucket", id_col, max_group).materialize()
 
     thr = float(jaccard_threshold)
-    # Broadcast id -> text for verification (the candidate-id set is O(near-dup
-    # rows); at scales beyond driver memory swap for two equi-joins on id).
+    # Semi-join the text payloads down to the candidate-id set BEFORE any
+    # driver-side gather: the broadcast id->text dict is O(candidate ids), never
+    # O(corpus). (Round-1 defect: the dict was built over the full dataset.)
+    cand_ids = _candidate_id_set(pairs)
     texts_ref = ray.put({
         r[0]: r[1]
-        for b in ds.select_columns([id_col, text_col]).iter_batches(
-            batch_format="pyarrow")
+        for b in _semi_join_ids_arrow(
+            ds.select_columns([id_col, text_col]), id_col, cand_ids
+        ).iter_batches(batch_format="pyarrow")
         for r in zip(b.column(id_col).to_pylist(), b.column(text_col).to_pylist())
     })
 
@@ -286,13 +322,17 @@ def simhash_dedup(
         })
 
     melted = sigds.map_batches(_melt, batch_format="pyarrow")
-    pairs = _bucket_candidate_pairs(melted, "bucket", id_col, max_group)
+    pairs = _bucket_candidate_pairs(melted, "bucket", id_col, max_group).materialize()
     thr = int(hamming_threshold)
 
+    # signatures semi-joined to the candidate ids — O(candidate ids) broadcast,
+    # never O(corpus) (round-1 defect fixed, same shape as minhash verify)
+    cand_ids = _candidate_id_set(pairs)
     sig_ref = ray.put({
         r[0]: r[1]
-        for b in sigds.select_columns([id_col, "simhash"]).iter_batches(
-            batch_format="pyarrow")
+        for b in _semi_join_ids_arrow(
+            sigds.select_columns([id_col, "simhash"]), id_col, cand_ids
+        ).iter_batches(batch_format="pyarrow")
         for r in zip(b.column(id_col).to_pylist(), b.column("simhash").to_pylist())
     })
 

@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Tuple
 
+import numpy as _np
+import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
@@ -81,114 +83,153 @@ def match_quality_label(score: float) -> str:
 class EngineVariantActor:
     """Broadcast-index scoring actor: 5 indexes built once per actor from the
     collected cadastre table (engine.py:33-83), batches of SPR rows scored per call.
+
+    Columnar layout (round-2 rework): the cadastre lives as a dict of numpy
+    arrays (no per-row dicts — ~10x less memory than the round-1 list-of-dicts),
+    index postings are numpy int arrays, candidate unions run through
+    ``np.unique(np.concatenate(...))``, and output rows are emitted as
+    (spr_row, cad_idx, score) index arrays turned into Arrow columns with one
+    vectorized take per column. A per-actor ``(spr_key, cad_key)`` score cache
+    memoizes the weighted 4-scorer kernel across repeated key pairs.
     """
 
     _CAD_FIELDS = ("SEARCH_KEY", "FULL_ADDRESS", "STREET_NAME", "HOUSE", "BUILDING")
 
     def __init__(self, cad_table, threshold_poor: float = THRESHOLD_POOR,
                  max_results: int = MAX_RESULTS):
-        from .matching import resolve_broadcast
+        import numpy as np
+
+        from .matching import _tune_worker_gc, resolve_broadcast
 
         cad_table = resolve_broadcast(cad_table).sort_by("_ord")
         self.threshold_poor = float(threshold_poor)
         self.max_results = int(max_results)
-        cols = {c: cad_table.column(c).to_pylist() for c in cad_table.column_names}
         n = cad_table.num_rows
-        self.cad_ord: List[str] = [str(o) for o in cols["_ord"]]
-        self.cad = [
-            {
-                "SEARCH_KEY": cols["SEARCH_KEY"][i] or "",
-                "FULL_ADDRESS": cols["FULL_ADDRESS"][i] or "",
-                "STREET_NAME": cols["STREET_NAME"][i] or "",
-                "HOUSE": cols["HOUSE"][i] or "",
-                "BUILDING": cols["BUILDING"][i] or "",
-                "COMPLETENESS_SCORE": float(cols["COMPLETENESS_SCORE"][i] or 0.0),
-            }
-            for i in range(n)
-        ]
-        self.street_index: Dict[str, List[int]] = {}
-        self.house_index: Dict[str, List[int]] = {}
-        self.search_key_index: Dict[str, List[int]] = {}
-        self.house_flexible_index: Dict[str, List[int]] = {}
-        self.component_index: Dict[str, List[int]] = {}
-        for i in range(n):
-            street = cols["STREET_NORM"][i] or ""
-            house = cols["HOUSE_NORM"][i] or ""
-            skey = cols["SEARCH_KEY"][i] or ""
-            if street:
-                self.street_index.setdefault(street, []).append(i)
-                self.component_index.setdefault(street[:3], []).append(i)
-            if house:
-                self.house_index.setdefault(house, []).append(i)
-            if len(house) >= 2:
-                self.house_flexible_index.setdefault(house[:2], []).append(i)
-            if skey:
-                self.search_key_index.setdefault(skey, []).append(i)
 
-    def _emit(self, out: Dict[str, list], spr: dict, cad_i: int, score: float,
-              quality: str, mtype: str) -> None:
-        cad = self.cad[cad_i]
-        out["spr_index"].append(spr["_ord"])
-        out["cad_index"].append(self.cad_ord[cad_i])
-        out["match_score"].append(score)
-        out["match_quality"].append(quality)
-        out["match_type"].append(mtype)
-        out["spr_search_key"].append(spr["SEARCH_KEY"])
-        out["cad_search_key"].append(cad["SEARCH_KEY"])
-        out["spr_address"].append(spr["FULL_ADDRESS"])
-        out["cad_address"].append(cad["FULL_ADDRESS"])
-        out["spr_street_name"].append(spr["STREET_NAME"])
-        out["cad_street_name"].append(cad["STREET_NAME"])
-        out["spr_house"].append(spr["HOUSE"])
-        out["cad_house"].append(cad["HOUSE"])
-        out["spr_building"].append(spr["BUILDING"])
-        out["cad_building"].append(cad["BUILDING"])
-        out["completeness_spr"].append(spr["COMPLETENESS_SCORE"])
-        out["completeness_cad"].append(cad["COMPLETENESS_SCORE"])
+        def _col(name: str, fill="") -> "np.ndarray":
+            col = cad_table.column(name)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            import pyarrow.compute as pc
+
+            return pc.fill_null(col, fill).to_numpy(zero_copy_only=False)
+
+        self.cad = {c: _col(c) for c in self._CAD_FIELDS}
+        self.cad["_ord"] = _col("_ord").astype(str)
+        self.cad_compl = _col("COMPLETENESS_SCORE", 0.0).astype(float)
+        streets = _col("STREET_NORM")
+        houses = _col("HOUSE_NORM")
+        skeys = self.cad["SEARCH_KEY"]
+
+        def _postings(keys) -> Dict[str, "np.ndarray"]:
+            s = pd.Series(keys)
+            return {k: v.to_numpy() if hasattr(v, "to_numpy") else np.asarray(v)
+                    for k, v in s.groupby(s).indices.items()}
+
+        self.street_index = {k: v for k, v in _postings(streets).items() if k}
+        self.house_index = {k: v for k, v in _postings(houses).items() if k}
+        self.search_key_index = {k: v for k, v in _postings(skeys).items() if k}
+        h2 = pd.Series(houses).str[:2]
+        self.house_flexible_index = {
+            k: v for k, v in _postings(h2.to_numpy()).items() if len(k) >= 2}
+        s3 = pd.Series(streets).str[:3]
+        self.component_index = {
+            k: v for k, v in _postings(np.where(streets != "", s3.to_numpy(), "")
+                                       ).items() if k}
+        self._score_cache: Dict[Tuple[str, str], float] = {}
+        _tune_worker_gc()
+
+    _EMPTY = _np.array([], dtype="int64")
+
+    def _weighted(self, a: str, b: str) -> float:
+        key = (a, b)
+        sc = self._score_cache.get(key)
+        if sc is None:
+            sc = weighted_fuzzy_score(a, b)
+            if len(self._score_cache) < 2_000_000:
+                self._score_cache[key] = sc
+        return sc
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
         g = lambda c: batch.column(c).to_pylist()
-        spr_rows = [
-            {
-                "_ord": str(o),
-                "SEARCH_KEY": sk or "", "STREET_NORM": sn or "", "HOUSE_NORM": hn or "",
-                "FULL_ADDRESS": fa or "", "STREET_NAME": st or "", "HOUSE": h or "",
-                "BUILDING": b or "", "COMPLETENESS_SCORE": float(cs or 0.0),
-            }
-            for o, sk, sn, hn, fa, st, h, b, cs in zip(
-                g("_ord"), g("SEARCH_KEY"), g("STREET_NORM"), g("HOUSE_NORM"),
-                g("FULL_ADDRESS"), g("STREET_NAME"), g("HOUSE"), g("BUILDING"),
-                g("COMPLETENESS_SCORE"))
-        ]
-        out: Dict[str, list] = {f.name: [] for f in ENGINE_MATCH_SCHEMA}
-        for spr in spr_rows:
-            exact = self.search_key_index.get(spr["SEARCH_KEY"], []) \
-                if spr["SEARCH_KEY"] else []
-            if exact:
-                for cad_i in exact:
-                    self._emit(out, spr, cad_i, 100.0, "Excellent", "Exact")
+        ords, sks = g("_ord"), g("SEARCH_KEY")
+        sns, hns = g("STREET_NORM"), g("HOUSE_NORM")
+        spr_rows_idx: List[int] = []
+        cad_idx: List[int] = []
+        scores: List[float] = []
+        types: List[str] = []
+        for i in range(batch.num_rows):
+            sk = sks[i] or ""
+            exact = self.search_key_index.get(sk) if sk else None
+            if exact is not None and len(exact):
+                for ci in exact:
+                    spr_rows_idx.append(i)
+                    cad_idx.append(int(ci))
+                    scores.append(100.0)
+                    types.append("Exact")
                 continue
-            candidates: set = set()
-            if spr["STREET_NORM"] in self.street_index:
-                candidates.update(self.street_index[spr["STREET_NORM"]])
-            if spr["HOUSE_NORM"] in self.house_index:
-                candidates.update(self.house_index[spr["HOUSE_NORM"]])
-            if len(spr["HOUSE_NORM"]) >= 2:
-                candidates.update(
-                    self.house_flexible_index.get(spr["HOUSE_NORM"][:2], []))
-            if len(spr["STREET_NORM"]) >= 3:
-                candidates.update(self.component_index.get(spr["STREET_NORM"][:3], []))
-            scored: List[Tuple[float, int]] = []
-            for cad_i in sorted(candidates):  # canonical _ord order (see module doc)
-                score = weighted_fuzzy_score(
-                    spr["SEARCH_KEY"], self.cad[cad_i]["SEARCH_KEY"])
-                if score >= self.threshold_poor:
-                    scored.append((score, cad_i))
-            scored.sort(key=lambda t: -t[0])  # stable: ties keep ascending _ord
-            for score, cad_i in scored[: self.max_results]:
-                self._emit(out, spr, cad_i, score, match_quality_label(score), "Fuzzy")
-        return pa.Table.from_pydict(
-            {f.name: pa.array(out[f.name], f.type) for f in ENGINE_MATCH_SCHEMA})
+            sn, hn = sns[i] or "", hns[i] or ""
+            parts = [
+                self.street_index.get(sn, self._EMPTY) if sn else self._EMPTY,
+                self.house_index.get(hn, self._EMPTY) if hn else self._EMPTY,
+                self.house_flexible_index.get(hn[:2], self._EMPTY)
+                if len(hn) >= 2 else self._EMPTY,
+                self.component_index.get(sn[:3], self._EMPTY)
+                if len(sn) >= 3 else self._EMPTY,
+            ]
+            cands = np.unique(np.concatenate(parts))  # canonical _ord order
+            if not len(cands):
+                continue
+            ckeys = self.cad["SEARCH_KEY"][cands]
+            cs = np.fromiter((self._weighted(sk, ck) for ck in ckeys),
+                             dtype=np.float64, count=len(cands))
+            keep = cs >= self.threshold_poor
+            if not keep.any():
+                continue
+            kept, ks = cands[keep], cs[keep]
+            order = np.argsort(-ks, kind="stable")[: self.max_results]
+            for o in order:
+                spr_rows_idx.append(i)
+                cad_idx.append(int(kept[o]))
+                scores.append(float(ks[o]))
+                types.append("Fuzzy")
+
+        rows = np.asarray(spr_rows_idx, dtype=np.int64)
+        cidx = np.asarray(cad_idx, dtype=np.int64)
+        sarr = np.asarray(scores, dtype=np.float64)
+        rows_pa = pa.array(rows, pa.int64())
+        take = lambda name: pa.compute.take(
+            pa.compute.cast(batch.column(name), pa.string()), rows_pa)
+        qual = np.where(sarr >= THRESHOLD_EXCELLENT, "Excellent",
+                        np.where(sarr >= THRESHOLD_GOOD, "Good",
+                                 np.where(sarr >= THRESHOLD_POOR, "Poor", "No Match")))
+        compl = pa.compute.take(
+            pa.compute.fill_null(
+                pa.compute.cast(batch.column("COMPLETENESS_SCORE"), pa.float64()), 0.0),
+            rows_pa)
+        fill = lambda name: pa.compute.fill_null(take(name), "")
+        out = {
+            "spr_index": fill("_ord"),
+            "cad_index": pa.array(self.cad["_ord"][cidx], pa.string()),
+            "match_score": pa.array(sarr, pa.float64()),
+            "match_quality": pa.array(qual, pa.string()),
+            "match_type": pa.array(types, pa.string()),
+            "spr_search_key": fill("SEARCH_KEY"),
+            "cad_search_key": pa.array(self.cad["SEARCH_KEY"][cidx], pa.string()),
+            "spr_address": fill("FULL_ADDRESS"),
+            "cad_address": pa.array(self.cad["FULL_ADDRESS"][cidx], pa.string()),
+            "spr_street_name": fill("STREET_NAME"),
+            "cad_street_name": pa.array(self.cad["STREET_NAME"][cidx], pa.string()),
+            "spr_house": fill("HOUSE"),
+            "cad_house": pa.array(self.cad["HOUSE"][cidx], pa.string()),
+            "spr_building": fill("BUILDING"),
+            "cad_building": pa.array(self.cad["BUILDING"][cidx], pa.string()),
+            "completeness_spr": compl,
+            "completeness_cad": pa.array(self.cad_compl[cidx], pa.float64()),
+        }
+        return pa.table(out).cast(pa.schema(ENGINE_MATCH_SCHEMA))
 
 
 def engine_variant_matches(

@@ -1055,75 +1055,204 @@ def fuzzy_matches_shuffle(
     cad: ray.data.Dataset,
     threshold: float = 85.0,
     num_partitions: Optional[int] = None,
+    hot_block_cap: int = 2000,
 ) -> ray.data.Dataset:
-    """Fuzzy phase, shuffle plan: equi-join on the block key + per-SPR top-1.
+    """Fuzzy phase, shuffle plan: SALTED equi-join on the block key + sharded
+    per-SPR extractOne merge. For when both sides are too large to broadcast.
 
-    For when both sides are too large to broadcast: hash-partitions both sides on
-    ``(HOUSE_NORM, BUILDING_NORM)`` (the skewed key — hot blocks like ("1","") are
-    spread by the join's hash partitioning; per-group candidate order is restored by
-    the cad ``_ord`` sort inside each group).
+    A single hot ``(HOUSE_NORM, BUILDING_NORM)`` key (house "1", empty
+    building) hashes to ONE partition of a plain equi-join, and a plain
+    ``groupby(spr id)`` would gather every candidate for a hot-block probe into
+    one task — unbounded stragglers under skew (SURVEY §4). Instead:
+
+    1. pre-pass: cad block sizes via a pre-aggregated ``groupby.count``; blocks
+       over ``hot_block_cap`` become hot with ``ceil(size/cap)`` shards;
+    2. cad rows of hot blocks get a deterministic salt (crc32 of ``_ord``);
+       probe rows are REPLICATED across the block's shards;
+    3. join on ``(HOUSE_NORM, BUILDING_NORM, salt)`` — every shard is at most
+       ~cap candidates;
+    4. per (spr id, salt): per-strategy extractOne bests
+       (:func:`per_strategy_bests` — score + lowest candidate ``_ord``);
+    5. ``groupby(spr id)``: merge shards per strategy (max score, min ``_ord``)
+       then apply the reference's strict-``>`` strategy loop — bit-identical to
+       the unsharded winner (property-tested vs the broadcast plans);
+    6. equi-join the winner ``_ord`` back to the cad payload columns.
     """
+    from ..functions.scorers import STRATEGIES
+
     nparts = num_partitions or _num_partitions(spr_residue)
+    thr = float(threshold)
+    n_strats = len(STRATEGIES)
 
     def _nonempty_house(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.not_equal(batch.column("HOUSE_NORM"), ""))
 
-    left = _suffix_columns(spr_residue.map_batches(_nonempty_house, batch_format="pyarrow"),
-                           "_S", _SIDE_COLS)
-    right_cols = _SIDE_COLS + ["_ord"]
-    right = _suffix_columns(cad.map_batches(_nonempty_house, batch_format="pyarrow"),
-                            "_C", right_cols)
+    cad_ne = cad.map_batches(_nonempty_house, batch_format="pyarrow").materialize()
+
+    # ---- 1. hot-block pre-pass: pre-aggregated count, only hot keys collected
+    def _bk_counts(batch: pa.Table) -> pa.Table:
+        bk = pc.binary_join_element_wise(
+            pc.fill_null(batch.column("HOUSE_NORM"), ""),
+            pc.fill_null(batch.column("BUILDING_NORM"), ""), "\x1f")
+        vc = pa.table({"bk": bk}).group_by("bk").aggregate([("bk", "count")])
+        return pa.table({"bk": vc.column("bk"), "cnt": vc.column("bk_count")})
+
+    counts = (cad_ne.select_columns(["HOUSE_NORM", "BUILDING_NORM"])
+              .map_batches(_bk_counts, batch_format="pyarrow")
+              .groupby("bk").sum("cnt"))
+    hot: Dict[str, int] = {}
+    for row in counts.iter_rows():
+        if row["sum(cnt)"] > hot_block_cap:
+            hot[row["bk"]] = int(np.ceil(row["sum(cnt)"] / hot_block_cap))
+    hot_ref = ray.put(hot)
+
+    # ---- 2. salt cad side / replicate probe side
+    def _salt_cad(df: pd.DataFrame) -> pd.DataFrame:
+        import zlib
+
+        h = ray.get(hot_ref)
+        df = df.copy()
+        df["salt"] = 0
+        if h:
+            bk = df["HOUSE_NORM"].fillna("") + "\x1f" + df["BUILDING_NORM"].fillna("")
+            ns = bk.map(h)
+            m = ns.notna()
+            if m.any():
+                df.loc[m, "salt"] = [
+                    zlib.crc32(str(o).encode()) % int(n)
+                    for o, n in zip(df.loc[m, "_ord"], ns[m])
+                ]
+        df["salt"] = df["salt"].astype(np.int64)
+        return df
+
+    def _replicate_probe(df: pd.DataFrame) -> pd.DataFrame:
+        h = ray.get(hot_ref)
+        if not h:
+            df = df.copy()
+            df["salt"] = np.int64(0)
+            return df
+        bk = df["HOUSE_NORM"].fillna("") + "\x1f" + df["BUILDING_NORM"].fillna("")
+        reps = bk.map(h).fillna(1).astype(np.int64).to_numpy()
+        out = df.loc[df.index.repeat(reps)].reset_index(drop=True)
+        total = int(reps.sum())
+        base = np.concatenate(([0], np.cumsum(reps)[:-1])) if len(reps) else \
+            np.array([], dtype=np.int64)
+        out["salt"] = np.arange(total, dtype=np.int64) - np.repeat(base, reps) \
+            if total else np.array([], dtype=np.int64)
+        return out
+
+    left = _suffix_columns(
+        spr_residue.map_batches(_nonempty_house, batch_format="pyarrow")
+        .map_batches(_replicate_probe, batch_format="pandas"),
+        "_S", _SIDE_COLS + ["salt"])
+    right = _suffix_columns(
+        cad_ne.map_batches(_salt_cad, batch_format="pandas"),
+        "_C", _SIDE_COLS + ["_ord", "salt"])
+
+    # ---- 3. salted equi-join
     joined = left.join(
         right,
         join_type="inner",
         num_partitions=nparts,
-        on=("HOUSE_NORM_S", "BUILDING_NORM_S"),
-        right_on=("HOUSE_NORM_C", "BUILDING_NORM_C"),
+        on=("HOUSE_NORM_S", "BUILDING_NORM_S", "salt_S"),
+        right_on=("HOUSE_NORM_C", "BUILDING_NORM_C", "salt_C"),
     )
 
-    thr = float(threshold)
-    empty = pd.DataFrame(
-        {
-            **{c: pd.Series([], dtype="object") for c in MATCH_COLUMNS[:10]},
-            "MATCH_SCORE": pd.Series([], dtype="float64"),
-            "MATCH_TYPE": pd.Series([], dtype="object"),
-            "CANDIDATES_COUNT": pd.Series([], dtype="int64"),
-            "COMPLETENESS_SPR": pd.Series([], dtype="float64"),
-            "COMPLETENESS_CAD": pd.Series([], dtype="float64"),
-        }
-    )[MATCH_COLUMNS]
+    # ---- 4. per-shard per-strategy bests
+    spr_keep = ["ADDRESS_ID_S", "STREET_NAME_S", "HOUSE_S", "BUILDING_S",
+                "FULL_ADDRESS_S", "COMPLETENESS_SCORE_S", "STREET_NORM_S"]
+    shard_cols = (spr_keep + ["count"]
+                  + [f"s{k}" for k in range(n_strats)]
+                  + [f"o{k}" for k in range(n_strats)])
 
-    def _best_per_spr(g: pd.DataFrame) -> pd.DataFrame:
+    def _shard_bests(g: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.scorers import per_strategy_bests
+
         g = g.sort_values("_ord_C", kind="mergesort")
-        count = len(g)
-        mask = g["STREET_NORM_C"] != ""
-        cand = g[mask]
-        spr_street = g["STREET_NORM_S"].iloc[0]
-        if not len(cand) or not spr_street:
-            return empty.copy()
-        best = best_match_multi_strategy(spr_street, cand["STREET_NORM_C"].tolist())
-        if best is None or best[0] < thr:
-            return empty.copy()
-        score, pos, strategy = best
-        c = cand.iloc[pos]
-        s = g.iloc[0]
-        return pd.DataFrame(
-            [{
-                "ADDRESS_ID_SPR": s["ADDRESS_ID_S"], "STREET_NAME_SPR": s["STREET_NAME_S"],
-                "HOUSE_SPR": s["HOUSE_S"], "BUILDING_SPR": s["BUILDING_S"],
-                "FULL_ADDRESS_SPR": s["FULL_ADDRESS_S"],
-                "ADDRESS_ID_CAD": c["ADDRESS_ID_C"], "STREET_NAME_CAD": c["STREET_NAME_C"],
-                "HOUSE_CAD": c["HOUSE_C"], "BUILDING_CAD": c["BUILDING_C"],
-                "FULL_ADDRESS_CAD": c["FULL_ADDRESS_C"],
-                "MATCH_SCORE": float(score),
-                "MATCH_TYPE": f"FUZZY_STREET_{strategy.upper()}",
-                "CANDIDATES_COUNT": int(count),
-                "COMPLETENESS_SPR": float(s["COMPLETENESS_SCORE_S"]),
-                "COMPLETENESS_CAD": float(c["COMPLETENESS_SCORE_C"]),
-            }]
-        )
+        row = {c: g[c].iloc[0] for c in spr_keep}
+        row["count"] = len(g)
+        cand = g[g["STREET_NORM_C"] != ""]
+        q = row["STREET_NORM_S"]
+        bests = per_strategy_bests(q, cand["STREET_NORM_C"].tolist()) \
+            if q and len(cand) else (None,) * n_strats
+        ords = cand["_ord_C"].to_numpy()
+        for k, b in enumerate(bests):
+            row[f"s{k}"] = -1.0 if b is None else float(b[0])
+            row[f"o{k}"] = "" if b is None else str(ords[b[1]])
+        return pd.DataFrame([row])[shard_cols]
 
-    return joined.groupby("ADDRESS_ID_S").map_groups(_best_per_spr, batch_format="pandas")
+    def _pack_shard_key(batch: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            pc.cast(batch.column("ADDRESS_ID_S"), pa.string()),
+            pc.cast(batch.column("salt_S"), pa.string()), "\x1f")
+        return batch.append_column("_shard_key", k)
+
+    shard_bests = (
+        joined.map_batches(_pack_shard_key, batch_format="pyarrow")
+        .groupby("_shard_key")
+        .map_groups(_shard_bests, batch_format="pandas")
+    )
+
+    # ---- 5. merge shards per SPR row: per-strategy (max score, min _ord),
+    # then the reference's strict-> strategy loop
+    out_cols = ["ADDRESS_ID_SPR", "STREET_NAME_SPR", "HOUSE_SPR", "BUILDING_SPR",
+                "FULL_ADDRESS_SPR", "MATCH_SCORE", "MATCH_TYPE",
+                "CANDIDATES_COUNT", "COMPLETENESS_SPR", "_win_ord"]
+
+    def _merge_shards(g: pd.DataFrame) -> pd.DataFrame:
+        best_score, best_ord, best_name = 0.0, None, ""
+        for k in range(n_strats):
+            sk = g[f"s{k}"].max()
+            if sk < 0:
+                continue
+            o = g.loc[g[f"s{k}"] == sk, f"o{k}"].min()
+            if sk > best_score:
+                best_score, best_ord, best_name = float(sk), o, STRATEGIES[k][0]
+        if best_ord is None or best_score < thr:
+            return pd.DataFrame({c: pd.Series([], dtype="object")
+                                 for c in out_cols})[out_cols]
+        s = g.iloc[0]
+        return pd.DataFrame([{
+            "ADDRESS_ID_SPR": s["ADDRESS_ID_S"], "STREET_NAME_SPR": s["STREET_NAME_S"],
+            "HOUSE_SPR": s["HOUSE_S"], "BUILDING_SPR": s["BUILDING_S"],
+            "FULL_ADDRESS_SPR": s["FULL_ADDRESS_S"],
+            "MATCH_SCORE": float(best_score),
+            "MATCH_TYPE": f"FUZZY_STREET_{best_name.upper()}",
+            "CANDIDATES_COUNT": int(g["count"].sum()),
+            "COMPLETENESS_SPR": float(s["COMPLETENESS_SCORE_S"]),
+            "_win_ord": best_ord,
+        }])[out_cols]
+
+    winners = shard_bests.groupby("ADDRESS_ID_S").map_groups(
+        _merge_shards, batch_format="pandas")
+
+    # ---- 6. join winner _ord back to the cad payload
+    cad_payload = _suffix_columns(cad_ne, "_C", [
+        "ADDRESS_ID", "STREET_NAME", "HOUSE", "BUILDING", "FULL_ADDRESS",
+        "COMPLETENESS_SCORE", "_ord"])
+    final = winners.join(
+        cad_payload, join_type="inner", num_partitions=nparts,
+        on=("_win_ord",), right_on=("_ord_C",),
+    )
+
+    def _fin(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {c: pc.cast(batch.column(c), pa.string())
+                for c in MATCH_COLUMNS[:5]}
+        for src, dst in (("ADDRESS_ID_C", "ADDRESS_ID_CAD"),
+                         ("STREET_NAME_C", "STREET_NAME_CAD"),
+                         ("HOUSE_C", "HOUSE_CAD"),
+                         ("BUILDING_C", "BUILDING_CAD"),
+                         ("FULL_ADDRESS_C", "FULL_ADDRESS_CAD")):
+            cols[dst] = pc.cast(batch.column(src), pa.string())
+        cols["MATCH_SCORE"] = pc.cast(batch.column("MATCH_SCORE"), pa.float64())
+        cols["MATCH_TYPE"] = pc.cast(batch.column("MATCH_TYPE"), pa.string())
+        cols["CANDIDATES_COUNT"] = pc.cast(batch.column("CANDIDATES_COUNT"), pa.int64())
+        cols["COMPLETENESS_SPR"] = pc.cast(batch.column("COMPLETENESS_SPR"), pa.float64())
+        cols["COMPLETENESS_CAD"] = pc.cast(batch.column("COMPLETENESS_SCORE_C"), pa.float64())
+        return pa.table(cols).select(MATCH_COLUMNS)
+
+    return final.map_batches(_fin, batch_format="pyarrow")
 
 
 def filter_out_ids(

@@ -156,55 +156,108 @@ def embedding_neardup(
     cosine_threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_bits: int = 10,
+    bands: int = 8,
+    band_bits: int = 4,
     seed: int = 7,
-    max_group: int = 1000,
+    max_group: int = 5000,
 ) -> Dict[str, ray.data.Dataset]:
-    """Embedding-cosine near-dup: LSH-bucket self-join + cosine verify + components."""
-    # discover dim from first row
+    """Embedding-cosine near-dup: BANDED random-hyperplane LSH + verify + components.
+
+    Scale shape (mirrors the MinHash construction in stages/dedup.py — the
+    round-1 single-table variant shipped full vectors through the groupby and
+    silently truncated hot buckets):
+
+    1. ``bands`` independent hyperplane tables of ``band_bits`` bits each; a
+       pair is a candidate if ANY band code matches (recall ~
+       ``1-(1-p^r)^B`` for sign-agreement probability p) — tune ``bands`` up /
+       ``band_bits`` down to widen the net;
+    2. melt is IDS-ONLY: (id, band-folded bucket) rows — vectors never enter
+       the all-to-all exchange;
+    3. candidate pairs via the shared hot-bucket-prefiltered pairing
+       (oversized buckets are truncated deterministically AND LOGGED);
+    4. verify joins the vectors back onto the candidate-id set (broadcast is
+       O(candidate ids), never O(corpus)) and computes exact cosine;
+    5. transitive clusters over verified pairs.
+    """
+    from .dedup import (
+        _bucket_candidate_pairs,
+        _candidate_id_set,
+        _distinct_pairs_with_value,
+        _semi_join_ids_arrow,
+    )
+
     first = ds.take(1)
     dim = len(first[0][vec_col]) if first else 0
     rng = np.random.RandomState(seed)
-    planes = rng.randn(n_bits, dim) if dim else np.zeros((n_bits, 1))
-
-    def _code(batch: pa.Table) -> pa.Table:
-        m = _normalize_rows(_batch_matrix(batch, vec_col))
-        codes = _lsh_codes(m, planes) if m.shape[0] else np.array([], dtype=np.int64)
-        return pa.table(
-            {
-                id_col: batch.column(id_col),
-                "bucket": pa.array(codes, pa.int64()),
-                vec_col: batch.column(vec_col),
-            }
-        )
-
-    coded = ds.select_columns([id_col, vec_col]).map_batches(_code, batch_format="pyarrow")
+    planes = rng.randn(bands * band_bits, dim) if dim else np.zeros((bands * band_bits, 1))
+    planes_ref = ray.put(planes)
     thr = float(cosine_threshold)
+    empty_pairs = pa.table({"id_a": pa.array([], pa.int64()),
+                            "id_b": pa.array([], pa.int64()),
+                            "cosine": pa.array([], pa.float64())})
 
-    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col, kind="mergesort").head(max_group)
-        ids = g[id_col].to_numpy()
-        m = _normalize_rows(np.stack(g[vec_col].to_numpy())) if len(g) else np.zeros((0, 1))
-        rows_a, rows_b, rows_s = [], [], []
-        if len(g) > 1:
-            sim = m @ m.T
-            iu = np.triu_indices(len(g), 1)
-            keep = sim[iu] >= thr
-            rows_a = ids[iu[0][keep]].tolist()
-            rows_b = ids[iu[1][keep]].tolist()
-            rows_s = sim[iu][keep].tolist()
-        return pd.DataFrame(
-            {"id_a": pd.Series(rows_a, dtype="int64"),
-             "id_b": pd.Series(rows_b, dtype="int64"),
-             "cosine": pd.Series(rows_s, dtype="float64")}
-        )
+    def _melt(batch: pa.Table) -> pa.Table:
+        m = _normalize_rows(_batch_matrix(batch, vec_col))
+        n = m.shape[0]
+        if not n:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             id_col: pa.array([], batch.schema.field(id_col).type)})
+        pl = ray.get(planes_ref)
+        signs = (m @ pl.T) >= 0
+        ids = batch.column(id_col)
+        id_chunks, buckets = [], []
+        for b in range(bands):
+            seg = signs[:, b * band_bits:(b + 1) * band_bits]
+            code = np.zeros(n, dtype=np.int64)
+            for j in range(band_bits):
+                code |= seg[:, j].astype(np.int64) << j
+            buckets.append(code | (np.int64(b) << np.int64(band_bits)))
+            id_chunks.append(ids.combine_chunks() if isinstance(ids, pa.ChunkedArray)
+                             else ids)
+        return pa.table({
+            "bucket": pa.array(np.concatenate(buckets), pa.int64()),
+            id_col: pa.concat_arrays(id_chunks),
+        })
 
-    pairs = coded.groupby("bucket").map_groups(_pairs, batch_format="pandas").materialize()
+    melted = ds.select_columns([id_col, vec_col]).map_batches(
+        _melt, batch_format="pyarrow")
+    cand = _bucket_candidate_pairs(melted, "bucket", id_col, max_group).materialize()
+    if cand.count() == 0:
+        pairs = ray.data.from_arrow(empty_pairs)
+        return {"pairs": pairs,
+                "clusters": cluster.connected_components(pairs, "id_a", "id_b")}
+
+    # join vectors back onto the candidate ids (O(candidate ids) broadcast)
+    cand_ids = _candidate_id_set(cand)
+    vec_rows: Dict = {}
+    for b in _semi_join_ids_arrow(
+            ds.select_columns([id_col, vec_col]), id_col, cand_ids
+    ).iter_batches(batch_format="pyarrow"):
+        m = _normalize_rows(_batch_matrix(b, vec_col))
+        for i, v in zip(b.column(id_col).to_pylist(), m):
+            vec_rows[i] = v
+    vec_ref = ray.put(vec_rows)
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        vecs = ray.get(vec_ref)
+        a = batch.column("id_a").to_pylist()
+        b = batch.column("id_b").to_pylist()
+        if not a:
+            return empty_pairs
+        ma = np.stack([vecs[x] for x in a])
+        mb = np.stack([vecs[y] for y in b])
+        cos = np.einsum("ij,ij->i", ma, mb)
+        out = pa.table({"id_a": batch.column("id_a"),
+                        "id_b": batch.column("id_b"),
+                        "cosine": pa.array(cos, pa.float64())})
+        return out.filter(pc.greater_equal(out.column("cosine"), thr))
+
+    sch = ds.schema()
+    id_type = dict(zip(sch.names, sch.types))[id_col]
+    pairs = _distinct_pairs_with_value(
+        cand.map_batches(_verify, batch_format="pyarrow"), "cosine", id_type,
+    ).materialize()
     if pairs.count() == 0:
-        pairs = ray.data.from_arrow(
-            pa.table({"id_a": pa.array([], pa.int64()),
-                      "id_b": pa.array([], pa.int64()),
-                      "cosine": pa.array([], pa.float64())})
-        )
+        pairs = ray.data.from_arrow(empty_pairs)
     clusters = cluster.connected_components(pairs, "id_a", "id_b")
     return {"pairs": pairs, "clusters": clusters}

@@ -113,3 +113,51 @@ def test_max_records_cap(fixtures_small):
         PipelineConfig(max_records=50),
     ).to_pandas()
     assert got["ADDRESS_ID_SPR"].nunique() <= 50
+
+
+def test_shuffle_salting_hot_block(fixtures_small):
+    """Adversarial hot block: one (HOUSE, BUILDING) key dominates the cadastre.
+
+    With hot_block_cap forced far below the block size the salted shuffle plan
+    must split the block across shards and still produce rows identical to the
+    broadcast plan (per-strategy shard merge == unsharded extractOne)."""
+    import pyarrow as pa
+
+    from registry_address_matcher_ray.stages import matching as M
+
+    t = fixtures_small
+    spr_df = t["registry_spr"].to_pandas()
+    cad_df = t["registry_cad"].to_pandas()
+    # every cad row moved into ONE hot block (house "1", empty building)
+    cad_df = cad_df.assign(HOUSE="1", BUILDING=None)
+    spr_df = spr_df.assign(HOUSE="1", BUILDING=None)
+    spr = ray.data.from_arrow(pa.Table.from_pandas(spr_df, preserve_index=False))
+    cad = ray.data.from_arrow(pa.Table.from_pandas(cad_df, preserve_index=False))
+
+    expected = linkage.match_registries(
+        ray.data.from_arrow(pa.Table.from_pandas(spr_df, preserve_index=False)),
+        ray.data.from_arrow(pa.Table.from_pandas(cad_df, preserve_index=False)),
+        PipelineConfig(fuzzy_strategy="broadcast"),
+    ).to_pandas()
+
+    pre_spr = linkage.preprocess(spr).materialize()
+    pre_cad = linkage.preprocess(cad).materialize()
+    exact = M.exact_matches(pre_spr, pre_cad).materialize()
+    from registry_address_matcher_ray.stages.analytics import distinct_values
+
+    exclude = set(distinct_values(exact, "ADDRESS_ID_SPR"))
+    residue = M.filter_out_ids(pre_spr, "ADDRESS_ID", exclude)
+    fuzzy = M.fuzzy_matches_shuffle(
+        residue, pre_cad, threshold=85.0, hot_block_cap=25,  # block is ~400 rows
+    )
+    got = exact.union(fuzzy).to_pandas()
+
+    e = expected.sort_values(KEY).reset_index(drop=True)
+    g = got.sort_values(KEY).reset_index(drop=True)
+    assert len(e) == len(g), (len(e), len(g))
+    for c in oracle.MATCH_COLUMNS:
+        a, b = e[c], g[c]
+        if a.dtype.kind == "f":
+            assert np.allclose(a.astype(float), b.astype(float)), c
+        else:
+            assert (a.astype(str) == b.astype(str)).all(), c

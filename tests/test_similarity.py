@@ -1,0 +1,97 @@
+"""Similarity-search operators: brute kNN vs numpy oracle, LSH kNN sanity,
+banded embedding near-dup recall vs brute force (VERDICT r1 item 6)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from registry_address_matcher_ray.stages import similarity as S
+
+
+def _emb_table(m: np.ndarray) -> pa.Table:
+    return pa.table({
+        "vec_id": pa.array(np.arange(len(m)), pa.int64()),
+        "embedding": pa.array([row.tolist() for row in m],
+                              pa.list_(pa.float64())),
+    })
+
+
+@pytest.fixture(scope="module")
+def clustered_embeddings():
+    """50 clusters x 6 points of tight noise + 100 loners: known near-dup pairs."""
+    rng = np.random.RandomState(123)
+    dim = 32
+    centers = rng.randn(50, dim)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for c in centers:
+        for _ in range(6):
+            rows.append(c + 0.05 * rng.randn(dim))
+    for _ in range(100):
+        rows.append(rng.randn(dim))
+    return np.asarray(rows)
+
+
+def _brute_pairs(m: np.ndarray, thr: float) -> set:
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sim = mn @ mn.T
+    iu = np.triu_indices(len(m), 1)
+    keep = sim[iu] >= thr
+    return set(zip(iu[0][keep].tolist(), iu[1][keep].tolist()))
+
+
+def test_knn_brute_matches_numpy(clustered_embeddings):
+    m = clustered_embeddings
+    ds = ray.data.from_arrow(_emb_table(m)).repartition(5)
+    q = m[:3]
+    out = S.knn_brute(ds, q, k=10)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sim = mn @ qn.T
+    for qi in range(3):
+        s = sim[:, qi]
+        order = np.lexsort((np.arange(len(s)), -s))[:10]
+        got = out[out.query_idx == qi]
+        assert got["vec_id"].tolist() == order.tolist()
+        assert np.allclose(got["score"].to_numpy(), s[order])
+
+
+def test_knn_lsh_returns_true_scores_subset(clustered_embeddings):
+    m = clustered_embeddings
+    ds = ray.data.from_arrow(_emb_table(m)).repartition(5)
+    out = S.knn_lsh(ds, m[:2], k=5, n_bits=4)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    for _, r in out.iterrows():
+        true = float(mn[int(r.vec_id)] @ mn[int(r.query_idx)])
+        assert abs(true - r.score) < 1e-9
+    # the query itself shares its own bucket -> self hit present
+    assert 0 in out[out.query_idx == 0]["vec_id"].tolist()
+
+
+def test_embedding_neardup_recall_vs_brute(clustered_embeddings):
+    m = clustered_embeddings
+    thr = 0.9
+    truth = _brute_pairs(m, thr)
+    assert len(truth) >= 500  # fixture sanity: in-cluster pairs exist
+    ds = ray.data.from_arrow(_emb_table(m)).repartition(5)
+    res = S.embedding_neardup(ds, cosine_threshold=thr, bands=8, band_bits=4)
+    got = res["pairs"].to_pandas()
+    found = set(zip(got.id_a.tolist(), got.id_b.tolist()))
+    # precision is exact by construction (verify computes true cosine)
+    assert found <= truth
+    recall = len(found) / len(truth)
+    assert recall >= 0.95, recall
+    # clusters cover every paired node
+    nodes = set(got.id_a) | set(got.id_b)
+    cl = res["clusters"].to_pandas()
+    assert set(cl.node.astype(int)) == nodes
+
+
+def test_embedding_neardup_empty():
+    m = np.eye(5)  # orthogonal: no near-dups at 0.9
+    ds = ray.data.from_arrow(_emb_table(m))
+    res = S.embedding_neardup(ds, cosine_threshold=0.9, bands=4, band_bits=3)
+    assert res["pairs"].count() == 0
+    assert res["clusters"].count() == 0
