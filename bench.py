@@ -86,10 +86,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     sf = _sf_of(sf_dir)
     paths = _fixture_paths(sf)
-    # fused plan at per-sf bench scale (lowest fixed cost); the scaling runs
-    # switch to broadcast_dedup (work independent of actor count) via env
+    # broadcast_dedup (the scale default: distinct probes scored once job-wide,
+    # stateless-task stages) for both the plain and the scaling runs
     cfg = PipelineConfig(
-        fuzzy_strategy=os.environ.get("RAY_GRAFT_STRATEGY", "broadcast"),
+        fuzzy_strategy=os.environ.get("RAY_GRAFT_STRATEGY", "broadcast_dedup"),
         fuzzy_concurrency=max(2, num_cpus - 2),
         num_partitions=max(8, num_cpus),
     )

@@ -23,7 +23,10 @@ class PipelineConfig:
     max_records: Optional[int] = None
 
     # physical plan
-    fuzzy_strategy: str = "broadcast"  # "broadcast" | "shuffle"
+    # "broadcast_dedup" (scale default: distinct probes scored once job-wide,
+    # task-based stages) | "broadcast" (fused single actor-pool stage) |
+    # "shuffle" (both sides large; salted equi-join) — all row-identical
+    fuzzy_strategy: str = "broadcast_dedup"
     num_partitions: Optional[int] = None
     #: int = fixed actor count (provisioned eagerly); (min, max) = autoscaling
     fuzzy_concurrency: "int | Tuple[int, int]" = (2, 8)

@@ -239,25 +239,27 @@ def add_minhash_bands(
     """
     rows_per_band = num_perm // bands
 
-    class _Bander:
-        def __init__(self):
-            self.mh = MinHasher(num_perm=num_perm, seed=seed)
+    def _band_batch(batch: pa.Table) -> pa.Table:
+        # per-worker cached MinHasher (stateless tasks reuse warm workers; no
+        # actor pool to spawn) — see stages/matching.py::_worker_state
+        from .matching import _worker_state
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            texts = batch.column(text_col).to_pylist()
-            sigs = np.stack([
-                self.mh.signature(_shingle_hashes(t or "", shingle_k)) for t in texts
-            ]) if texts else np.zeros((0, num_perm), dtype=np.uint64)
-            out = batch
-            for b in range(bands):
-                seg = sigs[:, b * rows_per_band : (b + 1) * rows_per_band]
-                # stable 64-bit mix of the band segment
-                mixed = np.zeros(len(texts), dtype=np.uint64)
-                for j in range(seg.shape[1] if len(texts) else 0):
-                    mixed = (mixed * np.uint64(1099511628211)) ^ seg[:, j]
-                out = out.append_column(
-                    f"{out_prefix}_{b}", pa.array(mixed.astype("int64"), pa.int64())
-                )
-            return out
+        mh = _worker_state(("minhasher", num_perm, seed),
+                           lambda: MinHasher(num_perm=num_perm, seed=seed))
+        texts = batch.column(text_col).to_pylist()
+        sigs = np.stack([
+            mh.signature(_shingle_hashes(t or "", shingle_k)) for t in texts
+        ]) if texts else np.zeros((0, num_perm), dtype=np.uint64)
+        out = batch
+        for b in range(bands):
+            seg = sigs[:, b * rows_per_band : (b + 1) * rows_per_band]
+            # stable 64-bit mix of the band segment
+            mixed = np.zeros(len(texts), dtype=np.uint64)
+            for j in range(seg.shape[1] if len(texts) else 0):
+                mixed = (mixed * np.uint64(1099511628211)) ^ seg[:, j]
+            out = out.append_column(
+                f"{out_prefix}_{b}", pa.array(mixed.astype("int64"), pa.int64())
+            )
+        return out
 
-    return ds.map_batches(_Bander, batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(_band_batch, batch_format="pyarrow")

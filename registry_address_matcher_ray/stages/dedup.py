@@ -246,7 +246,7 @@ def minhash_lsh_dedup(
         for r in zip(b.column(id_col).to_pylist(), b.column(text_col).to_pylist())
     })
 
-    class _Verify:
+    class _VerifyState:
         def __init__(self):
             self.texts = ray.get(texts_ref)
             self.ngrams: Dict = {}
@@ -258,21 +258,26 @@ def minhash_lsh_dedup(
                 self.ngrams[i] = s
             return s
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            a = batch.column("id_a").to_pylist()
-            b = batch.column("id_b").to_pylist()
-            jac = [textfns.jaccard(self._ng(x), self._ng(y)) for x, y in zip(a, b)]
-            out = pa.table({
-                "id_a": batch.column("id_a"),
-                "id_b": batch.column("id_b"),
-                "jaccard": pa.array(jac, pa.float64()),
-            })
-            return out.filter(pc.greater_equal(out.column("jaccard"), thr))
+    vkey = ("minhash-verify", texts_ref.hex())
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        from .matching import _worker_state
+
+        st = _worker_state(vkey, _VerifyState)
+        a = batch.column("id_a").to_pylist()
+        b = batch.column("id_b").to_pylist()
+        jac = [textfns.jaccard(st._ng(x), st._ng(y)) for x, y in zip(a, b)]
+        out = pa.table({
+            "id_a": batch.column("id_a"),
+            "id_b": batch.column("id_b"),
+            "jaccard": pa.array(jac, pa.float64()),
+        })
+        return out.filter(pc.greater_equal(out.column("jaccard"), thr))
 
     sch = ds.schema()
     id_type = dict(zip(sch.names, sch.types))[id_col]
     verified = _distinct_pairs_with_value(
-        pairs.map_batches(_Verify, batch_format="pyarrow", concurrency=(1, 4)),
+        pairs.map_batches(_verify, batch_format="pyarrow"),
         "jaccard", id_type,
     ).materialize()
     clusters = cluster.connected_components(verified, "id_a", "id_b")
@@ -336,27 +341,28 @@ def simhash_dedup(
         for r in zip(b.column(id_col).to_pylist(), b.column("simhash").to_pylist())
     })
 
-    class _Verify:
-        def __init__(self):
-            self.sig = ray.get(sig_ref)
+    vkey = ("simhash-verify", sig_ref.hex())
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            a = batch.column("id_a").to_pylist()
-            b = batch.column("id_b").to_pylist()
-            mask = (1 << 64) - 1
-            ham = [textfns.hamming64(int(self.sig[x]) & mask, int(self.sig[y]) & mask)
-                   for x, y in zip(a, b)]
-            out = pa.table({
-                "id_a": batch.column("id_a"),
-                "id_b": batch.column("id_b"),
-                "hamming": pa.array(ham, pa.int64()),
-            })
-            return out.filter(pc.less_equal(out.column("hamming"), thr))
+    def _verify(batch: pa.Table) -> pa.Table:
+        from .matching import _worker_state
+
+        sig = _worker_state(vkey, lambda: ray.get(sig_ref))
+        a = batch.column("id_a").to_pylist()
+        b = batch.column("id_b").to_pylist()
+        mask = (1 << 64) - 1
+        ham = [textfns.hamming64(int(sig[x]) & mask, int(sig[y]) & mask)
+               for x, y in zip(a, b)]
+        out = pa.table({
+            "id_a": batch.column("id_a"),
+            "id_b": batch.column("id_b"),
+            "hamming": pa.array(ham, pa.int64()),
+        })
+        return out.filter(pc.less_equal(out.column("hamming"), thr))
 
     sch = ds.schema()
     id_type = dict(zip(sch.names, sch.types))[id_col]
     verified = _distinct_pairs_with_value(
-        pairs.map_batches(_Verify, batch_format="pyarrow", concurrency=(1, 4)),
+        pairs.map_batches(_verify, batch_format="pyarrow"),
         "hamming", id_type,
     ).materialize()
     clusters = cluster.connected_components(verified, "id_a", "id_b")
