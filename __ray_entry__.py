@@ -304,15 +304,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def docs_lang_counts(sf_dir):
         return A.value_counts(_read(sf_dir, "documents"), "lang")
 
-    def embeddings_knn(sf_dir):
-        import ray.data
+    def _query_vec(ds, vec_id: int = 0) -> np.ndarray:
+        import pyarrow.compute as pc
 
+        row = ds.map_batches(
+            lambda b: b.filter(pc.equal(b.column("vec_id"), vec_id)),
+            batch_format="pyarrow",
+        ).take(1)[0]
+        return np.asarray(row["embedding"], dtype=np.float64)
+
+    def embeddings_knn(sf_dir):
         ds = _read(sf_dir, "embeddings")
-        q = None
-        for row in ds.iter_rows():
-            if row["vec_id"] == 0:
-                q = np.asarray(row["embedding"], dtype=np.float64)
-                break
+        q = _query_vec(ds)
         out = S.knn_brute(ds, q[None, :], k=10)
         out = out.drop(columns=["query_idx"])
         out["score"] = out["score"].round(4)
@@ -453,11 +456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def embeddings_lsh_knn(sf_dir):
         ds = _read(sf_dir, "embeddings")
-        q = None
-        for row in ds.iter_rows():
-            if row["vec_id"] == 0:
-                q = np.asarray(row["embedding"], dtype=np.float64)
-                break
+        q = _query_vec(ds)
         out = S.knn_lsh(ds, q[None, :], k=10)
         out["score"] = out["score"].round(4)
         return out.drop(columns=["query_idx"])

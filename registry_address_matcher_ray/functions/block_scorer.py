@@ -112,6 +112,41 @@ def _scratch(n: int):
     return buf
 
 
+_POP_M1 = np.uint64(0x5555555555555555)
+_POP_M2 = np.uint64(0x3333333333333333)
+_POP_M4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+_POP_H01 = np.uint64(0x0101010101010101)
+_U1, _U2, _U4, _U56 = np.uint64(1), np.uint64(2), np.uint64(4), np.uint64(56)
+
+
+def _popcount64(v: np.ndarray) -> np.ndarray:
+    """SWAR popcount per uint64 lane — ~5x lighter than unpackbits+sum
+    (no (n, 64) byte expansion; a handful of n-length temporaries)."""
+    with np.errstate(over="ignore"):
+        v = v - ((v >> _U1) & _POP_M1)
+        v = (v & _POP_M2) + ((v >> _U2) & _POP_M2)
+        v = (v + (v >> _U4)) & _POP_M4
+        return ((v * _POP_H01) >> _U56).astype(np.int64)
+
+
+def _query_lut(max_code: int):
+    """Reusable query-bitmask lookup table: only the PREVIOUS query's entries
+    are zeroed (tens of writes) instead of reallocating+zeroing the whole
+    code-point range per call."""
+    size = min(max_code, 0xFFFF) + 2
+    lut = _SCRATCH.get("lut")
+    if lut is None or len(lut) < size:
+        lut = np.zeros(max(size, 2048), dtype=np.uint64)
+        _SCRATCH["lut"] = lut
+        _SCRATCH["lut_dirty"] = []
+    else:
+        for c in _SCRATCH["lut_dirty"]:
+            lut[c] = 0
+    dirty: list = []
+    _SCRATCH["lut_dirty"] = dirty
+    return lut, dirty
+
+
 def _vector_lcs(query: str, codes_t: np.ndarray, lens_desc: np.ndarray,
                 max_code: int, inv_perm: np.ndarray) -> np.ndarray:
     """LCS(query, candidate_i) for all i — bit-parallel over uint64 lanes.
@@ -124,12 +159,13 @@ def _vector_lcs(query: str, codes_t: np.ndarray, lens_desc: np.ndarray,
     n = codes_t.shape[1] if codes_t.ndim == 2 else 0
     if lq == 0 or n == 0:
         return np.zeros(n, dtype=np.int64)
-    lut = np.zeros(min(max_code, 0xFFFF) + 2, dtype=np.uint64)
+    lut, dirty = _query_lut(max_code)
     bit = 1
     for ch in query:
         c = ord(ch)
         if c < len(lut):
             lut[c] |= np.uint64(bit)
+            dirty.append(c)
         bit <<= 1
     mask = np.uint64((1 << lq) - 1)
     v = np.full(n, mask, dtype=np.uint64)
@@ -152,8 +188,8 @@ def _vector_lcs(query: str, codes_t: np.ndarray, lens_desc: np.ndarray,
         np.add(va, u, out=va)                 # v += u
         np.bitwise_or(va, m, out=va)          # v = (v+u) | (v&~m)
         np.bitwise_and(va, mask, out=va)
-    pop = np.unpackbits(v.view(np.uint8).reshape(n, 8), axis=1).sum(axis=1)
-    return (lq - pop.astype(np.int64))[inv_perm]
+    pop = _popcount64(v)
+    return (lq - pop)[inv_perm]
 
 
 def _ratio_from_lcs(lcs: np.ndarray, la: int, lb: np.ndarray) -> np.ndarray:

@@ -51,8 +51,8 @@ def main(argv=None) -> int:
     p.add_argument("--method", default="Comprehensive",
                    choices=["Comprehensive", "Exact Only", "Fuzzy Only",
                             "Hybrid (Exact + Fuzzy)"])
-    p.add_argument("--fuzzy-strategy", default="broadcast",
-                   choices=["broadcast", "shuffle"])
+    p.add_argument("--fuzzy-strategy", default="broadcast_dedup",
+                   choices=["broadcast_dedup", "broadcast", "shuffle"])
     p.add_argument("--max-records", type=int)
     p.add_argument("--num-partitions", type=int)
     args = p.parse_args(argv)

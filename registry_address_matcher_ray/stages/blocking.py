@@ -222,6 +222,29 @@ class MinHasher:
         vals = (np.outer(self.a, shingles) + self.b[:, None]) % self.MERSENNE
         return vals.min(axis=1)
 
+    def signatures_batch(self, shingle_sets: "list[np.ndarray]") -> np.ndarray:
+        """Signatures for a whole batch in ONE vectorized pass.
+
+        Concatenate every document's shingles, hash the flat array once
+        (num_perm x total), then per-document row-mins via
+        ``np.minimum.reduceat`` over the offsets — identical values to
+        :meth:`signature` per doc, ~an order of magnitude fewer numpy calls.
+        """
+        n = len(shingle_sets)
+        out = np.full((n, self.num_perm), self.MERSENNE, dtype=np.uint64)
+        nonempty = [i for i in range(n) if len(shingle_sets[i])]
+        if not nonempty:
+            return out
+        flat = np.concatenate([shingle_sets[i] for i in nonempty])
+        lens = np.fromiter((len(shingle_sets[i]) for i in nonempty),
+                           dtype=np.int64, count=len(nonempty))
+        offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        with np.errstate(over="ignore"):
+            vals = (self.a[:, None] * flat[None, :] + self.b[:, None]) % self.MERSENNE
+        mins = np.minimum.reduceat(vals, offsets, axis=1)  # (num_perm, k)
+        out[nonempty, :] = mins.T
+        return out
+
 
 def add_minhash_bands(
     ds: ray.data.Dataset,
@@ -247,9 +270,9 @@ def add_minhash_bands(
         mh = _worker_state(("minhasher", num_perm, seed),
                            lambda: MinHasher(num_perm=num_perm, seed=seed))
         texts = batch.column(text_col).to_pylist()
-        sigs = np.stack([
-            mh.signature(_shingle_hashes(t or "", shingle_k)) for t in texts
-        ]) if texts else np.zeros((0, num_perm), dtype=np.uint64)
+        sigs = mh.signatures_batch(
+            [_shingle_hashes(t or "", shingle_k) for t in texts]
+        ) if texts else np.zeros((0, num_perm), dtype=np.uint64)
         out = batch
         for b in range(bands):
             seg = sigs[:, b * rows_per_band : (b + 1) * rows_per_band]

@@ -225,7 +225,6 @@ def dedup_keep_last(
 def _num_partitions(ds: ray.data.Dataset) -> int:
     # modest default: enough parallelism at bench scale without tiny-block overhead
     try:
-        ctx = ray.runtime_context.get_runtime_context()
         ncpu = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         ncpu = 8
@@ -806,6 +805,10 @@ def broadcast_matches_dedup(
        through hash lookups + ``pc.take``.
 
     Output is row-for-row identical to the fused plan (property-tested).
+
+    ``concurrency`` is accepted for API stability but no longer limits this
+    plan: scoring and emit run as stateless tasks sized to the cluster's CPUs
+    (work units ~8 per CPU), with per-worker cached state.
     """
     import os
     import sys
@@ -860,11 +863,14 @@ def broadcast_matches_dedup(
     _mark("unique triples gathered", f" ({len(u)})")
 
     # ---- cad side, once, driver-side (the broadcast-plan premise: it fits) ----
+    # only the four key columns leave Arrow; row position == _ord rank (the
+    # table arrives sorted), so positional indices stand in for row identity
     cad_tbl: pa.Table = resolve_broadcast(cad_ref)
-    cdf = cad_tbl.to_pandas(use_threads=False)
+    cdf = cad_tbl.select(
+        ["FULL_ADDRESS", "SEARCH_KEY", "BUILDING_NORM", "HOUSE_NORM"]
+    ).to_pandas(use_threads=False)
     for c in cdf.columns:
-        if c != "COMPLETENESS_SCORE":
-            cdf[c] = cdf[c].fillna("")
+        cdf[c] = cdf[c].fillna("")
     npos = len(cdf)
     _mark("cad to_pandas")
 
@@ -1008,15 +1014,24 @@ def broadcast_matches_dedup(
             "count": pa.array(dec["count"].to_numpy(np.int64), pa.int64()),
         }),
     }
-    # cad output columns, pre-filled and pre-renamed ONCE (actors just pc.take)
+    # cad output columns, pre-filled and pre-renamed ONCE, straight from the
+    # Arrow table (zero pandas round-trip; workers just pc.take)
+    def _cs(name: str) -> pa.Array:
+        col = cad_tbl.column(name)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pc.fill_null(pc.cast(col, pa.string()), "")
+
+    compl_col = cad_tbl.column("COMPLETENESS_SCORE")
+    if isinstance(compl_col, pa.ChunkedArray):
+        compl_col = compl_col.combine_chunks()
     cad_emit = pa.table({
-        "ADDRESS_ID_CAD": pa.Array.from_pandas(cdf["ADDRESS_ID"], type=pa.string()),
-        "STREET_NAME_CAD": pa.Array.from_pandas(cdf["STREET_NAME"], type=pa.string()),
-        "HOUSE_CAD": pa.Array.from_pandas(cdf["HOUSE"], type=pa.string()),
-        "BUILDING_CAD": pa.Array.from_pandas(cdf["BUILDING"], type=pa.string()),
-        "FULL_ADDRESS_CAD": pa.Array.from_pandas(cdf["FULL_ADDRESS"], type=pa.string()),
-        "COMPLETENESS_CAD": pa.Array.from_pandas(
-            cdf["COMPLETENESS_SCORE"].fillna(0.0), type=pa.float64()),
+        "ADDRESS_ID_CAD": _cs("ADDRESS_ID"),
+        "STREET_NAME_CAD": _cs("STREET_NAME"),
+        "HOUSE_CAD": _cs("HOUSE"),
+        "BUILDING_CAD": _cs("BUILDING"),
+        "FULL_ADDRESS_CAD": _cs("FULL_ADDRESS"),
+        "COMPLETENESS_CAD": pc.fill_null(pc.cast(compl_col, pa.float64()), 0.0),
     })
 
     _mark("decisions built", f" ({len(dec)})")

@@ -22,6 +22,42 @@ def _count_where(ds: ray.data.Dataset, col: str, op, value) -> int:
     return ds.map_batches(_f, batch_format="pyarrow").count()
 
 
+def chart_data(
+    matches: ray.data.Dataset,
+    score_bins: int = 20,
+    scatter_sample: int = 2000,
+) -> dict:
+    """Data series behind the reference's match-quality dashboard
+    (``/root/reference/src/visualization/charts.py:6-49``), as distributed
+    aggregates — the rendering (plotly) is UI-layer and out of scope; every
+    series is JSON-able:
+
+    - ``score_histogram``: 20-bin MATCH_SCORE counts (Histogram trace);
+    - ``match_type_counts``: MATCH_TYPE value counts (Pie trace);
+    - ``completeness_scatter``: a bounded sample of (COMPLETENESS_SPR,
+      COMPLETENESS_CAD) points (Scatter trace — sampled, never the full set);
+    - ``hourly_counts``: matches per hour when MATCH_TIMESTAMP exists.
+    """
+    from .analytics import histogram, hourly_counts, value_counts
+
+    out: dict = {}
+    hist = histogram(matches, "MATCH_SCORE", bins=score_bins, lo=0.0, hi=100.0)
+    out["score_histogram"] = {
+        int(r["bin"]): int(r["cnt"]) for r in hist.take_all()}
+    out["match_type_counts"] = {
+        r["MATCH_TYPE"]: int(r["cnt"])
+        for r in value_counts(matches, "MATCH_TYPE").take_all()}
+    sample = matches.select_columns(
+        ["COMPLETENESS_SPR", "COMPLETENESS_CAD"]).limit(scatter_sample).take_all()
+    out["completeness_scatter"] = [
+        (float(r["COMPLETENESS_SPR"]), float(r["COMPLETENESS_CAD"])) for r in sample]
+    if "MATCH_TIMESTAMP" in matches.schema().names:
+        out["hourly_counts"] = {
+            int(r["hour"]): int(r["cnt"])
+            for r in hourly_counts(matches, "MATCH_TIMESTAMP").take_all()}
+    return out
+
+
 def summary_report(
     matches: ray.data.Dataset,
     spr_total: int,

@@ -46,3 +46,29 @@ def test_report_empty_matches(ray_session):
     text = summary_report(m, spr_total=0)
     assert "**Average Score:** N/A" in text
     assert "No specific recommendations" not in text or "Low match rate" not in text
+
+
+def test_chart_data_series(fixtures_small):
+    """Chart-data layer behind /root/reference/src/visualization/charts.py:6-49."""
+    import json
+
+    import ray.data
+
+    from registry_address_matcher_ray.pipelines import linkage
+    from registry_address_matcher_ray.stages.report import chart_data
+
+    t = fixtures_small
+    m = linkage.match_registries(
+        ray.data.from_arrow(t["registry_spr"]),
+        ray.data.from_arrow(t["registry_cad"]),
+    ).materialize()
+    data = chart_data(m)
+    n = m.count()
+    assert sum(data["score_histogram"].values()) == n
+    assert sum(data["match_type_counts"].values()) == n
+    assert set(data["match_type_counts"]) <= {
+        "EXACT_FULL", "EXACT_KEY", "FUZZY_STREET_TOKEN_SORT_RATIO",
+        "FUZZY_STREET_TOKEN_SET_RATIO", "FUZZY_STREET_PARTIAL_RATIO",
+        "FUZZY_STREET_RATIO"}
+    assert 0 < len(data["completeness_scatter"]) <= 2000
+    json.dumps(data)  # every series is JSON-able
