@@ -450,6 +450,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _read(sf_dir, "documents")
         return D.simhash_dedup(ds, "text", "doc_id", hamming_threshold=3)["clusters"]
 
+    def docs_ngram_jaccard_matrix(sf_dir):
+        """Exact pairwise 3-gram overlap for doc_id < 16 (integer outputs)."""
+        ds = _read(sf_dir, "documents")
+        return D.ngram_jaccard_matrix(ds, "text", "doc_id", ids_below=16)
+
     def docs_ngram_neardup_pairs(sf_dir):
         ds = _read(sf_dir, "documents")
         return D.ngram_jaccard_pairs(ds, "text", "doc_id", threshold=0.7)
@@ -539,6 +544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_flagship": pages_flagship,
         "docs_minhash_dedup": docs_minhash_dedup,
         "docs_simhash_dedup": docs_simhash_dedup,
+        "docs_ngram_jaccard_matrix": docs_ngram_jaccard_matrix,
         "docs_ngram_neardup_pairs": docs_ngram_neardup_pairs,
         "embeddings_lsh_knn": embeddings_lsh_knn,
         "embeddings_neardup": embeddings_neardup,
@@ -720,6 +726,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_lang_counts": """
             SELECT lang, count(*) AS cnt FROM documents GROUP BY lang
+        """,
+        "docs_ngram_jaccard_matrix": r"""
+            WITH canon AS (
+                SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                FROM documents WHERE doc_id < 16
+            ), grams AS (
+                -- DuckDB 1.0: generate_series takes only CONSTANT bounds; use
+                -- a bound safely above any document length and filter per row
+                SELECT DISTINCT doc_id, substring(t, CAST(g AS INTEGER), 3) AS gram
+                FROM canon, generate_series(1, 100000) AS gs(g)
+                WHERE length(t) >= 3 AND g <= length(t) - 2
+            ), cnts AS (
+                SELECT doc_id, count(*) AS c FROM grams GROUP BY doc_id
+            ), inter AS (
+                SELECT ga.doc_id AS a, gb.doc_id AS b, count(*) AS iv
+                FROM grams ga JOIN grams gb
+                  ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+                   CAST(coalesce(i.iv, 0) AS BIGINT) AS inter,
+                   CAST(x.c + y.c - coalesce(i.iv, 0) AS BIGINT) AS uni
+            FROM cnts x JOIN cnts y ON x.doc_id < y.doc_id
+            LEFT JOIN inter i ON i.a = x.doc_id AND i.b = y.doc_id
         """,
         "embeddings_knn": """
             SELECT b.vec_id,

@@ -43,7 +43,9 @@ class PipelineConfig:
 
     # clustering
     cluster_max_iters: int = 25
-    cluster_small_threshold: int = 200_000
+    # vectorized numpy local CC handles millions of edges in seconds on the
+    # driver; beyond this the iterative distributed label-propagation path runs
+    cluster_small_threshold: int = 5_000_000
 
     def __post_init__(self):
         if self.method not in METHODS:

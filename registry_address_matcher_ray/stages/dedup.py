@@ -369,6 +369,72 @@ def simhash_dedup(
     return {"pairs": verified, "clusters": clusters}
 
 
+def ngram_jaccard_matrix(
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    ids_below: int,
+    n: int = 3,
+) -> pd.DataFrame:
+    """Exact pairwise n-gram overlap for a keyed subset, as a distributed
+    relational plan (gram inverted index): melt (id, distinct gram) rows,
+    self-equi-join on gram, per-pair count — the same plan a SQL engine runs,
+    so it is DuckDB-oracle-checkable. Integer outputs (intersection / union
+    sizes) keep the comparison float-free.
+
+    Returns (id_a, id_b, inter, uni) for every id pair below ``ids_below``
+    (including zero-overlap pairs).
+    """
+    import re as _re
+
+    ws = _re.compile(r"\s+")
+
+    def _grams(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out_id, out_g = [], []
+        for i, t in zip(ids, texts):
+            if i >= ids_below:
+                continue
+            canon = ws.sub(" ", (t or "").lower()).strip()
+            if len(canon) < n:
+                continue
+            for g in {canon[j:j + n] for j in range(len(canon) - n + 1)}:
+                out_id.append(i)
+                out_g.append(g)
+        return pa.table({id_col: pa.array(out_id, batch.schema.field(id_col).type),
+                         "gram": pa.array(out_g, pa.string())})
+
+    grams = ds.select_columns([id_col, text_col]).map_batches(
+        _grams, batch_format="pyarrow").materialize()
+    # per-doc distinct-gram counts (small: ids_below docs)
+    counts = {r[id_col]: r["count()"] for r in grams.groupby(id_col).count().iter_rows()}
+    # pairwise intersections via gram self-join + pair groupby
+    right = grams.map_batches(
+        lambda b: pa.table({"id_b": b.column(id_col), "gram_b": b.column("gram")}),
+        batch_format="pyarrow")
+    joined = grams.join(right, join_type="inner", num_partitions=8,
+                        on=("gram",), right_on=("gram_b",))
+
+    def _ordered(batch: pa.Table) -> pa.Table:
+        keep = pc.less(batch.column(id_col), batch.column("id_b"))
+        t = batch.filter(keep)
+        pk = pc.binary_join_element_wise(
+            pc.cast(t.column(id_col), pa.string()),
+            pc.cast(t.column("id_b"), pa.string()), "\x00")
+        return pa.table({"pk": pk})
+
+    inter = {r["pk"]: r["count()"] for r in joined.map_batches(
+        _ordered, batch_format="pyarrow").groupby("pk").count().iter_rows()}
+    rows = []
+    ids_sorted = sorted(counts)
+    for i, a in enumerate(ids_sorted):
+        for b in ids_sorted[i + 1:]:
+            iv = int(inter.get(f"{a}\x00{b}", 0))
+            rows.append((a, b, iv, int(counts[a]) + int(counts[b]) - iv))
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "inter", "uni"])
+
+
 def ngram_jaccard_pairs(
     ds: ray.data.Dataset,
     text_col: str,
