@@ -321,6 +321,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["score"] = out["score"].round(4)
         return out.sort_values(["score", "vec_id"], ascending=[False, True]).reset_index(drop=True)
 
+    def events_sessionized(sf_dir):
+        """Session windows over events (30-min inactivity gap)."""
+        return A.sessionize(_read(sf_dir, "events"), "user_id", "ts", "event_id")
+
     def events_running_sum(sf_dir):
         def _cum(g: pd.DataFrame) -> pd.DataFrame:
             g = g.sort_values(["ts", "event_id"], kind="mergesort")
@@ -459,6 +463,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _read(sf_dir, "documents")
         return D.ngram_jaccard_pairs(ds, "text", "doc_id", threshold=0.7)
 
+    def embeddings_ivf_knn(sf_dir):
+        """IVF ANN with every list probed == exact cosine top-k — the full
+        IVF plumbing (train, assign, probe) under the brute-force SQL oracle."""
+        ds = _read(sf_dir, "embeddings")
+        q = _query_vec(ds)
+        out = S.knn_ivf(ds, q[None, :], k=10, nlist=8, nprobe=8)
+        out = out.drop(columns=["query_idx"])
+        out["score"] = out["score"].round(4)
+        return out.sort_values(["score", "vec_id"],
+                               ascending=[False, True]).reset_index(drop=True)
+
     def embeddings_lsh_knn(sf_dir):
         ds = _read(sf_dir, "embeddings")
         q = _query_vec(ds)
@@ -530,6 +545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_text_quality": docs_text_quality,
         "docs_lang_counts": docs_lang_counts,
         "embeddings_knn": embeddings_knn,
+        "events_sessionized": events_sessionized,
         "events_running_sum": events_running_sum,
         "match_exact_full": match_exact_full,
         "match_exact_key_p2": match_exact_key_p2,
@@ -546,6 +562,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_simhash_dedup": docs_simhash_dedup,
         "docs_ngram_jaccard_matrix": docs_ngram_jaccard_matrix,
         "docs_ngram_neardup_pairs": docs_ngram_neardup_pairs,
+        "embeddings_ivf_knn": embeddings_ivf_knn,
         "embeddings_lsh_knn": embeddings_lsh_knn,
         "embeddings_neardup": embeddings_neardup,
         "docs_text_stats": docs_text_stats,
@@ -759,6 +776,26 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) DESC,
                      b.vec_id
             LIMIT 10
+        """,
+        "embeddings_ivf_knn": """
+            SELECT b.vec_id,
+                   round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS score
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id = 0
+            ORDER BY round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) DESC,
+                     b.vec_id
+            LIMIT 10
+        """,
+        "events_sessionized": """
+            SELECT event_id,
+                   CAST(sum(CASE WHEN prev_ts IS NULL
+                                      OR date_diff('second', prev_ts, ts) > 1800
+                                 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        AS BIGINT) AS session_num
+            FROM (SELECT event_id, user_id, ts,
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                  FROM events)
         """,
         "events_running_sum": """
             SELECT event_id,

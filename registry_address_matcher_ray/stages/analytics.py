@@ -246,6 +246,41 @@ def distinct_values(ds: ray.data.Dataset, col: str) -> List:
     return [r[col] for r in out.select_columns([col]).take_all()]
 
 
+def sessionize(
+    ds: ray.data.Dataset,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+    gap_s: float = 1800.0,
+) -> ray.data.Dataset:
+    """Session windows (gaps-and-islands): a new session starts whenever the
+    per-user gap between consecutive events exceeds ``gap_s`` seconds.
+
+    The windowed-aggregate custom operator expressed as
+    ``groupby(user).map_groups`` — the co-partitioning shuffle brings each
+    user's events together; session numbering is a vectorized pandas
+    diff+cumsum per group (deterministic order: ``(ts, id)``). Output
+    ``(id, session_num)`` with 1-based per-user session indices.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _sess(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values([ts_col, id_col], kind="mergesort")
+        gaps = g[ts_col].diff().dt.total_seconds()
+        new_sess = (gaps.isna() | (gaps > gap_s)).astype(np.int64)
+        return pd.DataFrame({
+            id_col: g[id_col],
+            "session_num": new_sess.cumsum().astype(np.int64),
+        })
+
+    return (
+        ds.select_columns([id_col, user_col, ts_col])
+        .groupby(user_col)
+        .map_groups(_sess, batch_format="pandas")
+    )
+
+
 def text_stats(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
     """Document text-analysis stage: language-ID, quality features, token counts,
     fingerprint (functions/textfns.py) appended as columns. Stateless map_batches."""

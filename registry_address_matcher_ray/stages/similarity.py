@@ -151,6 +151,93 @@ def knn_lsh(
     )
 
 
+def _kmeans_fit(sample: np.ndarray, nlist: int, iters: int = 10,
+                seed: int = 7) -> np.ndarray:
+    """Deterministic spherical k-means on a driver-side sample (numpy only).
+
+    The coarse quantizer of the IVF index: centroids are unit-normalized, ties
+    broken by lowest centroid index (argmin on the negated similarity)."""
+    rng = np.random.RandomState(seed)
+    sample = _normalize_rows(sample)
+    n = sample.shape[0]
+    nlist = min(nlist, n)
+    centers = sample[rng.choice(n, size=nlist, replace=False)]
+    for _ in range(iters):
+        sim = sample @ centers.T
+        assign = np.argmax(sim, axis=1)
+        for c in range(nlist):
+            members = sample[assign == c]
+            if len(members):
+                centers[c] = members.mean(axis=0)
+        centers = _normalize_rows(centers)
+    return centers
+
+
+def knn_ivf(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    nprobe: int = 4,
+    train_sample: int = 10_000,
+    seed: int = 7,
+) -> pd.DataFrame:
+    """IVF approximate cosine top-k — the scale path for similarity search.
+
+    1. coarse quantizer: spherical k-means centroids trained once on a bounded
+       driver-side sample (``ds.limit(train_sample)``), broadcast via ray.put;
+    2. each batch assigns its vectors to their nearest centroid (one matmul)
+       and scores ONLY vectors whose list is among the query's ``nprobe``
+       closest centroids — per-batch work drops by ~``nprobe/nlist``;
+    3. local top-k per batch, tiny global merge (k x num_batches rows).
+
+    Same output shape/tie-breaks as :func:`knn_brute`; recall grows with
+    ``nprobe`` (= exact when ``nprobe == nlist``).
+    """
+    q = _normalize_rows(np.asarray(queries, dtype=np.float64))
+    sample_rows = ds.select_columns([vec_col]).limit(train_sample).take_all()
+    sample = np.asarray([r[vec_col] for r in sample_rows], dtype=np.float64)
+    centers = _kmeans_fit(sample, nlist, seed=seed)
+    # the query's probed lists
+    q_lists = np.argsort(-(q @ centers.T), axis=1)[:, : min(nprobe, len(centers))]
+    state_ref = ray.put((q, centers, q_lists))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        qm, cen, ql = ray.get(state_ref)
+        m = _normalize_rows(_batch_matrix(batch, vec_col))
+        ids = np.asarray(batch.column(id_col).to_pylist())
+        out_q, out_id, out_s = [], [], []
+        if m.shape[0]:
+            assign = np.argmax(m @ cen.T, axis=1)
+            for qi in range(qm.shape[0]):
+                mask = np.isin(assign, ql[qi])
+                if not mask.any():
+                    continue
+                sub, sub_ids = m[mask], ids[mask]
+                s = sub @ qm[qi]
+                topk = min(k, sub.shape[0])
+                idx = np.argpartition(-s, topk - 1)[:topk]
+                order = np.lexsort((sub_ids[idx], -s[idx]))
+                for j in idx[order]:
+                    out_q.append(qi)
+                    out_id.append(int(sub_ids[j]))
+                    out_s.append(float(s[j]))
+        return pa.table({"query_idx": pa.array(out_q, pa.int64()),
+                         id_col: pa.array(out_id, pa.int64()),
+                         "score": pa.array(out_s, pa.float64())})
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    return (
+        partials.sort_values(["query_idx", "score", id_col],
+                             ascending=[True, False, True], kind="mergesort")
+        .groupby("query_idx", as_index=False)
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
 def embedding_neardup(
     ds: ray.data.Dataset,
     cosine_threshold: float = 0.95,

@@ -95,3 +95,27 @@ def test_embedding_neardup_empty():
     res = S.embedding_neardup(ds, cosine_threshold=0.9, bands=4, band_bits=3)
     assert res["pairs"].count() == 0
     assert res["clusters"].count() == 0
+
+
+def test_knn_ivf_recall_and_exactness(clustered_embeddings):
+    m = clustered_embeddings
+    ds = ray.data.from_arrow(_emb_table(m)).repartition(5)
+    q = m[:3]
+    exact = S.knn_brute(ds, q, k=10)
+    # nprobe == nlist -> every list probed -> identical to brute force
+    full = S.knn_ivf(ds, q, k=10, nlist=8, nprobe=8)
+    pd.testing.assert_frame_equal(
+        exact.reset_index(drop=True), full.reset_index(drop=True))
+    # narrow probe: scores are true cosines and recall stays high on the
+    # clustered fixture (the query's own cluster shares its centroid list)
+    approx = S.knn_ivf(ds, q, k=10, nlist=8, nprobe=3)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    for _, r in approx.iterrows():
+        true = float(mn[int(r.vec_id)] @ mn[int(r.query_idx)])
+        assert abs(true - r.score) < 1e-9
+    hits = 0
+    for qi in range(3):
+        top_exact = set(exact[exact.query_idx == qi]["vec_id"].head(10))
+        top_approx = set(approx[approx.query_idx == qi]["vec_id"].head(10))
+        hits += len(top_exact & top_approx)
+    assert hits / 30 >= 0.8, hits
