@@ -321,6 +321,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["score"] = out["score"].round(4)
         return out.sort_values(["score", "vec_id"], ascending=[False, True]).reset_index(drop=True)
 
+    def events_asof_orders(sf_dir):
+        """As-of join: latest order date at-or-before each event, per user."""
+        return A.asof_join_latest(
+            _read(sf_dir, "events"), _read(sf_dir, "orders"),
+            left_key="user_id", right_key="o_custkey",
+            left_ts="ts", right_ts="o_orderdate",
+            left_id="event_id", out_col="asof_order_ts")
+
+    def events_orders_range_count(sf_dir):
+        """Range join: orders of the same user within 7 days before each event."""
+        return A.range_join_count(
+            _read(sf_dir, "events"), _read(sf_dir, "orders"),
+            left_key="user_id", right_key="o_custkey",
+            left_ts="ts", right_ts="o_orderdate",
+            left_id="event_id", window_s=7 * 86400.0,
+            out_col="n_orders_7d")
+
     def events_sessionized(sf_dir):
         """Session windows over events (30-min inactivity gap)."""
         return A.sessionize(_read(sf_dir, "events"), "user_id", "ts", "event_id")
@@ -545,6 +562,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_text_quality": docs_text_quality,
         "docs_lang_counts": docs_lang_counts,
         "embeddings_knn": embeddings_knn,
+        "events_asof_orders": events_asof_orders,
+        "events_orders_range_count": events_orders_range_count,
         "events_sessionized": events_sessionized,
         "events_running_sum": events_running_sum,
         "match_exact_full": match_exact_full,
@@ -785,6 +804,21 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) DESC,
                      b.vec_id
             LIMIT 10
+        """,
+        "events_orders_range_count": """
+            SELECT e.event_id,
+                   CAST(count(o.o_orderkey) AS BIGINT) AS n_orders_7d
+            FROM events e LEFT JOIN orders o
+              ON o.o_custkey = e.user_id
+             AND o.o_orderdate <= e.ts
+             AND o.o_orderdate >= e.ts - INTERVAL 7 DAY
+            GROUP BY e.event_id
+        """,
+        "events_asof_orders": """
+            SELECT e.event_id, max(o.o_orderdate) AS asof_order_ts
+            FROM events e LEFT JOIN orders o
+              ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+            GROUP BY e.event_id
         """,
         "events_sessionized": """
             SELECT event_id,

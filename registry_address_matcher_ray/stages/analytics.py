@@ -281,6 +281,151 @@ def sessionize(
     )
 
 
+def asof_join_latest(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    left_id: str,
+    out_col: str = "asof_ts",
+) -> ray.data.Dataset:
+    """As-of join (custom operator — Ray Data has no native one): for every
+    left row, the LATEST right timestamp at-or-before the left timestamp for
+    the same key (null when none exists).
+
+    Construction: both sides are projected to (key, ts[, id]) and co-shuffled
+    by key through ONE ``groupby(key).map_groups`` over their tagged union —
+    a single all-to-all exchange. Per group the right timestamps are sorted
+    once and every left row resolves via a vectorized ``searchsorted``.
+    Emitting the matched TIMESTAMP (not an arbitrary right id) keeps the
+    semantics deterministic under right-side ties.
+
+    Partitioning assumption: one key's rows fit a task (salt upstream if a
+    key is pathologically hot).
+    """
+    import numpy as np
+    import pandas as pd
+
+    sch = left.schema()
+    id_type = sch.types[sch.names.index(left_id)]
+
+    def _l(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "_k": pc.cast(batch.column(left_key), pa.string()),
+            "_ts": pc.cast(batch.column(left_ts), pa.timestamp("us")),
+            "_id": batch.column(left_id),
+            "_side": pa.array(["L"] * batch.num_rows, pa.string()),
+        })
+
+    def _r(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "_k": pc.cast(batch.column(right_key), pa.string()),
+            "_ts": pc.cast(batch.column(right_ts), pa.timestamp("us")),
+            "_id": pa.nulls(batch.num_rows, id_type),
+            "_side": pa.array(["R"] * batch.num_rows, pa.string()),
+        })
+
+    tagged = left.map_batches(_l, batch_format="pyarrow").union(
+        right.map_batches(_r, batch_format="pyarrow"))
+
+    def _asof(g: "pd.DataFrame") -> "pd.DataFrame":
+        lmask = g["_side"] == "L"
+        lrows = g[lmask]
+        rts = np.sort(g.loc[~lmask, "_ts"].to_numpy())
+        if not len(lrows):
+            return pd.DataFrame({left_id: pd.Series([], dtype=lrows["_id"].dtype),
+                                 out_col: pd.Series([], dtype="datetime64[us]")})
+        lts = lrows["_ts"].to_numpy()
+        if len(rts):
+            pos = np.searchsorted(rts, lts, side="right") - 1
+            vals = np.where(pos >= 0, rts[np.maximum(pos, 0)],
+                            np.datetime64("NaT", "us"))
+        else:
+            vals = np.full(len(lrows), np.datetime64("NaT", "us"))
+        return pd.DataFrame({left_id: lrows["_id"].to_numpy(),
+                             out_col: vals})
+
+    out = tagged.groupby("_k").map_groups(_asof, batch_format="pandas")
+
+    def _cast_id(batch: pa.Table) -> pa.Table:
+        # the tagged union null-pads _id on the right side, which promotes
+        # integer ids to float in pandas groups — restore the original type
+        i = batch.column_names.index(left_id)
+        return batch.set_column(i, left_id, pc.cast(batch.column(left_id), id_type))
+
+    return out.map_batches(_cast_id, batch_format="pyarrow")
+
+
+def range_join_count(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    left_id: str,
+    window_s: float,
+    out_col: str = "n_in_window",
+) -> ray.data.Dataset:
+    """Range join (custom operator): per left row, COUNT of right rows with the
+    same key whose timestamp falls in the trailing window
+    ``[left_ts - window_s, left_ts]``.
+
+    Same single-exchange construction as :func:`asof_join_latest` (tagged
+    union co-shuffled by key); per group the right timestamps sort once and
+    every left row resolves with two vectorized ``searchsorted`` probes —
+    never a per-pair expansion (the naive inequality join is O(n*m) per key).
+    """
+    import numpy as np
+    import pandas as pd
+
+    sch = left.schema()
+    id_type = sch.types[sch.names.index(left_id)]
+    delta = np.timedelta64(int(window_s * 1_000_000), "us")
+
+    def _l(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "_k": pc.cast(batch.column(left_key), pa.string()),
+            "_ts": pc.cast(batch.column(left_ts), pa.timestamp("us")),
+            "_id": batch.column(left_id),
+            "_side": pa.array(["L"] * batch.num_rows, pa.string()),
+        })
+
+    def _r(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "_k": pc.cast(batch.column(right_key), pa.string()),
+            "_ts": pc.cast(batch.column(right_ts), pa.timestamp("us")),
+            "_id": pa.nulls(batch.num_rows, id_type),
+            "_side": pa.array(["R"] * batch.num_rows, pa.string()),
+        })
+
+    tagged = left.map_batches(_l, batch_format="pyarrow").union(
+        right.map_batches(_r, batch_format="pyarrow"))
+
+    def _count(g: "pd.DataFrame") -> "pd.DataFrame":
+        lmask = g["_side"] == "L"
+        lrows = g[lmask]
+        if not len(lrows):
+            return pd.DataFrame({left_id: pd.Series([], dtype=lrows["_id"].dtype),
+                                 out_col: pd.Series([], dtype="int64")})
+        rts = np.sort(g.loc[~lmask, "_ts"].to_numpy())
+        lts = lrows["_ts"].to_numpy()
+        hi = np.searchsorted(rts, lts, side="right")
+        lo = np.searchsorted(rts, lts - delta, side="left")
+        return pd.DataFrame({left_id: lrows["_id"].to_numpy(),
+                             out_col: (hi - lo).astype(np.int64)})
+
+    out = tagged.groupby("_k").map_groups(_count, batch_format="pandas")
+
+    def _cast_id(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index(left_id)
+        return batch.set_column(i, left_id, pc.cast(batch.column(left_id), id_type))
+
+    return out.map_batches(_cast_id, batch_format="pyarrow")
+
+
 def text_stats(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
     """Document text-analysis stage: language-ID, quality features, token counts,
     fingerprint (functions/textfns.py) appended as columns. Stateless map_batches."""
