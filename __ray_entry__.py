@@ -357,6 +357,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .map_groups(_cum, batch_format="pandas")
         )
 
+    def docs_chain_clusters(sf_dir):
+        """Connected components over the gap-chain graph (same-lang docs with
+        doc_id within 3) — gives the distributed CC machinery a hard SQL
+        gaps-and-islands oracle."""
+        return cluster.gap_chain_components(
+            _read(sf_dir, "documents"), "lang", "doc_id", gap=3)
+
     # ---------- flagship linkage operators (rows-only driver check; the exact
     # semantics are pytest-gated against the pandas oracle in tests/) ----------
 
@@ -566,6 +573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_orders_range_count": events_orders_range_count,
         "events_sessionized": events_sessionized,
         "events_running_sum": events_running_sum,
+        "docs_chain_clusters": docs_chain_clusters,
         "match_exact_full": match_exact_full,
         "match_exact_key_p2": match_exact_key_p2,
         "match_exact_pairs": match_exact_pairs,
@@ -819,6 +827,22 @@ def oracle_sql() -> dict[str, str]:
             FROM events e LEFT JOIN orders o
               ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
             GROUP BY e.event_id
+        """,
+        "docs_chain_clusters": """
+            WITH s AS (
+                SELECT doc_id, lang,
+                       CASE WHEN doc_id - lag(doc_id) OVER
+                                 (PARTITION BY lang ORDER BY doc_id) <= 3
+                            THEN 0 ELSE 1 END AS brk
+                FROM documents
+            ), seg AS (
+                SELECT doc_id, lang,
+                       sum(brk) OVER (PARTITION BY lang ORDER BY doc_id) AS seg_id
+                FROM s
+            )
+            SELECT doc_id AS node,
+                   min(doc_id) OVER (PARTITION BY lang, seg_id) AS cluster_id
+            FROM seg
         """,
         "events_sessionized": """
             SELECT event_id,

@@ -255,3 +255,61 @@ def assign_clusters(
         # one edge per match row; on a materialized input count() is metadata
         kwargs["n_edges_hint"] = matches.count()
     return connected_components(edges, "src", "dst", **kwargs)
+
+
+def gap_chain_components(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ord_col: str,
+    gap: int,
+    **cc_kwargs,
+) -> ray.data.Dataset:
+    """Cluster rows of ``ds`` into components of the gap-chain graph: two rows
+    with the same ``key_col`` are linked when their integer ``ord_col`` values
+    are within ``gap`` of each other along the sorted order (the graph form of
+    SQL gaps-and-islands — which is exactly what makes this operator
+    SQL-oracle-checkable: components equal the lag()/running-sum islands).
+
+    Every row also gets a self-edge, so singletons appear in the output as
+    their own cluster. Returns ``(node, cluster_id)`` as int64 with
+    ``cluster_id`` = numeric min node per component (node ids are zero-padded
+    before entering :func:`connected_components`, whose min is lexicographic).
+
+    Partitioning assumption: one key's rows fit a ``map_groups`` task — the
+    edge build is per-key; the clustering itself is the fully distributed
+    :func:`connected_components`.
+    """
+    import numpy as np
+
+    W = 20
+    proj = ds.select_columns([key_col, ord_col])
+
+    def _self_edges(batch: pa.Table) -> pa.Table:
+        s = pc.utf8_lpad(
+            pc.cast(pc.cast(batch.column(ord_col), pa.int64()), pa.string()), W, "0"
+        )
+        return pa.table({"src": s, "dst": s})
+
+    def _chain(g: pd.DataFrame) -> pa.Table:
+        # returns Arrow so the union with the Arrow self-edge blocks stays
+        # single-block-type (Ray cannot union pandas blocks with arrow blocks)
+        ids = np.sort(g[ord_col].to_numpy().astype(np.int64))
+        if len(ids) < 2:
+            return pa.table({"src": pa.array([], pa.string()),
+                             "dst": pa.array([], pa.string())})
+        m = (ids[1:] - ids[:-1]) <= gap
+        pad = lambda a: pa.array(pd.Series(a).astype(str).str.zfill(W))
+        return pa.table({"src": pad(ids[:-1][m]), "dst": pad(ids[1:][m])})
+
+    edges = proj.map_batches(_self_edges, batch_format="pyarrow").union(
+        proj.groupby(key_col).map_groups(_chain, batch_format="pandas")
+    )
+    cc = connected_components(edges, "src", "dst", **cc_kwargs)
+
+    def _back(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pc.cast(batch.column("node"), pa.int64()),
+            "cluster_id": pc.cast(batch.column("cluster_id"), pa.int64()),
+        })
+
+    return cc.map_batches(_back, batch_format="pyarrow")

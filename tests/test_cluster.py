@@ -89,3 +89,35 @@ def test_assign_clusters_bipartite(fixtures_small):
     # cluster ids are the min node id of each component (deterministic labels)
     by_cluster = clusters.groupby("cluster_id")["node"].min()
     assert (by_cluster.index == by_cluster.values).all()
+
+
+@pytest.mark.parametrize("small_threshold", [10**9, 0])
+def test_gap_chain_components_matches_islands(small_threshold):
+    """gap_chain_components == pandas gaps-and-islands, both CC paths."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    ids = np.sort(rng.choice(5000, size=600, replace=False))
+    keys = rng.choice(list("abc"), size=600)
+    df = pd.DataFrame({"k": keys, "i": ids})
+
+    got = (
+        cluster.gap_chain_components(
+            rd.from_pandas(df), "k", "i", gap=4,
+            small_threshold=small_threshold, num_partitions=4)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+
+    exp_parts = []
+    for _, g in df.groupby("k"):
+        g = g.sort_values("i")
+        brk = (g["i"].diff() > 4) | g["i"].diff().isna()
+        seg = brk.cumsum()
+        exp_parts.append(pd.DataFrame({
+            "node": g["i"].values,
+            "cluster_id": g.groupby(seg)["i"].transform("min").values,
+        }))
+    exp = pd.concat(exp_parts).sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
