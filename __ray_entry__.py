@@ -364,6 +364,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return cluster.gap_chain_components(
             _read(sf_dir, "documents"), "lang", "doc_id", gap=3)
 
+    def docs_split_assign(sf_dir):
+        """Deterministic md5-hash train/val/test split (~80/10/10)."""
+        from registry_address_matcher_ray.stages import sampling
+        return sampling.hash_split(_read(sf_dir, "documents"), "doc_id")
+
+    def docs_hash_sample(sf_dir):
+        """~10% deterministic stratified sample (md5 hex threshold)."""
+        from registry_address_matcher_ray.stages import sampling
+        return sampling.stratified_hash_sample(
+            _read(sf_dir, "documents").select_columns(["doc_id", "lang"]), "doc_id")
+
+    def orders_latest3_per_cust(sf_dir):
+        """Per-key capped retention: 3 most recent orders per customer."""
+        from registry_address_matcher_ray.stages import sampling
+        return sampling.per_key_topn(
+            _read(sf_dir, "orders"), "o_custkey",
+            order_by=[("o_orderdate", True), ("o_orderkey", False)], n=3,
+            columns=["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def docs_top_tokens(sf_dir):
+        """Corpus-wide 20 most frequent tokens."""
+        return A.top_tokens(_read(sf_dir, "documents"), "text", 20)
+
     # ---------- flagship linkage operators (rows-only driver check; the exact
     # semantics are pytest-gated against the pandas oracle in tests/) ----------
 
@@ -574,6 +597,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionized": events_sessionized,
         "events_running_sum": events_running_sum,
         "docs_chain_clusters": docs_chain_clusters,
+        "docs_split_assign": docs_split_assign,
+        "docs_hash_sample": docs_hash_sample,
+        "orders_latest3_per_cust": orders_latest3_per_cust,
+        "docs_top_tokens": docs_top_tokens,
         "match_exact_full": match_exact_full,
         "match_exact_key_p2": match_exact_key_p2,
         "match_exact_pairs": match_exact_pairs,
@@ -827,6 +854,37 @@ def oracle_sql() -> dict[str, str]:
             FROM events e LEFT JOIN orders o
               ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
             GROUP BY e.event_id
+        """,
+        "docs_split_assign": """
+            SELECT doc_id,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+                             THEN 'train'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+                             THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "docs_hash_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999'
+        """,
+        "orders_latest3_per_cust": """
+            SELECT o_custkey, o_orderkey, o_orderdate FROM (
+                SELECT o_custkey, o_orderkey, o_orderdate,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate DESC,
+                                                   o_orderkey ASC) AS rn
+                FROM orders) t
+            WHERE rn <= 3
+        """,
+        "docs_top_tokens": """
+            SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
+            FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+                  FROM documents) t
+            WHERE token <> ''
+            GROUP BY token
+            ORDER BY n_occurrences DESC, token ASC
+            LIMIT 20
         """,
         "docs_chain_clusters": """
             WITH s AS (

@@ -441,3 +441,30 @@ def text_stats(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset
         return out
 
     return ds.map_batches(_stats, batch_format="pyarrow")
+
+
+def top_tokens(ds: ray.data.Dataset, text_col: str, k: int) -> ray.data.Dataset:
+    """Corpus-wide top-k tokens: lowercase, split on single spaces, drop
+    empties. Per-batch partial counts (pandas explode + value_counts, all
+    vectorized) so the groupby shuffle moves one row per (batch, distinct
+    token) — not one per token occurrence; final global top-k is a sort over
+    the (small) distinct-token aggregate with token-asc tie-break.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def _partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        counts = (
+            df[text_col].str.lower().str.split(" ").explode()
+        )
+        counts = counts[counts != ""].value_counts()
+        return pd.DataFrame({"token": counts.index, "cnt": counts.values})
+
+    agg = (
+        ds.select_columns([text_col])
+        .map_batches(_partial, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="n_occurrences"))
+    )
+    return agg.sort(["n_occurrences", "token"], descending=[True, False]).limit(k)
