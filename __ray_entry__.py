@@ -387,6 +387,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """Corpus-wide 20 most frequent tokens."""
         return A.top_tokens(_read(sf_dir, "documents"), "text", 20)
 
+    def orders_price_quantiles(sf_dir):
+        """Exact p25/p50/p75/p90 via one distributed sort + O(1) row picks."""
+        qv = A.exact_quantiles(
+            _read(sf_dir, "orders"), "o_totalprice", [0.25, 0.5, 0.75, 0.9])
+        return pd.DataFrame([{
+            "p25": qv[0.25], "p50": qv[0.5], "p75": qv[0.75], "p90": qv[0.9]}])
+
+    def docs_token_docfreq(sf_dir):
+        """Top-20 tokens by document frequency (docs containing the token)."""
+        return A.token_doc_frequency(_read(sf_dir, "documents"), "doc_id", "text", 20)
+
+    def events_type_hour_pivot(sf_dir):
+        """Cross-tab: hour-of-day rows x event-type count columns (wide pivot)."""
+        import pyarrow.compute as _pc
+
+        return A.crosstab_counts(
+            _read(sf_dir, "events").select_columns(["ts", "event_type"]),
+            row_col="hour", cat_col="event_type",
+            categories=["click", "error", "purchase", "signup", "view"],
+            row_fn=lambda b: _pc.cast(_pc.hour(b.column("ts")), pa.int64()),
+        )
+
     # ---------- flagship linkage operators (rows-only driver check; the exact
     # semantics are pytest-gated against the pandas oracle in tests/) ----------
 
@@ -601,6 +623,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_hash_sample": docs_hash_sample,
         "orders_latest3_per_cust": orders_latest3_per_cust,
         "docs_top_tokens": docs_top_tokens,
+        "orders_price_quantiles": orders_price_quantiles,
+        "docs_token_docfreq": docs_token_docfreq,
+        "events_type_hour_pivot": events_type_hour_pivot,
         "match_exact_full": match_exact_full,
         "match_exact_key_p2": match_exact_key_p2,
         "match_exact_pairs": match_exact_pairs,
@@ -885,6 +910,32 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY token
             ORDER BY n_occurrences DESC, token ASC
             LIMIT 20
+        """,
+        "orders_price_quantiles": """
+            SELECT quantile_disc(o_totalprice, 0.25) AS p25,
+                   quantile_disc(o_totalprice, 0.5)  AS p50,
+                   quantile_disc(o_totalprice, 0.75) AS p75,
+                   quantile_disc(o_totalprice, 0.9)  AS p90
+            FROM orders
+        """,
+        "docs_token_docfreq": """
+            SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+            FROM (SELECT doc_id,
+                         unnest(string_split(lower(text), ' ')) AS token
+                  FROM documents) t
+            WHERE token <> ''
+            GROUP BY token
+            ORDER BY doc_freq DESC, token ASC
+            LIMIT 20
+        """,
+        "events_type_hour_pivot": """
+            SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hour,
+                   CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+            FROM events GROUP BY 1
         """,
         "docs_chain_clusters": """
             WITH s AS (

@@ -443,6 +443,94 @@ def text_stats(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset
     return ds.map_batches(_stats, batch_format="pyarrow")
 
 
+def exact_quantiles(
+    ds: ray.data.Dataset, col: str, qs: Sequence[float]
+) -> dict[float, float]:
+    """Exact discrete quantiles: ONE distributed sort + O(len(qs)) row picks.
+
+    Nearest-rank semantics (index ``ceil(q*n) - 1``), matching DuckDB's
+    ``quantile_disc``; values are actual data elements (no interpolation), so
+    the result is bit-identical to the SQL oracle. Driver transfer is
+    O(len(qs)) rows via ``split_at_indices`` + ``take(1)`` per pick — never
+    O(n) (generalizes the scale-safe median of :func:`score_stats`).
+    """
+    n = ds.count()
+    if not n:
+        return {q: None for q in qs}
+    want = {q: max(0, math.ceil(q * n) - 1) for q in qs}
+    idxs = sorted(set(want.values()))
+    s = ds.select_columns([col]).sort(col)
+    parts = s.split_at_indices(idxs)
+    # parts[k+1] starts at global sorted index idxs[k]; read only its head row
+    at = {i: parts[k + 1].take(1)[0][col] for k, i in enumerate(idxs)}
+    return {q: at[i] for q, i in want.items()}
+
+
+def token_doc_frequency(
+    ds: ray.data.Dataset, id_col: str, text_col: str, k: int
+) -> ray.data.Dataset:
+    """Token document-frequency top-k: number of DOCUMENTS containing each
+    token (lowercase, single-space split, empties dropped).
+
+    Rows are whole documents, so per-batch (doc, token) dedup is exact; the
+    groupby shuffle moves one row per (batch, distinct token) — never one per
+    occurrence. Output (token, doc_freq) sorted df-desc, token-asc.
+    """
+    import pandas as pd
+
+    def _partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        s = df[text_col].str.lower().str.split(" ").explode()
+        s = s[s != ""]
+        pairs = pd.DataFrame({"i": s.index, "token": s.values}).drop_duplicates()
+        counts = pairs["token"].value_counts()
+        return pd.DataFrame({"token": counts.index, "cnt": counts.values})
+
+    agg = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(_partial, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="doc_freq"))
+    )
+    return agg.sort(["doc_freq", "token"], descending=[True, False]).limit(k)
+
+
+def crosstab_counts(
+    ds: ray.data.Dataset,
+    row_col: str,
+    cat_col: str,
+    categories: Optional[Sequence[str]] = None,
+    row_fn=None,
+) -> ray.data.Dataset:
+    """Pivot / cross-tab: counts of ``cat_col`` values per ``row_col`` group,
+    one output column ``n_<cat>`` per category (wide layout).
+
+    Implemented as per-batch indicator columns + a single ``groupby(row).sum``
+    — the shuffle carries one row per (block, distinct row key), not one per
+    input row. ``categories`` bounds the width; when None it is discovered via
+    a distinct-key aggregate (small gather — assumes a bounded category
+    vocabulary, the same premise as any pivot). ``row_fn(batch) -> Array``
+    optionally derives the row key from the batch (e.g. hour-of-timestamp).
+    """
+    if categories is None:
+        cats = ds.groupby(cat_col).count().to_pandas()[cat_col].tolist()
+        categories = sorted(str(c) for c in cats)
+
+    def _indicators(batch: pa.Table) -> pa.Table:
+        key = row_fn(batch) if row_fn is not None else batch.column(row_col)
+        cols = {row_col: key}
+        cat = batch.column(cat_col)
+        for c in categories:
+            cols[f"n_{c}"] = pc.cast(pc.equal(cat, c), pa.int64())
+        return pa.table(cols)
+
+    agg = (
+        ds.map_batches(_indicators, batch_format="pyarrow")
+        .groupby(row_col)
+        .aggregate(*[Sum(f"n_{c}", alias_name=f"n_{c}") for c in categories])
+    )
+    return agg
+
+
 def top_tokens(ds: ray.data.Dataset, text_col: str, k: int) -> ray.data.Dataset:
     """Corpus-wide top-k tokens: lowercase, split on single spaces, drop
     empties. Per-batch partial counts (pandas explode + value_counts, all

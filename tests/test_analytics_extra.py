@@ -1,0 +1,94 @@
+"""Unit tests for exact_quantiles / token_doc_frequency / crosstab_counts
+(round-2 additions; each also has a DuckDB oracle in __ray_entry__)."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+import ray.data
+
+from registry_address_matcher_ray.stages import analytics as A
+
+
+@pytest.mark.parametrize("n", [1, 2, 7, 100, 1001])
+def test_exact_quantiles_nearest_rank(n):
+    rng = np.random.default_rng(n)
+    vals = rng.integers(0, 1_000_000, size=n).astype("float64")
+    ds = ray.data.from_arrow(pa.table({"x": vals})).repartition(4)
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 1.0]
+    got = A.exact_quantiles(ds, "x", qs)
+    srt = np.sort(vals)
+    for q in qs:
+        assert got[q] == srt[max(0, math.ceil(q * n) - 1)], (n, q)
+
+
+def test_exact_quantiles_empty():
+    ds = ray.data.from_arrow(pa.table({"x": pa.array([], type=pa.float64())}))
+    assert A.exact_quantiles(ds, "x", [0.5]) == {0.5: None}
+
+
+def test_token_doc_frequency_vs_pandas():
+    docs = pd.DataFrame({
+        "doc_id": range(6),
+        "text": [
+            "the cat sat", "the the the dog", "a cat", "", "dog dog cat",
+            "The CAT",  # case-folded
+        ],
+    })
+    ds = ray.data.from_pandas(docs).repartition(3)
+    got = A.token_doc_frequency(ds, "doc_id", "text", 10).to_pandas()
+    # pandas oracle: distinct (doc, token) pairs
+    s = docs.set_index("doc_id")["text"].str.lower().str.split(" ").explode()
+    s = s[s != ""].dropna()
+    want = (
+        s.reset_index().drop_duplicates()["text"].value_counts()
+        .rename_axis("token").reset_index(name="doc_freq")
+        .sort_values(["doc_freq", "token"], ascending=[False, True])
+        .head(10).reset_index(drop=True)
+    )
+    got = got.sort_values(["doc_freq", "token"], ascending=[False, True]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["token", "doc_freq"]], want[["token", "doc_freq"]], check_dtype=False)
+    assert int(got.set_index("token").loc["cat", "doc_freq"]) == 4
+    assert int(got.set_index("token").loc["the", "doc_freq"]) == 3
+
+
+def test_crosstab_counts_vs_pandas():
+    rng = np.random.default_rng(7)
+    n = 500
+    df = pd.DataFrame({
+        "g": rng.integers(0, 4, size=n),
+        "cat": rng.choice(["a", "b", "c"], size=n),
+    })
+    ds = ray.data.from_pandas(df).repartition(5)
+    got = (
+        A.crosstab_counts(ds, "g", "cat", categories=["a", "b", "c"])
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    )
+    want = pd.crosstab(df["g"], df["cat"]).reset_index()
+    for c in ["a", "b", "c"]:
+        assert (got[f"n_{c}"].values == want[c].values).all()
+
+
+def test_crosstab_discovers_categories():
+    df = pd.DataFrame({"g": [1, 1, 2], "cat": ["x", "y", "x"]})
+    got = A.crosstab_counts(ray.data.from_pandas(df), "g", "cat").to_pandas()
+    assert set(got.columns) == {"g", "n_x", "n_y"}
+    assert int(got.set_index("g").loc[1, "n_x"]) == 1
+    assert int(got.set_index("g").loc[2, "n_x"]) == 1
+
+
+def test_crosstab_row_fn_derived_key():
+    ts = pa.array(
+        pd.to_datetime(["2024-01-01 03:15", "2024-01-01 03:45", "2024-01-01 17:00"]))
+    t = pa.table({"ts": ts, "cat": ["a", "a", "b"]})
+    got = (
+        A.crosstab_counts(
+            ray.data.from_arrow(t), "hour", "cat", categories=["a", "b"],
+            row_fn=lambda b: pc.cast(pc.hour(b.column("ts")), pa.int64()))
+        .to_pandas().set_index("hour")
+    )
+    assert int(got.loc[3, "n_a"]) == 2 and int(got.loc[17, "n_b"]) == 1
