@@ -237,22 +237,33 @@ def engine_variant_matches(
     cad_table_ref,
     threshold_poor: float = THRESHOLD_POOR,
     max_results: int = MAX_RESULTS,
-    concurrency=(1, 8),
     batch_size: int = 2048,
 ) -> ray.data.Dataset:
     """Engine-variant matching over preprocessed SPR rows vs a broadcast cadastre.
 
-    ``cad_table_ref``: ``ray.put`` of the table from
-    :func:`..stages.matching.build_cad_block_table` extended with ``SEARCH_KEY``
-    (use :func:`build_engine_cad_table`).
+    ``cad_table_ref``: ``ray.put`` / ``put_broadcast`` of the table from
+    :func:`build_engine_cad_table`. Runs as stateless TASKS with the index
+    built once per worker process (``matching._worker_state``), not an actor
+    pool: task specs carry only the wrapped ref (no object-store constructor
+    args — ray issue 53727), task retries survive worker loss, and warm
+    workers from earlier stages are reused instead of paying a pool spawn.
     """
-    return spr.map_batches(
-        EngineVariantActor,
-        fn_constructor_args=(cad_table_ref, threshold_poor, max_results),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
+    from .matching import BroadcastRef, _worker_state
+
+    if isinstance(cad_table_ref, BroadcastRef):
+        ref = cad_table_ref
+    elif isinstance(cad_table_ref, ray.ObjectRef):
+        ref = BroadcastRef(cad_table_ref)
+    else:
+        ref = BroadcastRef(ray.put(cad_table_ref))
+    key = ("engine_variant", ref.ref.hex(), float(threshold_poor), int(max_results))
+
+    def _match(batch: pa.Table) -> pa.Table:
+        st = _worker_state(
+            key, lambda: EngineVariantActor(ref, threshold_poor, max_results))
+        return st(batch)
+
+    return spr.map_batches(_match, batch_format="pyarrow", batch_size=batch_size)
 
 
 def build_engine_cad_table(cad: ray.data.Dataset) -> pa.Table:
