@@ -398,6 +398,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """Top-20 tokens by document frequency (docs containing the token)."""
         return A.token_doc_frequency(_read(sf_dir, "documents"), "doc_id", "text", 20)
 
+    def orders_prio_price_quantiles(sf_dir):
+        """Per-orderpriority exact p25/p50/p90 of o_totalprice."""
+        return A.grouped_quantiles(
+            _read(sf_dir, "orders"), "o_orderpriority", "o_totalprice",
+            [0.25, 0.5, 0.9])
+
+    def lineitem_weighted_discount(sf_dir):
+        """Quantity-weighted mean discount per returnflag."""
+        return A.weighted_mean(
+            _read(sf_dir, "lineitem"), "l_returnflag", "l_discount",
+            "l_quantity", alias="wavg_discount")
+
     def events_type_hour_pivot(sf_dir):
         """Cross-tab: hour-of-day rows x event-type count columns (wide pivot)."""
         import pyarrow.compute as _pc
@@ -626,6 +638,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_price_quantiles": orders_price_quantiles,
         "docs_token_docfreq": docs_token_docfreq,
         "events_type_hour_pivot": events_type_hour_pivot,
+        "orders_prio_price_quantiles": orders_prio_price_quantiles,
+        "lineitem_weighted_discount": lineitem_weighted_discount,
         "match_exact_full": match_exact_full,
         "match_exact_key_p2": match_exact_key_p2,
         "match_exact_pairs": match_exact_pairs,
@@ -927,6 +941,19 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY token
             ORDER BY doc_freq DESC, token ASC
             LIMIT 20
+        """,
+        "orders_prio_price_quantiles": """
+            SELECT o_orderpriority,
+                   quantile_disc(o_totalprice, 0.25) AS p25,
+                   quantile_disc(o_totalprice, 0.5)  AS p50,
+                   quantile_disc(o_totalprice, 0.9)  AS p90
+            FROM orders GROUP BY 1
+        """,
+        "lineitem_weighted_discount": """
+            SELECT l_returnflag,
+                   round(sum(CAST(l_quantity AS DOUBLE) * CAST(l_discount AS DOUBLE))
+                         / sum(CAST(l_quantity AS DOUBLE)), 6) AS wavg_discount
+            FROM lineitem GROUP BY 1
         """,
         "events_type_hour_pivot": """
             SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hour,

@@ -23,6 +23,7 @@ from __future__ import annotations
 import math
 from typing import Iterable, List, Optional, Sequence
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -529,6 +530,70 @@ def crosstab_counts(
         .aggregate(*[Sum(f"n_{c}", alias_name=f"n_{c}") for c in categories])
     )
     return agg
+
+
+def grouped_quantiles(
+    ds: ray.data.Dataset, group_col: str, val_col: str, qs: Sequence[float]
+) -> ray.data.Dataset:
+    """Per-group exact discrete quantiles (``quantile_disc`` nearest-rank
+    semantics, like :func:`exact_quantiles`), one row per group with a
+    ``p<q*100>`` column per quantile.
+
+    ``groupby().map_groups`` — each group sorts locally in its own task, so
+    this assumes per-group data fits a worker (bounded-cardinality /
+    bounded-group premise; for mega-groups use :func:`exact_quantiles` per
+    key). Values are actual data elements — bit-identical to the SQL oracle.
+    """
+    import pandas as pd
+
+    def _q(df: "pd.DataFrame") -> "pd.DataFrame":
+        v = np.sort(df[val_col].to_numpy())
+        n = len(v)
+        out = {group_col: [df[group_col].iloc[0]]}
+        for q in qs:
+            out[f"p{int(round(q * 100))}"] = [v[max(0, math.ceil(q * n) - 1)]]
+        return pd.DataFrame(out)
+
+    return ds.select_columns([group_col, val_col]).groupby(group_col).map_groups(
+        _q, batch_format="pandas")
+
+
+def weighted_mean(
+    ds: ray.data.Dataset,
+    group_col: str,
+    val_col: str,
+    weight_col: str,
+    alias: str = "wavg",
+    ndigits: int = 6,
+) -> ray.data.Dataset:
+    """Per-group weighted mean sum(w*x)/sum(w): per-batch product columns +
+    Ray's partially-aggregated groupby-Sum — the shuffle carries one partial
+    row per (block, group), never raw rows. Rounded on both sides (oracle too)
+    so the check is insensitive to summation order."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        w = pc.cast(batch.column(weight_col), pa.float64())
+        x = pc.cast(batch.column(val_col), pa.float64())
+        return pa.table({
+            group_col: batch.column(group_col),
+            "_wx": pc.multiply(w, x), "_w": w,
+        })
+
+    g = (
+        ds.select_columns([group_col, val_col, weight_col])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(Sum("_wx", alias_name="_swx"), Sum("_w", alias_name="_sw"))
+    )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            group_col: batch.column(group_col),
+            alias: pc.round(
+                pc.divide(batch.column("_swx"), batch.column("_sw")), ndigits=ndigits),
+        })
+
+    return g.map_batches(_final, batch_format="pyarrow")
 
 
 def top_tokens(ds: ray.data.Dataset, text_col: str, k: int) -> ray.data.Dataset:

@@ -92,3 +92,35 @@ def test_crosstab_row_fn_derived_key():
         .to_pandas().set_index("hour")
     )
     assert int(got.loc[3, "n_a"]) == 2 and int(got.loc[17, "n_b"]) == 1
+
+
+def test_grouped_quantiles_vs_numpy():
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], size=300),
+        "x": rng.normal(size=300),
+    })
+    ds = ray.data.from_pandas(df).repartition(4)
+    got = (
+        A.grouped_quantiles(ds, "g", "x", [0.25, 0.5, 0.9])
+        .to_pandas().set_index("g").sort_index()
+    )
+    for g, sub in df.groupby("g"):
+        v = np.sort(sub["x"].to_numpy())
+        n = len(v)
+        for q, col in [(0.25, "p25"), (0.5, "p50"), (0.9, "p90")]:
+            assert got.loc[g, col] == v[max(0, math.ceil(q * n) - 1)], (g, q)
+
+
+def test_weighted_mean_vs_pandas():
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame({
+        "g": rng.choice(["x", "y"], size=400),
+        "v": rng.uniform(0, 1, size=400),
+        "w": rng.uniform(1, 10, size=400),
+    })
+    ds = ray.data.from_pandas(df).repartition(5)
+    got = A.weighted_mean(ds, "g", "v", "w", alias="wm").to_pandas().set_index("g")
+    for g, sub in df.groupby("g"):
+        want = round((sub.v * sub.w).sum() / sub.w.sum(), 6)
+        assert abs(got.loc[g, "wm"] - want) < 1e-9, g
