@@ -174,9 +174,13 @@ class FrameSampleActor(_MediaActor):
 
 
 def _pool(ds: ray.data.Dataset, actor, batch_size: int, concurrency, **kw):
+    # max_restarts=0: Ray 2.49 MapWorker restart crash-loops (src_fn_name
+    # AttributeError) and triggers the ray#53727 constructor-arg warning; task
+    # retries at the Dataset layer are the recovery path instead.
     return ds.map_batches(
         actor, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, fn_constructor_kwargs=kw,
+        max_restarts=0, max_task_retries=0,
     )
 
 
