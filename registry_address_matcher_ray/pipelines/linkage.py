@@ -130,16 +130,26 @@ def cluster_matches(
     )
 
 
+def _as_registry(src, name: str) -> ray.data.Dataset:
+    """Accept a parquet path or an already-read Dataset (CSV/JSONL/any source);
+    either way the required-column schema check runs at ingest."""
+    if isinstance(src, ray.data.Dataset):
+        rio.validate_registry_schema(src.schema(), name)
+        return src
+    return rio.read_registry(src, name)
+
+
 def run_linkage(
-    spr_path: str,
-    cad_path: str,
+    spr_path,
+    cad_path,
     out_dir: Optional[str] = None,
     config: Optional[PipelineConfig] = None,
 ) -> dict:
-    """Registry parquet paths in; match pairs + clusters out (written if out_dir)."""
+    """Registry parquet paths (or pre-read Datasets) in; match pairs + clusters
+    out (written if out_dir)."""
     cfg = config or PipelineConfig()
-    spr = rio.read_registry(spr_path, "SPR")
-    cad = rio.read_registry(cad_path, "Cadastre")
+    spr = _as_registry(spr_path, "SPR")
+    cad = _as_registry(cad_path, "Cadastre")
     matches = match_registries(spr, cad, cfg).materialize()
     clusters = cluster_matches(matches, cfg).materialize()
     result = {"matches": matches, "clusters": clusters}

@@ -60,6 +60,40 @@ def read_registry_csv(path: str, registry_name: str = "registry") -> ray.data.Da
     return ds
 
 
+def read_registry_jsonl(path: str, registry_name: str = "registry") -> ray.data.Dataset:
+    """Read a registry from JSON-lines (one object per line — the webtext
+    interchange format; same required-column validation as :func:`read_registry`)."""
+    ds = ray.data.read_json(path)
+    validate_registry_schema(ds.schema(), registry_name)
+    return ds
+
+
+def read_jsonl(path: str, columns: Optional[Iterable[str]] = None) -> ray.data.Dataset:
+    """Generic JSON-lines reader (documents/pages dumps). Column pruning happens
+    after parse — JSONL has no columnar projection, prefer parquet at scale."""
+    ds = ray.data.read_json(path)
+    if columns:
+        ds = ds.select_columns(list(columns))
+    return ds
+
+
+def write_jsonl_dataset(ds: ray.data.Dataset, out_dir: str) -> str:
+    """JSON-lines sink with the same atomic tmp-dir + rename protocol as
+    :func:`write_dataset` (export/interchange format; parquet is primary)."""
+    parent = os.path.dirname(os.path.abspath(out_dir)) or "."
+    os.makedirs(parent, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix=".staging-", dir=parent)
+    try:
+        ds.write_json(tmp)
+        if os.path.exists(out_dir):
+            shutil.rmtree(out_dir)
+        os.rename(tmp, out_dir)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    return out_dir
+
+
 def read_pages(path: str, columns: Optional[Iterable[str]] = None) -> ray.data.Dataset:
     """Read a Common-Crawl-style pages table (url, warc_ts, html, text, lang)."""
     return ray.data.read_parquet(path, columns=list(columns) if columns else None)

@@ -82,6 +82,36 @@ def test_export_package_contents(registries):
         assert json.loads(zf.read("match_statistics.json")) == stats
 
 
+def test_jsonl_reader_roundtrip_and_schema(registries):
+    t, d = registries
+    spr = t["registry_spr"].to_pandas()
+    jl = str(d / "spr.jsonl")
+    spr.to_json(jl, orient="records", lines=True)
+    ds = rio.read_registry_jsonl(jl, "SPR")
+    got = ds.to_pandas().sort_values("ADDRESS_ID").reset_index(drop=True)
+    exp = spr.sort_values("ADDRESS_ID").reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert (got["STREET_NAME"].fillna("") == exp["STREET_NAME"].fillna("")).all()
+
+    bad = str(d / "bad.jsonl")
+    spr.drop(columns=["BUILDING"]).to_json(bad, orient="records", lines=True)
+    with pytest.raises(rio.SchemaValidationError):
+        rio.read_registry_jsonl(bad, "SPR")
+
+
+def test_jsonl_sink_roundtrip(registries):
+    import ray.data
+
+    t, d = registries
+    ds = ray.data.from_arrow(t["registry_cad"]).repartition(3)
+    out = rio.write_jsonl_dataset(ds, str(d / "jsonl_out"))
+    back = rio.read_jsonl(out, columns=["ADDRESS_ID", "STREET_NAME"]).to_pandas()
+    assert len(back) == t["registry_cad"].num_rows
+    assert set(back.columns) == {"ADDRESS_ID", "STREET_NAME"}
+    exp = t["registry_cad"].to_pandas()
+    assert sorted(back["ADDRESS_ID"]) == sorted(exp["ADDRESS_ID"])
+
+
 def test_csv_sink_roundtrip(registries):
     import ray.data
 
