@@ -410,6 +410,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "lineitem"), "l_returnflag", "l_discount",
             "l_quantity", alias="wavg_discount")
 
+    def lineitem_rollup(sf_dir):
+        """ROLLUP(returnflag, linestatus): count + sum(quantity) at all levels."""
+        return A.rollup_agg(
+            _read(sf_dir, "lineitem"), ["l_returnflag", "l_linestatus"],
+            "l_quantity", sum_alias="sum_qty")
+
     def events_type_hour_pivot(sf_dir):
         """Cross-tab: hour-of-day rows x event-type count columns (wide pivot)."""
         import pyarrow.compute as _pc
@@ -640,6 +646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_hour_pivot": events_type_hour_pivot,
         "orders_prio_price_quantiles": orders_prio_price_quantiles,
         "lineitem_weighted_discount": lineitem_weighted_discount,
+        "lineitem_rollup": lineitem_rollup,
         "match_exact_full": match_exact_full,
         "match_exact_key_p2": match_exact_key_p2,
         "match_exact_pairs": match_exact_pairs,
@@ -954,6 +961,14 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(CAST(l_quantity AS DOUBLE) * CAST(l_discount AS DOUBLE))
                          / sum(CAST(l_quantity AS DOUBLE)), 6) AS wavg_discount
             FROM lineitem GROUP BY 1
+        """,
+        "lineitem_rollup": """
+            SELECT CAST(l_returnflag AS VARCHAR) AS l_returnflag,
+                   CAST(l_linestatus AS VARCHAR) AS l_linestatus,
+                   count(*) AS cnt,
+                   round(sum(CAST(l_quantity AS DOUBLE)), 2) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
         """,
         "events_type_hour_pivot": """
             SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hour,

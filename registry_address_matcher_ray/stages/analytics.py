@@ -596,6 +596,65 @@ def weighted_mean(
     return g.map_batches(_final, batch_format="pyarrow")
 
 
+def rollup_agg(
+    ds: ray.data.Dataset,
+    cols: Sequence[str],
+    val_col: str,
+    sum_alias: str = "sum_val",
+    ndigits: int = 2,
+) -> ray.data.Dataset:
+    """``GROUP BY ROLLUP(a, b)`` hierarchical aggregate: count + sum at the
+    finest level, each prefix level, and the grand total, with SQL ROLLUP's
+    NULL-filled rolled-up keys.
+
+    Scale shape: ONE partially-aggregated shuffle over the raw data (the
+    finest groupby); every coarser level re-aggregates the already-tiny
+    finest result — no second pass over the input. Sums rounded on both
+    sides (oracle too) so the check is insensitive to summation order.
+    """
+    a, b = cols
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            a: pc.cast(batch.column(a), pa.string()),
+            b: pc.cast(batch.column(b), pa.string()),
+            "cnt": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            "_v": pc.cast(batch.column(val_col), pa.float64()),
+        })
+
+    finest = (
+        ds.select_columns([a, b, val_col])
+        .map_batches(_prep, batch_format="pyarrow")
+        .groupby([a, b])
+        .aggregate(Sum("cnt", alias_name="cnt"), Sum("_v", alias_name="_s"))
+    )
+    lvl1 = finest.groupby(a).aggregate(
+        Sum("cnt", alias_name="cnt"), Sum("_s", alias_name="_s"))
+    total = finest.aggregate(Sum("cnt", alias_name="cnt"), Sum("_s", alias_name="_s"))
+
+    def _final(keep_a: bool, keep_b: bool):
+        def _f(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table({
+                a: pc.cast(batch.column(a), pa.string()) if keep_a else pa.nulls(n, pa.string()),
+                b: pc.cast(batch.column(b), pa.string()) if keep_b else pa.nulls(n, pa.string()),
+                "cnt": pc.cast(batch.column("cnt"), pa.int64()),
+                sum_alias: pc.round(pc.cast(batch.column("_s"), pa.float64()), ndigits=ndigits),
+            })
+        return _f
+
+    total_tbl = pa.table({
+        a: pa.nulls(1, pa.string()), b: pa.nulls(1, pa.string()),
+        "cnt": pa.array([int(total["cnt"])], pa.int64()),
+        sum_alias: pa.array([round(float(total["_s"]), ndigits)], pa.float64()),
+    })
+    return (
+        finest.map_batches(_final(True, True), batch_format="pyarrow")
+        .union(lvl1.map_batches(_final(True, False), batch_format="pyarrow"))
+        .union(ray.data.from_arrow(total_tbl).materialize())
+    )
+
+
 def top_tokens(ds: ray.data.Dataset, text_col: str, k: int) -> ray.data.Dataset:
     """Corpus-wide top-k tokens: lowercase, split on single spaces, drop
     empties. Per-batch partial counts (pandas explode + value_counts, all

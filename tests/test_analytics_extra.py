@@ -124,3 +124,25 @@ def test_weighted_mean_vs_pandas():
     for g, sub in df.groupby("g"):
         want = round((sub.v * sub.w).sum() / sub.w.sum(), 6)
         assert abs(got.loc[g, "wm"] - want) < 1e-9, g
+
+
+def test_rollup_agg_all_levels():
+    df = pd.DataFrame({
+        "a": ["x", "x", "x", "y", "y"],
+        "b": ["1", "1", "2", "1", "2"],
+        "v": [10.0, 20.0, 5.0, 1.0, 2.0],
+    })
+    ds = ray.data.from_pandas(df).repartition(3)
+    got = A.rollup_agg(ds, ["a", "b"], "v", sum_alias="s").to_pandas()
+    assert len(got) == 4 + 2 + 1  # finest combos + per-a + grand total
+
+    def row(a, b):
+        m = got[(got["a"].fillna("~") == (a or "~")) & (got["b"].fillna("~") == (b or "~"))]
+        assert len(m) == 1, (a, b, got)
+        return m.iloc[0]
+
+    assert row("x", "1")["cnt"] == 2 and row("x", "1")["s"] == 30.0
+    assert row("y", "2")["cnt"] == 1 and row("y", "2")["s"] == 2.0
+    assert row("x", None)["cnt"] == 3 and row("x", None)["s"] == 35.0
+    assert row("y", None)["cnt"] == 2 and row("y", None)["s"] == 3.0
+    assert row(None, None)["cnt"] == 5 and row(None, None)["s"] == 38.0
