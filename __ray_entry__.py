@@ -263,6 +263,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         kept = D.exact_dedup_by_fingerprint(ds, "text", "doc_id")
         return kept.select_columns(["doc_id"])
 
+    def docs_keep_longest_dedup(sf_dir):
+        ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+        kept = D.fingerprint_dedup_keep_longest(ds, "text", "doc_id")
+        return kept.select_columns(["doc_id"])
+
     def docs_token_counts(sf_dir):
         from registry_address_matcher_ray.functions.textfns import token_count
 
@@ -628,6 +633,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_page": lineitem_page,
         "docs_exact_dedup": docs_exact_dedup,
         "docs_fingerprint_dedup": docs_fingerprint_dedup,
+        "docs_keep_longest_dedup": docs_keep_longest_dedup,
         "docs_token_counts": docs_token_counts,
         "docs_text_quality": docs_text_quality,
         "docs_lang_counts": docs_lang_counts,
@@ -828,6 +834,13 @@ def oracle_sql() -> dict[str, str]:
         "docs_fingerprint_dedup": r"""
             SELECT min(doc_id) AS doc_id FROM documents
             GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        """,
+        "docs_keep_longest_dedup": r"""
+            SELECT doc_id FROM (
+                SELECT doc_id, row_number() OVER (
+                    PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                    ORDER BY length(text) DESC, doc_id) AS rn
+                FROM documents) WHERE rn = 1
         """,
         "docs_token_counts": r"""
             SELECT doc_id,

@@ -79,6 +79,76 @@ def exact_dedup_by_fingerprint(
     return exact_dedup(with_fp, "_fp", id_col).drop_columns(["_fp"])
 
 
+def exact_dedup_keep_longest(
+    ds: ray.data.Dataset, key_col: str, id_col: str, text_col: str
+) -> ray.data.Dataset:
+    """Keep the LONGEST row per distinct ``key_col`` (ties: min ``id_col``) —
+    the training-data dedup policy that keeps the most complete duplicate.
+
+    Same scale shape as :func:`exact_dedup` (per-batch partial keep-best, one
+    tiny winner aggregate, broadcast ``is_in`` filter), but the global argmax
+    rides an ordinary ``groupby(key).max`` over a packed int64
+    ``len(text) * 2^32 + (2^32-1 - id)`` — no per-group Python, and the
+    (longest, then min-id) preference decodes from one Max.
+    Assumes ``id < 2^32`` and ``len < 2^31`` (asserted per batch).
+    """
+    _LOW = (1 << 32) - 1
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(_len=df[text_col].str.len().fillna(0))
+        df = df.sort_values([key_col, "_len", id_col],
+                            ascending=[True, False, True], kind="mergesort")
+        return df.drop_duplicates(subset=[key_col], keep="first").drop(columns=["_len"])
+
+    partial = ds.map_batches(_partial, batch_format="pandas").materialize()
+
+    def _pack(batch: pa.Table) -> pa.Table:
+        ln = pc.fill_null(
+            pc.cast(pc.utf8_length(batch.column(text_col)), pa.int64()), 0)
+        iid = pc.cast(batch.column(id_col), pa.int64())
+        max_id = pc.max(iid).as_py()
+        assert max_id is None or 0 <= max_id <= _LOW, "id must fit in uint32"
+        max_ln = pc.max(ln).as_py()
+        assert max_ln is None or max_ln < (1 << 31), "text length must be < 2^31"
+        packed = pc.add(pc.multiply(ln, _LOW + 1), pc.subtract(_LOW, iid))
+        return pa.table({key_col: batch.column(key_col), "_packed": packed})
+
+    winners = partial.map_batches(_pack, batch_format="pyarrow").groupby(key_col).max("_packed")
+    ids = []
+    for b in winners.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            packed = b.column("max(_packed)")
+            ids.append(pc.subtract(_LOW, pc.bit_wise_and(packed, _LOW)))
+    if not ids:
+        return partial
+    value_set = pc.unique(pa.concat_arrays(
+        [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in ids]))
+    vs_ref = ray.put(value_set)
+
+    def _flt(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(pc.cast(batch.column(id_col), pa.int64()),
+                        value_set=ray.get(vs_ref))
+        return batch.filter(keep)
+
+    return partial.map_batches(_flt, batch_format="pyarrow")
+
+
+def fingerprint_dedup_keep_longest(
+    ds: ray.data.Dataset, text_col: str, id_col: str
+) -> ray.data.Dataset:
+    """Keep-longest dedup on the md5 fingerprint of the canonicalized text."""
+
+    def _fp(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        fps = pa.array([textfns.fingerprint(t) for t in col.to_pylist()], pa.string())
+        return batch.append_column("_fp", fps)
+
+    with_fp = ds.map_batches(_fp, batch_format="pyarrow")
+    return exact_dedup_keep_longest(with_fp, "_fp", id_col, text_col).drop_columns(["_fp"])
+
+
 def _bucket_candidate_pairs(
     melted: ray.data.Dataset, bucket_col: str, id_col: str, max_group: int,
 ) -> ray.data.Dataset:

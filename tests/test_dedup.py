@@ -110,3 +110,55 @@ def test_ngram_jaccard_pairs_threshold(docs, ray_session):
     ds = ray.data.from_pandas(docs[["doc_id", "text"]])
     pairs = D.ngram_jaccard_pairs(ds, "text", "doc_id", threshold=0.9).to_pandas()
     assert (pairs["jaccard"] >= 0.9).all()
+
+
+def _mk_len_docs():
+    """Fingerprint-dup groups whose raw texts differ only in case/whitespace,
+    so canonical keys collide but raw lengths differ."""
+    rows = [
+        # group A: id 3 is longest (extra spaces), tie broken below
+        {"doc_id": 0, "text": "hello world"},           # len 11
+        {"doc_id": 3, "text": "Hello   world"},         # len 13  <- winner
+        {"doc_id": 7, "text": "HELLO  WORLD"},          # len 12
+        # group B: lengths tie (12 vs 12) -> min id 1 wins
+        {"doc_id": 1, "text": "foo  bar baz"},          # len 12
+        {"doc_id": 9, "text": "foo bar  baz"},          # len 12
+        # singleton
+        {"doc_id": 5, "text": "unique document"},
+        # group C: identical raw text -> min id 2 wins
+        {"doc_id": 2, "text": "same same"},
+        {"doc_id": 8, "text": "same same"},
+    ]
+    return pd.DataFrame(rows)
+
+
+def test_keep_longest_semantics(ray_session):
+    df = _mk_len_docs()
+    ds = ray.data.from_pandas(df)
+    got = sorted(
+        D.fingerprint_dedup_keep_longest(ds, "text", "doc_id")
+        .to_pandas()["doc_id"].tolist())
+    assert got == [1, 2, 3, 5]
+
+
+def test_keep_longest_partition_invariance(ray_session):
+    df = _mk_len_docs()
+    ds = ray.data.from_pandas(df)
+    a = sorted(D.fingerprint_dedup_keep_longest(ds, "text", "doc_id")
+               .to_pandas()["doc_id"].tolist())
+    b = sorted(D.fingerprint_dedup_keep_longest(ds.repartition(6), "text", "doc_id")
+               .to_pandas()["doc_id"].tolist())
+    assert a == b
+
+
+def test_keep_longest_matches_pandas_oracle(docs, ray_session):
+    from registry_address_matcher_ray.functions import textfns
+
+    ds = ray.data.from_pandas(docs[["doc_id", "text"]])
+    got = sorted(D.fingerprint_dedup_keep_longest(ds, "text", "doc_id")
+                 .to_pandas()["doc_id"].tolist())
+    o = docs.assign(_fp=docs["text"].map(textfns.fingerprint),
+                    _len=docs["text"].str.len())
+    o = o.sort_values(["_fp", "_len", "doc_id"], ascending=[True, False, True])
+    exp = sorted(o.drop_duplicates(subset=["_fp"], keep="first")["doc_id"].tolist())
+    assert got == exp
