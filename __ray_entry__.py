@@ -835,6 +835,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id FROM documents
             GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
         """,
+        # detect_lang / bpe_token_count transcription (functions/textfns.py):
+        # NB the letter classes differ on purpose — BPE runs use U+0531-0587
+        # (python's literal range) while lang-ID counts U+0531-058F
+        "docs_text_stats": r"""
+            WITH t AS (
+                SELECT doc_id, text,
+                       len(list_filter(regexp_extract_all(text, '\S+'),
+                           x -> lower(x) IN ('the','a','an','and','or','of','to','in',
+                                             'is','are','was','were','be','been','it',
+                                             'this','that','for','on','with','as','at',
+                                             'by','from'))) AS stop,
+                       len(regexp_extract_all(text, '\S+')) AS ntok,
+                       len(regexp_extract_all(text, '[\x{0531}-\x{058F}]')) AS hy,
+                       len(regexp_extract_all(text, '[A-Za-z]')) AS lat
+                FROM documents)
+            SELECT doc_id,
+                   CAST(ntok AS DOUBLE) AS n_tokens,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z\x{0531}-\x{0587}]+|[0-9]+|[^\sA-Za-z\x{0531}-\x{0587}0-9]'))
+                       AS bpe_tokens,
+                   CASE WHEN hy + lat = 0 THEN 'und'
+                        WHEN hy * 2 >= hy + lat THEN 'hy'
+                        WHEN ntok > 0 AND stop * 20 >= ntok THEN 'en'
+                        ELSE 'la' END AS lang_detected,
+                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+            FROM t
+        """,
         "docs_keep_longest_dedup": r"""
             SELECT doc_id FROM (
                 SELECT doc_id, row_number() OVER (
