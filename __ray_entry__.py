@@ -268,6 +268,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         kept = D.fingerprint_dedup_keep_longest(ds, "text", "doc_id")
         return kept.select_columns(["doc_id"])
 
+    def docs_line_dedup(sf_dir):
+        ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+        return D.line_dedup(ds, "text", "doc_id")
+
+    def docs_gopher_quality(sf_dir):
+        ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+        return A.gopher_quality(ds, "text", "doc_id")
+
     def docs_token_counts(sf_dir):
         from registry_address_matcher_ray.functions.textfns import token_count
 
@@ -634,6 +642,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_exact_dedup": docs_exact_dedup,
         "docs_fingerprint_dedup": docs_fingerprint_dedup,
         "docs_keep_longest_dedup": docs_keep_longest_dedup,
+        "docs_line_dedup": docs_line_dedup,
+        "docs_gopher_quality": docs_gopher_quality,
         "docs_token_counts": docs_token_counts,
         "docs_text_quality": docs_text_quality,
         "docs_lang_counts": docs_lang_counts,
@@ -834,6 +844,57 @@ def oracle_sql() -> dict[str, str]:
         "docs_fingerprint_dedup": r"""
             SELECT min(doc_id) AS doc_id FROM documents
             GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        """,
+        # C4-style line dedup transcription (stages/dedup.py::line_dedup):
+        # first occurrence = min(doc_id * 2^32 + line_no); blanks always kept
+        "docs_line_dedup": r"""
+            WITH lines AS (
+                SELECT doc_id,
+                       unnest(string_split(text, chr(10))) AS line,
+                       generate_subscripts(string_split(text, chr(10)), 1) AS line_no
+                FROM documents
+            ), winners AS (
+                SELECT line, min(doc_id * 4294967296 + line_no) AS w
+                FROM lines WHERE line <> '' GROUP BY line
+            )
+            SELECT l.doc_id, string_agg(l.line, chr(10) ORDER BY l.line_no) AS text
+            FROM lines l LEFT JOIN winners w ON l.line = w.line
+            WHERE w.w IS NULL OR l.doc_id * 4294967296 + l.line_no = w.w
+            GROUP BY l.doc_id
+        """,
+        # gopher_signals transcription (functions/textfns.py): integer-ratio
+        # doubles reproduce bit-identically under SQL division
+        "docs_gopher_quality": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_extract_all(text, '\S+') AS toks,
+                       length(text) - length(replace(replace(text, '#', ''), '…', ''))
+                           AS symbols
+                FROM documents
+            ), s AS (
+                SELECT doc_id, len(toks) AS n_words, symbols,
+                       CASE WHEN len(toks) = 0 THEN 0.0
+                            ELSE list_sum(list_transform(toks, x -> length(x))) * 1.0
+                                 / len(toks) END AS mean_word_len,
+                       CASE WHEN len(toks) = 0 THEN 0.0
+                            ELSE symbols * 1.0 / len(toks) END AS symbol_ratio,
+                       CASE WHEN len(toks) = 0 THEN 0.0
+                            ELSE len(list_filter(toks,
+                                 x -> regexp_matches(x, '[A-Za-z\x{0531}-\x{0587}]')))
+                                 * 1.0 / len(toks) END AS alpha_word_ratio,
+                       len(list_intersect(
+                           list_distinct(list_transform(toks, x -> lower(x))),
+                           ['the','be','to','of','and','that','have','with']))
+                           AS stop_hits
+                FROM t)
+            SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_ratio,
+                   stop_hits,
+                   (n_words BETWEEN 15 AND 10000
+                    AND mean_word_len BETWEEN 3.0 AND 10.0
+                    AND symbol_ratio <= 0.1
+                    AND alpha_word_ratio >= 0.8
+                    AND stop_hits >= 1) AS passes
+            FROM s
         """,
         # detect_lang / bpe_token_count transcription (functions/textfns.py):
         # NB the letter classes differ on purpose — BPE runs use U+0531-0587

@@ -59,6 +59,36 @@ def quality_features(text: str) -> Dict[str, float]:
     }
 
 
+_GOPHER_REQUIRED = frozenset("the be to of and that have with".split())
+
+
+def gopher_signals(text: str) -> Dict[str, float]:
+    """Gopher-style per-document quality signals (Rae et al. 2021, appendix A
+    repetition/quality rules — simplified): word count, mean word length,
+    symbol-to-word ratio ('#' and '…'), fraction of words with a letter, and
+    how many of the 8 required stopwords appear. Thresholds applied downstream
+    (stages/analytics.py::gopher_quality) so callers can audit reasons.
+
+    Every signal is a ratio of integers, so the DuckDB oracle reproduces the
+    exact IEEE doubles with plain SQL division."""
+    toks = _TOKEN_RE.findall(text or "")
+    n = len(toks)
+    if n == 0:
+        return {"n_words": 0.0, "mean_word_len": 0.0, "symbol_ratio": 0.0,
+                "alpha_word_ratio": 0.0, "stop_hits": 0.0}
+    total_len = sum(len(t) for t in toks)
+    symbols = text.count("#") + text.count("…")
+    alpha_words = sum(1 for t in toks if _ALPHA_RE.search(t))
+    lower = {t.lower() for t in toks}
+    return {
+        "n_words": float(n),
+        "mean_word_len": total_len / n,
+        "symbol_ratio": symbols / n,
+        "alpha_word_ratio": alpha_words / n,
+        "stop_hits": float(len(_GOPHER_REQUIRED & lower)),
+    }
+
+
 def detect_lang(text: str) -> str:
     """Tiny deterministic language-ID heuristic: script ranges + EN stopwords.
 

@@ -680,3 +680,52 @@ def top_tokens(ds: ray.data.Dataset, text_col: str, k: int) -> ray.data.Dataset:
         .aggregate(Sum("cnt", alias_name="n_occurrences"))
     )
     return agg.sort(["n_occurrences", "token"], descending=[True, False]).limit(k)
+
+
+# Gopher document-quality thresholds (Rae et al. 2021, appendix A — simplified;
+# word-count floor and stop-hit minimum lowered to suit short web snippets)
+GOPHER_BOUNDS = dict(
+    min_words=15, max_words=10_000,
+    min_mean_word_len=3.0, max_mean_word_len=10.0,
+    max_symbol_ratio=0.1, min_alpha_word_ratio=0.8, min_stop_hits=1,
+)
+
+
+def gopher_quality(
+    ds: ray.data.Dataset, text_col: str, id_col: str
+) -> ray.data.Dataset:
+    """Gopher-rule quality filter: per-doc signals + a ``passes`` verdict.
+
+    Stateless ``map_batches`` over Arrow batches, module-level compiled
+    regexes, one pass per document — no shuffle, no state, embarrassingly
+    parallel at any scale. Emits the signals alongside the flag so a pipeline
+    can either ``filter(passes)`` or audit rejection reasons per rule.
+    """
+    from ..functions import textfns
+
+    b = GOPHER_BOUNDS
+
+    def _sig(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        sigs = [textfns.gopher_signals(t) for t in col.to_pylist()]
+        out = {id_col: batch.column(id_col)}
+        out["n_words"] = pa.array([int(s["n_words"]) for s in sigs], pa.int64())
+        for k in ("mean_word_len", "symbol_ratio", "alpha_word_ratio"):
+            out[k] = pa.array([s[k] for s in sigs], pa.float64())
+        out["stop_hits"] = pa.array([int(s["stop_hits"]) for s in sigs], pa.int64())
+        out["passes"] = pa.array(
+            [
+                b["min_words"] <= s["n_words"] <= b["max_words"]
+                and b["min_mean_word_len"] <= s["mean_word_len"] <= b["max_mean_word_len"]
+                and s["symbol_ratio"] <= b["max_symbol_ratio"]
+                and s["alpha_word_ratio"] >= b["min_alpha_word_ratio"]
+                and s["stop_hits"] >= b["min_stop_hits"]
+                for s in sigs
+            ],
+            pa.bool_(),
+        )
+        return pa.table(out)
+
+    return ds.map_batches(_sig, batch_format="pyarrow")

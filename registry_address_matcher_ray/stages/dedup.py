@@ -518,3 +518,62 @@ def ngram_jaccard_pairs(
         ds, text_col, id_col, jaccard_threshold=threshold, **lsh_kwargs
     )
     return res["pairs"]
+
+
+def line_dedup(
+    ds: ray.data.Dataset, text_col: str, id_col: str, num_partitions: int = 16
+) -> ray.data.Dataset:
+    """C4-style global line-level dedup (Raffel et al. 2020 §2.2's "discard
+    repeated lines" rule, deterministic variant): a non-blank line occurring
+    anywhere else in the corpus is kept only at its first occurrence — min
+    ``(doc_id, line_no)`` — blank lines are structural and always kept. Docs
+    whose every line is removed drop out (matching the SQL oracle's GROUP BY).
+
+    Scale shape: explode to one row per line -> ``groupby(line).min`` over a
+    packed ``doc_id * 2^32 + line_no`` int64 -> *equi-join* winners back on the
+    line text -> filter -> per-doc reassembly. Winner resolution is a join, not
+    a broadcast, so the distinct-line table never lands on one node; reassembly
+    groups are single documents (bounded size).
+    """
+
+    def _explode(df: pd.DataFrame) -> pd.DataFrame:
+        assert (df[id_col] < (1 << 31)).all(), "doc id must fit in int32"
+        out = df[[id_col]].copy()
+        out["line"] = df[text_col].fillna("").str.split("\n")
+        out = out.explode("line")
+        out["line"] = out["line"].fillna("")
+        out["line_no"] = out.groupby(level=0).cumcount()
+        out["_packed"] = out[id_col].astype("int64") * (1 << 32) + out["line_no"]
+        return out.reset_index(drop=True)
+
+    exploded = ds.map_batches(_explode, batch_format="pandas").materialize()
+
+    winners = (
+        exploded.filter(expr="line != ''")
+        .map_batches(lambda b: b.select(["line", "_packed"]), batch_format="pyarrow")
+        .groupby("line")
+        .min("_packed")
+        .map_batches(lambda b: b.rename_columns(["line", "_w"]),
+                     batch_format="pyarrow")
+    )
+
+    joined = exploded.join(
+        winners, join_type="left_outer", num_partitions=num_partitions,
+        on=("line",), right_on=("line",),
+    )
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        w = batch.column("_w")
+        keep = pc.or_kleene(pc.is_null(w), pc.equal(batch.column("_packed"), w))
+        return batch.filter(pc.fill_null(keep, False))
+
+    kept = joined.map_batches(_keep, batch_format="pyarrow")
+
+    def _rebuild(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("line_no")
+        return pd.DataFrame({
+            id_col: [df[id_col].iloc[0]],
+            text_col: ["\n".join(df["line"])],
+        })
+
+    return kept.groupby(id_col).map_groups(_rebuild, batch_format="pandas")

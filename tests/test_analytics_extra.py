@@ -146,3 +146,28 @@ def test_rollup_agg_all_levels():
     assert row("x", None)["cnt"] == 3 and row("x", None)["s"] == 35.0
     assert row("y", None)["cnt"] == 2 and row("y", None)["s"] == 3.0
     assert row(None, None)["cnt"] == 5 and row(None, None)["s"] == 38.0
+
+
+def test_gopher_quality_rules(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from registry_address_matcher_ray.stages import analytics as A
+
+    good = "the quick brown fox jumps over lazy dogs and then sits down to rest " \
+           "while other animals watch from afar with great interest today"
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": [
+            good,                                   # passes every rule
+            "",                                     # empty -> fails word count
+            "the cat sat",                          # too few words
+            good + " " + "#### " * 30,              # symbol ratio too high
+            " ".join(["12345"] * 30) + " the end",  # alpha-word ratio too low
+        ],
+    })
+    out = (A.gopher_quality(ray.data.from_pandas(df), "text", "doc_id")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["passes"].tolist() == [True, False, False, False, False]
+    assert out.loc[0, "stop_hits"] >= 1
+    assert out.loc[1, "n_words"] == 0 and out.loc[1, "mean_word_len"] == 0.0

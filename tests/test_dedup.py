@@ -162,3 +162,47 @@ def test_keep_longest_matches_pandas_oracle(docs, ray_session):
     o = o.sort_values(["_fp", "_len", "doc_id"], ascending=[True, False, True])
     exp = sorted(o.drop_duplicates(subset=["_fp"], keep="first")["doc_id"].tolist())
     assert got == exp
+
+
+def test_line_dedup_semantics(ray_session):
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "intro\nboilerplate\nbody A",
+            "boilerplate\nbody B",
+            "body C\n\nboilerplate",
+            "boilerplate",
+        ],
+    })
+    out = (D.line_dedup(ray.data.from_pandas(df), "text", "doc_id")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # first occurrence of 'boilerplate' is (doc 0, line 1); blanks survive;
+    # doc 3 loses its only line and drops out entirely
+    assert out["doc_id"].tolist() == [0, 1, 2]
+    assert out["text"].tolist() == ["intro\nboilerplate\nbody A", "body B", "body C\n"]
+
+
+def test_line_dedup_partition_invariance(ray_session):
+    rng = np.random.default_rng(7)
+    lines_pool = ["".join(rng.choice(_LETTERS, size=10)) for _ in range(40)]
+    texts = ["\n".join(rng.choice(lines_pool, size=rng.integers(1, 8)))
+             for _ in range(120)]
+    df = pd.DataFrame({"doc_id": range(120), "text": texts})
+    a = (D.line_dedup(ray.data.from_pandas(df), "text", "doc_id")
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (D.line_dedup(ray.data.from_pandas(df).repartition(9), "text", "doc_id")
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    # pandas oracle: keep first occurrence of each non-blank line
+    seen = set()
+    exp = {}
+    for did, text in zip(df["doc_id"], df["text"]):
+        kept = []
+        for line in text.split("\n"):
+            if line == "" or line not in seen:
+                kept.append(line)
+                if line != "":
+                    seen.add(line)
+        if kept:
+            exp[did] = "\n".join(kept)
+    assert dict(zip(a["doc_id"], a["text"])) == exp
