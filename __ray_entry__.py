@@ -276,6 +276,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
         return A.gopher_quality(ds, "text", "doc_id")
 
+    def docs_pii_redact(sf_dir):
+        ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+        return A.pii_redact(ds, "text", "doc_id")
+
+    def docs_repetition_stats(sf_dir):
+        ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+        return A.repetition_stats(ds, "text", "doc_id")
+
     def docs_token_counts(sf_dir):
         from registry_address_matcher_ray.functions.textfns import token_count
 
@@ -644,6 +652,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_keep_longest_dedup": docs_keep_longest_dedup,
         "docs_line_dedup": docs_line_dedup,
         "docs_gopher_quality": docs_gopher_quality,
+        "docs_pii_redact": docs_pii_redact,
+        "docs_repetition_stats": docs_repetition_stats,
         "docs_token_counts": docs_token_counts,
         "docs_text_quality": docs_text_quality,
         "docs_lang_counts": docs_lang_counts,
@@ -844,6 +854,60 @@ def oracle_sql() -> dict[str, str]:
         "docs_fingerprint_dedup": r"""
             SELECT min(doc_id) AS doc_id FROM documents
             GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        """,
+        # pii_redact transcription: same RE2 patterns, same email->ip->phone
+        # order (counts taken on each intermediate text, like subn)
+        "docs_pii_redact": r"""
+            WITH a AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g') AS t1
+                FROM documents
+            ), b AS (
+                SELECT doc_id, n_emails,
+                       len(regexp_extract_all(t1,
+                           '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ips,
+                       regexp_replace(t1, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b',
+                           '<IP>', 'g') AS t2
+                FROM a
+            )
+            SELECT doc_id,
+                   regexp_replace(t2, '\+?[0-9][0-9()\- ]{6,}[0-9]',
+                       '<PHONE>', 'g') AS text,
+                   n_emails, n_ips,
+                   len(regexp_extract_all(t2, '\+?[0-9][0-9()\- ]{6,}[0-9]')) AS n_phones
+            FROM b
+        """,
+        # repetition_signals transcription: bigrams via 1-based list indexing
+        "docs_repetition_stats": r"""
+            WITH l AS (
+                SELECT doc_id,
+                       len(string_split(text, chr(10))) AS n_lines,
+                       len(list_distinct(string_split(text, chr(10)))) AS d_lines,
+                       regexp_extract_all(text, '\S+') AS toks
+                FROM documents
+            ), bg AS (
+                SELECT doc_id, len(toks) - 1 AS total,
+                       unnest(list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+                FROM l WHERE len(toks) >= 2
+            ), cnt AS (
+                SELECT doc_id, bigram, total, count(*) AS c
+                FROM bg GROUP BY doc_id, bigram, total
+            ), top AS (
+                SELECT doc_id, bigram, c * 1.0 / total AS f,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY c DESC, bigram) AS rn
+                FROM cnt)
+            SELECT l.doc_id,
+                   CASE WHEN n_lines = 0 THEN 0.0
+                        ELSE (n_lines - d_lines) * 1.0 / n_lines END AS dup_line_fraction,
+                   coalesce(t.bigram, '') AS top_bigram,
+                   coalesce(t.f, 0.0) AS top_bigram_fraction
+            FROM l LEFT JOIN top t ON l.doc_id = t.doc_id AND t.rn = 1
         """,
         # C4-style line dedup transcription (stages/dedup.py::line_dedup):
         # first occurrence = min(doc_id * 2^32 + line_no); blanks always kept

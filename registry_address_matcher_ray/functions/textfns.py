@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import hashlib
 import re
-from typing import Dict, List
+from typing import Dict, List, Tuple
 
 import numpy as np
 import pyarrow as pa
@@ -61,6 +61,29 @@ def quality_features(text: str) -> Dict[str, float]:
 
 _GOPHER_REQUIRED = frozenset("the be to of and that have with".split())
 
+# PII patterns restricted to RE2-compatible syntax (no lookaround, ASCII
+# classes) so the DuckDB oracle can run the *same* expressions verbatim
+_EMAIL_RE = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+_IPV4_RE = re.compile(r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b")
+_PHONE_RE = re.compile(r"\+?[0-9][0-9()\- ]{6,}[0-9]")
+PII_PATTERNS = (
+    ("<EMAIL>", _EMAIL_RE),
+    ("<IP>", _IPV4_RE),
+    ("<PHONE>", _PHONE_RE),
+)
+
+
+def pii_redact(text: str) -> Tuple[str, int, int, int]:
+    """Mask emails, IPv4 addresses and phone-like digit runs (applied in that
+    order — emails first so their digits can't be re-matched as phones).
+    Returns ``(redacted, n_emails, n_ips, n_phones)``."""
+    text = text or ""
+    counts = []
+    for token, pat in PII_PATTERNS:
+        text, n = pat.subn(token, text)
+        counts.append(n)
+    return (text, *counts)
+
 
 def gopher_signals(text: str) -> Dict[str, float]:
     """Gopher-style per-document quality signals (Rae et al. 2021, appendix A
@@ -87,6 +110,30 @@ def gopher_signals(text: str) -> Dict[str, float]:
         "alpha_word_ratio": alpha_words / n,
         "stop_hits": float(len(_GOPHER_REQUIRED & lower)),
     }
+
+
+def repetition_signals(text: str) -> Dict[str, object]:
+    """Gopher repetition rules (simplified): fraction of lines that are
+    duplicates of another line in the same doc, plus the most frequent word
+    bigram (ties: lexicographically smallest) and the fraction of bigram
+    occurrences it takes. Integer-ratio doubles, SQL-reproducible."""
+    text = text or ""
+    lines = text.split("\n")
+    n_lines = len(lines)
+    dup = (n_lines - len(set(lines))) / n_lines if n_lines else 0.0
+    toks = _TOKEN_RE.findall(text)
+    if len(toks) < 2:
+        return {"dup_line_fraction": dup, "top_bigram": "",
+                "top_bigram_fraction": 0.0}
+    counts: Dict[str, int] = {}
+    prev = toks[0]
+    for tok in toks[1:]:
+        big = prev + " " + tok
+        counts[big] = counts.get(big, 0) + 1
+        prev = tok
+    best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    return {"dup_line_fraction": dup, "top_bigram": best[0],
+            "top_bigram_fraction": best[1] / (len(toks) - 1)}
 
 
 def detect_lang(text: str) -> str:

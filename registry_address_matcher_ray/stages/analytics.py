@@ -729,3 +729,52 @@ def gopher_quality(
         return pa.table(out)
 
     return ds.map_batches(_sig, batch_format="pyarrow")
+
+
+def pii_redact(
+    ds: ray.data.Dataset, text_col: str, id_col: str
+) -> ray.data.Dataset:
+    """Mask emails / IPv4s / phone-like digit runs (functions/textfns.py::
+    pii_redact, RE2-compatible patterns so the DuckDB oracle runs the same
+    expressions). Stateless ``map_batches``; emits the redacted text plus
+    per-category counts for audit."""
+    from ..functions import textfns
+
+    def _red(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        rows = [textfns.pii_redact(t) for t in col.to_pylist()]
+        return pa.table({
+            id_col: batch.column(id_col),
+            text_col: pa.array([r[0] for r in rows], pa.string()),
+            "n_emails": pa.array([r[1] for r in rows], pa.int64()),
+            "n_ips": pa.array([r[2] for r in rows], pa.int64()),
+            "n_phones": pa.array([r[3] for r in rows], pa.int64()),
+        })
+
+    return ds.map_batches(_red, batch_format="pyarrow")
+
+
+def repetition_stats(
+    ds: ray.data.Dataset, text_col: str, id_col: str
+) -> ray.data.Dataset:
+    """Gopher repetition signals per doc (duplicate-line fraction, top word
+    bigram + its occurrence fraction). Stateless ``map_batches``."""
+    from ..functions import textfns
+
+    def _rep(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        sigs = [textfns.repetition_signals(t) for t in col.to_pylist()]
+        return pa.table({
+            id_col: batch.column(id_col),
+            "dup_line_fraction": pa.array(
+                [s["dup_line_fraction"] for s in sigs], pa.float64()),
+            "top_bigram": pa.array([s["top_bigram"] for s in sigs], pa.string()),
+            "top_bigram_fraction": pa.array(
+                [s["top_bigram_fraction"] for s in sigs], pa.float64()),
+        })
+
+    return ds.map_batches(_rep, batch_format="pyarrow")

@@ -171,3 +171,74 @@ def test_gopher_quality_rules(ray_session):
     assert out["passes"].tolist() == [True, False, False, False, False]
     assert out.loc[0, "stop_hits"] >= 1
     assert out.loc[1, "n_words"] == 0 and out.loc[1, "mean_word_len"] == 0.0
+
+
+_PII_DOCS = [
+    "contact me at john.doe+spam@example.co.uk or call +374 (10) 123-456 now",
+    "server at 192.168.0.1 and 10.0.0.255, backup 999.999.999.999 too",
+    "no pii here, just words and the number 42",
+    "a@b.io b@c.org twice, then 12345678 and (044) 555 6677",
+    "",
+]
+
+
+def test_pii_redact_python_vs_duckdb_parity(ray_session):
+    """Planted-PII corpus: the Ray stage and the oracle SQL (same RE2 patterns)
+    must agree byte-for-byte — guards regex-dialect drift."""
+    import duckdb
+    import importlib.util
+    import pandas as pd
+    import ray.data
+
+    from registry_address_matcher_ray.stages import analytics as A
+
+    df = pd.DataFrame({"doc_id": range(len(_PII_DOCS)), "text": _PII_DOCS})
+    got = (A.pii_redact(ray.data.from_pandas(df), "text", "doc_id")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    spec = importlib.util.spec_from_file_location("entry_mod", "__ray_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    con = duckdb.connect()
+    con.register("documents", df)
+    exp = (con.execute(m.oracle_sql()["docs_pii_redact"]).df()
+           .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=False)
+    assert got.loc[0, "n_emails"] == 1 and got.loc[0, "n_phones"] >= 1
+    assert got.loc[1, "n_ips"] >= 2
+    assert "<EMAIL>" in got.loc[0, "text"] and "john.doe" not in got.loc[0, "text"]
+    assert got.loc[2, "text"] == _PII_DOCS[2]
+
+
+def test_repetition_stats_python_vs_duckdb_parity(ray_session):
+    import duckdb
+    import importlib.util
+    import pandas as pd
+    import ray.data
+
+    from registry_address_matcher_ray.stages import analytics as A
+
+    docs = [
+        "a b a b a b",                      # top bigram 'a b' x3 of 5
+        "x\ny\nx\ny\nz",                    # dup lines 2/5... (5-3)/5
+        "one two",                          # single bigram
+        "solo",                             # no bigram
+        "",
+    ]
+    df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    got = (A.repetition_stats(ray.data.from_pandas(df), "text", "doc_id")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    spec = importlib.util.spec_from_file_location("entry_mod2", "__ray_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    con = duckdb.connect()
+    con.register("documents", df)
+    exp = (con.execute(m.oracle_sql()["docs_repetition_stats"]).df()
+           .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=False)
+    assert got.loc[0, "top_bigram"] == "a b"
+    assert got.loc[0, "top_bigram_fraction"] == 3 / 5
+    assert got.loc[1, "dup_line_fraction"] == 2 / 5
+    assert got.loc[3, "top_bigram"] == "" and got.loc[3, "top_bigram_fraction"] == 0.0
