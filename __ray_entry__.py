@@ -198,6 +198,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         orders = _read(sf_dir, "orders")
         return A.semi_join_ids(cust, "c_custkey", orders, "o_custkey", anti=False)
 
+    def customers_with_orders_bloom(sf_dir):
+        cust = _read(sf_dir, "customer").select_columns(["c_custkey", "c_name"])
+        orders = _read(sf_dir, "orders")
+        return A.bloom_semi_join(cust, "c_custkey", orders, "o_custkey")
+
+    def events_value_zscore(sf_dir):
+        return A.group_zscore(_read(sf_dir, "events"), "event_type", "value",
+                              "event_id")
+
+    def events_value_outliers(sf_dir):
+        return A.iqr_outliers(_read(sf_dir, "events"), "value", ["event_id"])
+
+    def events_hourly_moving_avg(sf_dir):
+        return A.hourly_moving_avg(_read(sf_dir, "events"), "ts", "value")
+
     def orders_union_filters(sf_dir):
         import pyarrow.compute as pc
 
@@ -641,6 +656,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_topk": lineitem_topk,
         "customers_without_orders": customers_without_orders,
         "customers_with_orders": customers_with_orders,
+        "customers_with_orders_bloom": customers_with_orders_bloom,
+        "events_value_zscore": events_value_zscore,
+        "events_value_outliers": events_value_outliers,
+        "events_hourly_moving_avg": events_hourly_moving_avg,
         "orders_union_filters": orders_union_filters,
         "distinct_returnflags": distinct_returnflags,
         "part_name_contains": part_name_contains,
@@ -817,6 +836,42 @@ def oracle_sql() -> dict[str, str]:
         "customers_with_orders": """
             SELECT c_custkey, c_name FROM customer c
             WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "customers_with_orders_bloom": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "events_value_zscore": """
+            WITH t AS (
+                SELECT event_id, event_type, value,
+                       sum(value) OVER (PARTITION BY event_type) AS s,
+                       sum(value * value) OVER (PARTITION BY event_type) AS ss,
+                       count(*) OVER (PARTITION BY event_type) AS c
+                FROM events)
+            SELECT event_id, event_type, value,
+                   CASE WHEN ss / c - (s / c) * (s / c) > 0
+                        THEN round((value - s / c)
+                                   / sqrt(ss / c - (s / c) * (s / c)), 3)
+                        ELSE NULL END AS z
+            FROM t
+        """,
+        "events_value_outliers": """
+            WITH q AS (SELECT quantile_disc(value, 0.25) AS q1,
+                              quantile_disc(value, 0.75) AS q3
+                       FROM events)
+            SELECT event_id, value FROM events, q
+            WHERE value < q1 - 1.5 * (q3 - q1)
+               OR value > q3 + 1.5 * (q3 - q1)
+        """,
+        "events_hourly_moving_avg": """
+            WITH h AS (
+                SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hour,
+                       sum(value) AS s, count(*) AS c
+                FROM events GROUP BY 1)
+            SELECT hour, round(s / c, 3) AS avg_value,
+                   round(avg(s / c) OVER (ORDER BY hour
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 3) AS moving_avg
+            FROM h ORDER BY hour
         """,
         "orders_union_filters": """
             SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_totalprice > 400000.0

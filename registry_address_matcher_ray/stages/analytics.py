@@ -778,3 +778,170 @@ def repetition_stats(
         })
 
     return ds.map_batches(_rep, batch_format="pyarrow")
+
+
+def group_zscore(
+    ds: ray.data.Dataset, group_col: str, val_col: str, id_col: str,
+    ndigits: int = 3,
+) -> ray.data.Dataset:
+    """Per-group z-score normalization: ``(x - mean) / stddev_pop`` per group.
+
+    One tiny ``groupby`` over per-batch moment partials (sum / sum-of-squares /
+    count — pandas C kernels) yields the group-stat table; it is broadcast via
+    ``ray.put`` into a stateless annotate pass, so the DATA rows are touched
+    exactly once and never shuffled. Scales with O(#groups) broadcast state.
+    Zero-variance groups get null z (mirrors the SQL CASE).
+    """
+    import pandas as pd
+
+    def _partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = (df.assign(_sq=df[val_col].astype(float) ** 2)
+             .groupby(group_col, observed=True)
+             .agg(_s=(val_col, "sum"), _ss=("_sq", "sum"), _c=(val_col, "count"))
+             .reset_index())
+        return g
+
+    stats = (
+        ds.select_columns([group_col, val_col])
+        .map_batches(_partial, batch_format="pandas")
+        .groupby(group_col)
+        .aggregate(Sum("_s", alias_name="s"), Sum("_ss", alias_name="ss"),
+                   Sum("_c", alias_name="c"))
+        .to_pandas()
+    )
+    stats["mean"] = stats["s"] / stats["c"]
+    stats["var"] = stats["ss"] / stats["c"] - stats["mean"] ** 2
+    lookup = {
+        r[group_col]: (r["mean"], math.sqrt(r["var"]) if r["var"] > 0 else 0.0)
+        for _, r in stats.iterrows()
+    }
+    ref = ray.put(lookup)
+
+    def _annot(df: "pd.DataFrame") -> "pd.DataFrame":
+        lk = ray.get(ref)
+        means = df[group_col].map(lambda g: lk[g][0])
+        stds = df[group_col].map(lambda g: lk[g][1])
+        z = (df[val_col].astype(float) - means) / stds.replace(0.0, np.nan)
+        return pd.DataFrame({
+            id_col: df[id_col], group_col: df[group_col],
+            val_col: df[val_col], "z": z.round(ndigits),
+        })
+
+    return ds.select_columns([id_col, group_col, val_col]).map_batches(
+        _annot, batch_format="pandas")
+
+
+def iqr_outliers(
+    ds: ray.data.Dataset, col: str, id_cols: Sequence[str], factor: float = 1.5
+) -> ray.data.Dataset:
+    """Tukey-fence outlier filter: rows with ``col`` outside
+    ``[q1 - factor*iqr, q3 + factor*iqr]`` where q1/q3 are EXACT discrete
+    quantiles (:func:`exact_quantiles`, ``quantile_disc`` semantics — actual
+    data elements, so the fences are bit-identical to the SQL oracle's).
+    One distributed sort for the two quantiles, then a stateless filter pass.
+    """
+    qs = exact_quantiles(ds, col, (0.25, 0.75))
+    q1, q3 = float(qs[0.25]), float(qs[0.75])
+    lo, hi = q1 - factor * (q3 - q1), q3 + factor * (q3 - q1)
+
+    def _flt(batch: pa.Table) -> pa.Table:
+        v = pc.cast(batch.column(col), pa.float64())
+        keep = pc.or_(pc.less(v, lo), pc.greater(v, hi))
+        return batch.filter(pc.fill_null(keep, False))
+
+    return ds.select_columns(list(id_cols) + [col]).map_batches(
+        _flt, batch_format="pyarrow")
+
+
+def hourly_moving_avg(
+    ds: ray.data.Dataset, ts_col: str, val_col: str, window: int = 3,
+    ndigits: int = 3,
+) -> "pd.DataFrame":
+    """Hour-of-day bucket average + trailing ``window``-bucket moving average.
+
+    The shuffle moves only per-batch (hour, sum, count) partials; the final
+    window pass runs on the O(24)-row bucket table driver-side (bounded by the
+    bucket count at any data scale, never by the row count).
+    """
+    import pandas as pd
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        hour = pc.cast(pc.hour(batch.column(ts_col)), pa.int64())
+        v = pc.cast(batch.column(val_col), pa.float64())
+        df = pa.table({"hour": hour, "v": v}).to_pandas()
+        g = df.groupby("hour").agg(_s=("v", "sum"), _c=("v", "count")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ds.select_columns([ts_col, val_col])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("hour")
+        .aggregate(Sum("_s", alias_name="s"), Sum("_c", alias_name="c"))
+        .to_pandas()
+        .sort_values("hour")
+        .reset_index(drop=True)
+    )
+    avg = agg["s"] / agg["c"]
+    out = pd.DataFrame({
+        "hour": agg["hour"].astype("int64"),
+        "avg_value": avg.round(ndigits),
+        "moving_avg": avg.rolling(window, min_periods=1).mean().round(ndigits),
+    })
+    return out
+
+
+def bloom_semi_join(
+    ds: ray.data.Dataset, id_col: str, ids_ds: ray.data.Dataset, ids_col: str,
+    m_bits: int = 1 << 20, k: int = 4,
+) -> ray.data.Dataset:
+    """Semi-join with a Bloom-filter prefilter: the build side is folded into an
+    ``m_bits`` bitmap (per-batch partial bitmaps OR-reduced, O(m/8) bytes on
+    the driver regardless of key count), broadcast once, and probe batches are
+    screened vectorized before the EXACT verify (:func:`semi_join_ids`) removes
+    false positives — so the result is exact and oracle-equal to a plain
+    semi-join, while the expensive verify only sees bloom survivors. At
+    cluster scale the verify step swaps to a shuffle join; the bloom screen is
+    what keeps that shuffle's probe side small. Integer keys only.
+    """
+    mask_words = m_bits // 64
+
+    def _positions(ids: np.ndarray) -> np.ndarray:
+        x = ids.astype(np.uint64)
+        # splitmix64 finalizer, twice, for two independent hashes
+        def _mix(v: np.ndarray) -> np.ndarray:
+            v = (v + np.uint64(0x9E3779B97F4A7C15))
+            v = (v ^ (v >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            v = (v ^ (v >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            return v ^ (v >> np.uint64(31))
+        h1, h2 = _mix(x), _mix(_mix(x))
+        ks = np.arange(k, dtype=np.uint64)[:, None]
+        return (h1[None, :] + ks * h2[None, :]) % np.uint64(m_bits)
+
+    def _build(batch: pa.Table) -> pa.Table:
+        ids = batch.column(ids_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        bits = np.zeros(mask_words, dtype=np.uint64)
+        pos = _positions(ids).ravel()
+        np.bitwise_or.at(bits, (pos >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (pos & np.uint64(63)))
+        return pa.table({"bits": [bits.tobytes()]})
+
+    bitmap = np.zeros(mask_words, dtype=np.uint64)
+    for b in (ids_ds.select_columns([ids_col])
+              .map_batches(_build, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        for buf in b.column("bits").to_pylist():
+            bitmap |= np.frombuffer(buf, dtype=np.uint64)
+    bm_ref = ray.put(bitmap)
+
+    def _screen(batch: pa.Table) -> pa.Table:
+        bm = ray.get(bm_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = _positions(ids)
+        hit = np.ones(len(ids), dtype=bool)
+        for row in pos:
+            hit &= (bm[(row >> np.uint64(6)).astype(np.int64)]
+                    >> (row & np.uint64(63))) & np.uint64(1) != 0
+        return batch.filter(pa.array(hit))
+
+    screened = ds.map_batches(_screen, batch_format="pyarrow")
+    return semi_join_ids(screened, id_col, ids_ds, ids_col)

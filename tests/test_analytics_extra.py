@@ -242,3 +242,69 @@ def test_repetition_stats_python_vs_duckdb_parity(ray_session):
     assert got.loc[0, "top_bigram_fraction"] == 3 / 5
     assert got.loc[1, "dup_line_fraction"] == 2 / 5
     assert got.loc[3, "top_bigram"] == "" and got.loc[3, "top_bigram_fraction"] == 0.0
+
+
+def test_group_zscore_vs_pandas():
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "id": range(300),
+        "g": rng.choice(["a", "b", "c"], size=300),
+        "v": rng.normal(10, 4, size=300),
+    })
+    # a zero-variance group -> null z
+    df.loc[df["g"] == "c", "v"] = 5.0
+    ds = ray.data.from_pandas(df).repartition(4)
+    got = (A.group_zscore(ds, "g", "v", "id").to_pandas()
+           .sort_values("id").reset_index(drop=True))
+    mean = df.groupby("g")["v"].transform("mean")
+    std = df.groupby("g")["v"].transform(lambda s: np.sqrt(np.mean((s - s.mean()) ** 2)))
+    want = ((df["v"] - mean) / std.replace(0.0, np.nan)).round(3)
+    assert np.allclose(got["z"].values, want.values, equal_nan=True)
+    assert got.loc[got["g"] == "c", "z"].isna().all()
+
+
+def test_iqr_outliers_vs_numpy():
+    vals = np.concatenate([np.arange(100, dtype=float), [1e6, -1e6]])
+    rng = np.random.default_rng(3)
+    rng.shuffle(vals)
+    df = pd.DataFrame({"event_id": range(len(vals)), "value": vals})
+    ds = ray.data.from_pandas(df).repartition(3)
+    got = (A.iqr_outliers(ds, "value", ["event_id"]).to_pandas()
+           .sort_values("value").reset_index(drop=True))
+    srt = np.sort(vals)
+    n = len(vals)
+    q1 = srt[max(0, math.ceil(0.25 * n) - 1)]
+    q3 = srt[max(0, math.ceil(0.75 * n) - 1)]
+    lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+    want = np.sort(vals[(vals < lo) | (vals > hi)])
+    assert np.array_equal(got["value"].values, want)
+    assert set(got["value"]) >= {1e6, -1e6}
+
+
+def test_hourly_moving_avg_small():
+    ts = pd.to_datetime([
+        "2024-01-01 00:10", "2024-01-01 00:50",  # hour 0: avg 2.0
+        "2024-01-01 01:00",                        # hour 1: 10
+        "2024-01-02 03:30", "2024-01-05 03:00",   # hour 3: avg 5.0
+    ])
+    df = pd.DataFrame({"ts": ts, "value": [1.0, 3.0, 10.0, 4.0, 6.0]})
+    got = A.hourly_moving_avg(ray.data.from_pandas(df).repartition(2), "ts", "value")
+    assert list(got["hour"]) == [0, 1, 3]
+    assert list(got["avg_value"]) == [2.0, 10.0, 5.0]
+    # trailing 3-bucket moving mean over bucket averages
+    assert list(got["moving_avg"]) == [2.0, 6.0, round((2 + 10 + 5) / 3, 3)]
+
+
+def test_bloom_semi_join_exact():
+    rng = np.random.default_rng(5)
+    probe = pd.DataFrame({"k": np.arange(2000), "payload": rng.integers(0, 9, 2000)})
+    build = pd.DataFrame({"fk": np.concatenate([
+        rng.choice(np.arange(0, 2000, 3), size=500),  # multiples of 3 only
+    ])})
+    got = (A.bloom_semi_join(
+        ray.data.from_pandas(probe).repartition(4), "k",
+        ray.data.from_pandas(build).repartition(3), "fk",
+        m_bits=1 << 12)  # small bitmap -> force false positives into verify
+        .to_pandas().sort_values("k").reset_index(drop=True))
+    want = np.sort(probe[probe["k"].isin(build["fk"])]["k"].values)
+    assert np.array_equal(got["k"].values, want)
