@@ -717,6 +717,358 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+
+def _scorer_ctes() -> str:
+    """CTE chain computing the four rapidfuzz scorers for a preceding CTE
+    ``qc(q, c)`` of distinct string pairs: yields ``pair_scores(q, c, s1..s4)``
+    with s1=token_sort, s2=token_set, s3=partial, s4=ratio (see
+    :func:`_match_ctes` for the LCS transcription notes). Shared by the
+    ``match_pairs`` and ``engine_variant_pairs`` oracles."""
+    return """tset AS (
+  SELECT q, c,
+    coalesce(array_to_string(list_sort(string_split(q, ' ')), ' '), '') AS qs,
+    coalesce(array_to_string(list_sort(string_split(c, ' ')), ' '), '') AS cs,
+    coalesce(array_to_string(list_sort(list_filter(list_distinct(string_split(q, ' ')),
+        x -> list_contains(list_distinct(string_split(c, ' ')), x))), ' '), '') AS sect,
+    trim(coalesce(array_to_string(list_sort(list_filter(list_distinct(string_split(q, ' ')),
+        x -> list_contains(list_distinct(string_split(c, ' ')), x))), ' '), '')
+      || ' ' ||
+      coalesce(array_to_string(list_sort(list_filter(list_distinct(string_split(q, ' ')),
+        x -> NOT list_contains(list_distinct(string_split(c, ' ')), x))), ' '), '')) AS d1,
+    trim(coalesce(array_to_string(list_sort(list_filter(list_distinct(string_split(q, ' ')),
+        x -> list_contains(list_distinct(string_split(c, ' ')), x))), ' '), '')
+      || ' ' ||
+      coalesce(array_to_string(list_sort(list_filter(list_distinct(string_split(c, ' ')),
+        x -> NOT list_contains(list_distinct(string_split(q, ' ')), x))), ' '), '')) AS d2
+  FROM qc
+),
+tasks AS (
+  SELECT q, c, 'ratio' AS kind,
+         CASE WHEN length(q) <= length(c) THEN q ELSE c END AS a,
+         CASE WHEN length(q) <= length(c) THEN c ELSE q END AS b
+  FROM qc
+  UNION ALL
+  SELECT q, c, 'tsort',
+         CASE WHEN length(qs) <= length(cs) THEN qs ELSE cs END,
+         CASE WHEN length(qs) <= length(cs) THEN cs ELSE qs END
+  FROM tset
+  UNION ALL
+  SELECT q, c, 'tset',
+         CASE WHEN length(sect) <= length(d1) THEN sect ELSE d1 END,
+         CASE WHEN length(sect) <= length(d1) THEN d1 ELSE sect END
+  FROM tset
+  UNION ALL
+  SELECT q, c, 'tset',
+         CASE WHEN length(sect) <= length(d2) THEN sect ELSE d2 END,
+         CASE WHEN length(sect) <= length(d2) THEN d2 ELSE sect END
+  FROM tset
+  UNION ALL
+  SELECT q, c, 'tset',
+         CASE WHEN length(d1) <= length(d2) THEN d1 ELSE d2 END,
+         CASE WHEN length(d1) <= length(d2) THEN d2 ELSE d1 END
+  FROM tset
+  UNION ALL
+  SELECT p.q, p.c, 'partial',
+         CASE WHEN length(p.q) <= length(p.c) THEN p.q ELSE p.c END,
+         substring(CASE WHEN length(p.q) <= length(p.c) THEN p.c ELSE p.q END,
+                   (greatest(0, g.i) + 1)::INT,
+                   (least(g.i + length(CASE WHEN length(p.q) <= length(p.c)
+                                            THEN p.q ELSE p.c END),
+                          length(CASE WHEN length(p.q) <= length(p.c)
+                                      THEN p.c ELSE p.q END))
+                    - greatest(0, g.i))::INT)
+  FROM qc p JOIN range(-126, 127) AS g(i)
+    ON g.i >= -(least(length(p.q), length(p.c)) - 1)
+   AND g.i < greatest(length(p.q), length(p.c))
+   AND least(g.i + least(length(p.q), length(p.c)),
+             greatest(length(p.q), length(p.c))) - greatest(0, g.i) > 0
+),
+lpairs AS (SELECT DISTINCT a, b FROM tasks),
+amask AS (
+  SELECT a, ch, sum(1::HUGEINT << (i - 1)::INT)::HUGEINT AS m
+  FROM (SELECT DISTINCT l.a, g.i, substring(l.a, g.i::INT, 1) AS ch
+        FROM (SELECT DISTINCT a FROM lpairs) l
+        JOIN range(1, 127) AS g(i) ON g.i <= length(l.a))
+  GROUP BY a, ch
+),
+step(a, b, j, v) AS (
+  SELECT a, b, 0::BIGINT, (1::HUGEINT << length(a)::INT) - 1 FROM lpairs
+  UNION ALL
+  SELECT s.a, s.b, s.j + 1,
+         ((s.v + (s.v & coalesce(am.m, 0::HUGEINT)))
+          | (s.v & ~coalesce(am.m, 0::HUGEINT)))
+         & ((1::HUGEINT << length(s.a)::INT) - 1)
+  FROM step s
+  LEFT JOIN amask am ON am.a = s.a AND am.ch = substring(s.b, (s.j + 1)::INT, 1)
+  WHERE s.j < length(s.b)
+),
+lcs AS (
+  SELECT a, b, length(a) - bit_count(v) AS l
+  FROM step WHERE j = length(b)
+),
+pair_scores AS (
+  SELECT t.q, t.c,
+    max(CASE WHEN t.kind = 'tsort' THEN sc END) AS s1,
+    max(CASE WHEN t.kind = 'tset' THEN sc END) AS s2,
+    max(CASE WHEN t.kind = 'partial' THEN sc END) AS s3,
+    max(CASE WHEN t.kind = 'ratio' THEN sc END) AS s4
+  FROM (SELECT t.*, CASE WHEN length(t.a) + length(t.b) = 0 THEN 100.0
+                         ELSE (200::DOUBLE * l.l) / (length(t.a) + length(t.b))
+                    END AS sc
+        FROM tasks t JOIN lcs l ON l.a = t.a AND l.b = t.b) t
+  GROUP BY t.q, t.c
+)"""
+
+
+def _match_pairs_sql(spr_path: str, cad_path: str, threshold: float = 85.0) -> str:
+    return ("WITH RECURSIVE " + _match_ctes(spr_path, cad_path, threshold)
+            + " SELECT * FROM exact UNION ALL SELECT * FROM fuzzy")
+
+
+def _prep_pages_records_path(sf_dir: str) -> str:
+    """Preprocessed page-derived registry records as parquet (driver-side).
+
+    Same pattern as :func:`_prep_registry_paths`: the html->text extraction and
+    address-line parsing are pure Arrow batch functions shared with the Ray
+    pipeline (``stages/blocking.py:extract_pages/_parse_records_batch``), so the
+    DuckDB oracle checks the SQL-expressible matching semantics of the pages
+    flagship over identical derived records.
+    """
+    import pyarrow.compute as pc
+
+    from registry_address_matcher_ray.stages import blocking
+
+    raw = _registry_paths(sf_dir)
+    out = os.path.join(os.path.dirname(raw["pages"]), "pre_pages_records.parquet")
+    if not os.path.exists(out):
+        pages = pq.read_table(raw["pages"])
+        recs = blocking._parse_records_batch(blocking._extract_batch(pages))
+        recs = blocking._preprocess_batch(recs)
+        recs = recs.append_column(
+            "_ord", pc.cast(recs.column("ADDRESS_ID"), "string"))
+        pq.write_table(recs, out + ".tmp")
+        os.replace(out + ".tmp", out)
+    return out
+
+
+def _engine_variant_sql(spr_path: str, cad_path: str) -> str:
+    """DuckDB oracle for the engine-variant matcher (``stages/engine_variant.py``,
+    reference ``src/matching/engine.py:15-262``): SEARCH_KEY-equality exact phase,
+    then for exactless rows the union of the four candidate-index lookups
+    (street / house / house[:2] / street[:3], engine.py:154-173), scored with the
+    weighted 4-scorer sum ``0.4*ratio + 0.3*partial + 0.2*token_sort +
+    0.1*token_set`` on the SEARCH_KEY pair (engine.py:85-104) via the shared
+    bit-parallel-LCS scorer CTEs, keep >= 50 sorted desc (stable on cadastre
+    ``_ord``) capped at 100 per row (engine.py:183,205-206)."""
+    out_cols = """
+         s._ord AS spr_index, c._ord AS cad_index,
+         {score} AS match_score,
+         {qual} AS match_quality, {mtype} AS match_type,
+         s.SEARCH_KEY AS spr_search_key, c.SEARCH_KEY AS cad_search_key,
+         s.FULL_ADDRESS AS spr_address, c.FULL_ADDRESS AS cad_address,
+         s.STREET_NAME AS spr_street_name, c.STREET_NAME AS cad_street_name,
+         s.HOUSE AS spr_house, c.HOUSE AS cad_house,
+         s.BUILDING AS spr_building, c.BUILDING AS cad_building,
+         CAST(s.COMPLETENESS_SCORE AS DOUBLE) AS completeness_spr,
+         CAST(c.COMPLETENESS_SCORE AS DOUBLE) AS completeness_cad
+    """
+    return f"""
+WITH RECURSIVE
+exact AS (
+  SELECT {out_cols.format(score="CAST(100.0 AS DOUBLE)", qual="'Excellent'",
+                          mtype="'Exact'")}
+  FROM read_parquet('{spr_path}') s
+  JOIN read_parquet('{cad_path}') c ON c.SEARCH_KEY = s.SEARCH_KEY
+  WHERE s.SEARCH_KEY <> ''
+),
+residue AS (
+  SELECT * FROM read_parquet('{spr_path}')
+  WHERE SEARCH_KEY <> ''
+    AND SEARCH_KEY NOT IN (SELECT SEARCH_KEY FROM read_parquet('{cad_path}')
+                           WHERE SEARCH_KEY <> '')
+),
+candpairs AS MATERIALIZED (
+  SELECT DISTINCT spr_ord, cad_ord, q, c FROM (
+    SELECT r._ord AS spr_ord, c._ord AS cad_ord, r.SEARCH_KEY AS q,
+           c.SEARCH_KEY AS c
+    FROM residue r JOIN read_parquet('{cad_path}') c
+      ON c.STREET_NORM = r.STREET_NORM
+    WHERE r.STREET_NORM <> '' AND c.SEARCH_KEY <> ''
+    UNION ALL
+    SELECT r._ord, c._ord, r.SEARCH_KEY, c.SEARCH_KEY
+    FROM residue r JOIN read_parquet('{cad_path}') c
+      ON c.HOUSE_NORM = r.HOUSE_NORM
+    WHERE r.HOUSE_NORM <> '' AND c.SEARCH_KEY <> ''
+    UNION ALL
+    SELECT r._ord, c._ord, r.SEARCH_KEY, c.SEARCH_KEY
+    FROM residue r JOIN read_parquet('{cad_path}') c
+      ON substring(c.HOUSE_NORM, 1, 2) = substring(r.HOUSE_NORM, 1, 2)
+    WHERE length(r.HOUSE_NORM) >= 2 AND length(c.HOUSE_NORM) >= 2
+      AND c.SEARCH_KEY <> ''
+    UNION ALL
+    SELECT r._ord, c._ord, r.SEARCH_KEY, c.SEARCH_KEY
+    FROM residue r JOIN read_parquet('{cad_path}') c
+      ON substring(c.STREET_NORM, 1, 3) = substring(r.STREET_NORM, 1, 3)
+    WHERE length(r.STREET_NORM) >= 3 AND c.STREET_NORM <> ''
+      AND c.SEARCH_KEY <> ''
+  )
+),
+qc AS (SELECT DISTINCT q, c FROM candpairs),
+{_scorer_ctes()},
+topk AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY spr_ord
+                                 ORDER BY score DESC, cad_ord ASC) AS rn
+    FROM (SELECT cp.spr_ord, cp.cad_ord,
+                 ps.s4 * 0.4 + ps.s3 * 0.3 + ps.s1 * 0.2 + ps.s2 * 0.1 AS score
+          FROM candpairs cp
+          JOIN pair_scores ps ON ps.q = cp.q AND ps.c = cp.c)
+    WHERE score >= 50.0)
+  WHERE rn <= 100
+),
+fuzzy AS (
+  SELECT {out_cols.format(
+      score="t.score",
+      qual=("CASE WHEN t.score >= 90.0 THEN 'Excellent' "
+            "WHEN t.score >= 75.0 THEN 'Good' ELSE 'Poor' END"),
+      mtype="'Fuzzy'")}
+  FROM topk t
+  JOIN read_parquet('{spr_path}') s ON s._ord = t.spr_ord
+  JOIN read_parquet('{cad_path}') c ON c._ord = t.cad_ord
+)
+SELECT * FROM exact UNION ALL SELECT * FROM fuzzy
+"""
+
+
+def _match_ctes(spr_path: str, cad_path: str, threshold: float = 85.0) -> str:
+    """Full-pipeline DuckDB oracle for ``match_pairs``: both exact phases PLUS the
+    fuzzy phase, bit-for-bit.
+
+    The fuzzy scorers (published rapidfuzz semantics, SURVEY §2.9;
+    ``/root/reference/address.py:656-682``) all reduce to LCS length, which plain
+    SQL lacks — so the oracle transcribes the same bit-parallel LCS algorithm the
+    engine uses (``functions/scorers.py::lcs_length``) into a recursive CTE over
+    HUGEINT bit-vectors (128-bit: exact for strings <= 126 chars; address strings
+    are far shorter). Per distinct scored string pair:
+
+    - ``ratio``        = 200*LCS/(|a|+|b|) (one LCS task),
+    - ``token_sort``   = ratio over sorted-token joins (one task),
+    - ``token_set``    = max of three ratios over intersection/difference joins,
+    - ``partial``      = max ratio over all clipped alignment windows of the
+      longer string (``scorers.py:partial_ratio`` window enumeration, one task
+      per window).
+
+    extractOne's lowest-index tie-break is ``row_number() ORDER BY sc DESC, pos``
+    per strategy; the reference's strict-``>`` strategy loop
+    (``address.py:667-672``) is ``ORDER BY sc DESC, k ASC`` across the four
+    per-strategy bests. Scores are IEEE-identical (exact integer numerator
+    ``200*LCS``, one double division, same operand order as the Python kernel).
+    """
+    mc = """
+       s.ADDRESS_ID AS "ADDRESS_ID_SPR", s.STREET_NAME AS "STREET_NAME_SPR",
+       s.HOUSE AS "HOUSE_SPR", s.BUILDING AS "BUILDING_SPR",
+       s.FULL_ADDRESS AS "FULL_ADDRESS_SPR",
+       c.ADDRESS_ID AS "ADDRESS_ID_CAD", c.STREET_NAME AS "STREET_NAME_CAD",
+       c.HOUSE AS "HOUSE_CAD", c.BUILDING AS "BUILDING_CAD",
+       c.FULL_ADDRESS AS "FULL_ADDRESS_CAD",
+       CAST(100.0 AS DOUBLE) AS "MATCH_SCORE", {mtype} AS "MATCH_TYPE",
+       CAST(1 AS BIGINT) AS "CANDIDATES_COUNT",
+       CAST(s.COMPLETENESS_SCORE AS DOUBLE) AS "COMPLETENESS_SPR",
+       CAST(c.COMPLETENESS_SCORE AS DOUBLE) AS "COMPLETENESS_CAD"
+    """
+    exact_full = f"""
+        SELECT {mc.format(mtype="'EXACT_FULL'")}
+        FROM read_parquet('{spr_path}') s
+        JOIN read_parquet('{cad_path}') c ON c.FULL_ADDRESS = s.FULL_ADDRESS
+        JOIN (SELECT FULL_ADDRESS, max(_ord) AS word
+              FROM read_parquet('{cad_path}') GROUP BY FULL_ADDRESS) w
+          ON w.FULL_ADDRESS = c.FULL_ADDRESS AND c._ord = w.word
+    """
+    exact_key = f"""
+        SELECT {mc.format(mtype="'EXACT_KEY'")}
+        FROM read_parquet('{spr_path}') s
+        JOIN read_parquet('{cad_path}') c
+          ON c.SEARCH_KEY = s.SEARCH_KEY AND c.BUILDING_NORM = s.BUILDING_NORM
+        LEFT JOIN (SELECT FULL_ADDRESS, max(_ord) AS word
+                   FROM read_parquet('{cad_path}') GROUP BY FULL_ADDRESS) w
+          ON w.FULL_ADDRESS = s.FULL_ADDRESS
+        WHERE w.word IS NULL
+           OR NOT (c.FULL_ADDRESS = s.FULL_ADDRESS AND c._ord = w.word)
+    """
+    return f"""
+exact AS ({exact_full} UNION ALL {exact_key}),
+residue AS (
+  SELECT * FROM read_parquet('{spr_path}')
+  WHERE STREET_NORM <> '' AND HOUSE_NORM <> ''
+    AND ADDRESS_ID NOT IN (SELECT "ADDRESS_ID_SPR" FROM exact)
+),
+blocks AS (
+  SELECT HOUSE_NORM AS h, BUILDING_NORM AS bn, count(*) AS cnt
+  FROM read_parquet('{cad_path}') WHERE HOUSE_NORM <> '' GROUP BY 1, 2
+),
+cands AS (
+  SELECT HOUSE_NORM AS h, BUILDING_NORM AS bn, STREET_NORM AS st,
+         ADDRESS_ID, STREET_NAME, HOUSE, BUILDING, FULL_ADDRESS,
+         COMPLETENESS_SCORE,
+         row_number() OVER (PARTITION BY HOUSE_NORM, BUILDING_NORM
+                            ORDER BY _ord) - 1 AS pos
+  FROM read_parquet('{cad_path}')
+  WHERE HOUSE_NORM <> '' AND STREET_NORM <> ''
+),
+probes AS (
+  SELECT DISTINCT STREET_NORM AS q, HOUSE_NORM AS h, BUILDING_NORM AS bn
+  FROM residue
+),
+qc AS (
+  SELECT DISTINCT p.q, c.st AS c
+  FROM probes p JOIN cands c ON c.h = p.h AND c.bn = p.bn
+),
+{_scorer_ctes()},
+cand_strat AS (
+  SELECT p.q, p.h, p.bn, u.k, u.sc, c.pos
+  FROM probes p
+  JOIN cands c ON c.h = p.h AND c.bn = p.bn
+  JOIN (SELECT q, c, 1 AS k, s1 AS sc FROM pair_scores UNION ALL
+        SELECT q, c, 2, s2 FROM pair_scores UNION ALL
+        SELECT q, c, 3, s3 FROM pair_scores UNION ALL
+        SELECT q, c, 4, s4 FROM pair_scores) u
+    ON u.q = p.q AND u.c = c.st
+),
+winner AS (
+  SELECT q, h, bn, sc, pos, k FROM (
+    SELECT *, row_number() OVER (PARTITION BY q, h, bn
+                                 ORDER BY sc DESC, k ASC, pos ASC) AS rn
+    FROM (SELECT q, h, bn, k, sc, pos FROM (
+            SELECT *, row_number() OVER (PARTITION BY q, h, bn, k
+                                         ORDER BY sc DESC, pos ASC) AS rn
+            FROM cand_strat) WHERE rn = 1))
+  WHERE rn = 1
+),
+fuzzy AS (
+  SELECT r.ADDRESS_ID AS "ADDRESS_ID_SPR", r.STREET_NAME AS "STREET_NAME_SPR",
+         r.HOUSE AS "HOUSE_SPR", r.BUILDING AS "BUILDING_SPR",
+         r.FULL_ADDRESS AS "FULL_ADDRESS_SPR",
+         c.ADDRESS_ID AS "ADDRESS_ID_CAD", c.STREET_NAME AS "STREET_NAME_CAD",
+         c.HOUSE AS "HOUSE_CAD", c.BUILDING AS "BUILDING_CAD",
+         c.FULL_ADDRESS AS "FULL_ADDRESS_CAD",
+         w.sc AS "MATCH_SCORE",
+         'FUZZY_STREET_' || CASE w.k WHEN 1 THEN 'TOKEN_SORT_RATIO'
+                                     WHEN 2 THEN 'TOKEN_SET_RATIO'
+                                     WHEN 3 THEN 'PARTIAL_RATIO'
+                                     ELSE 'RATIO' END AS "MATCH_TYPE",
+         b.cnt AS "CANDIDATES_COUNT",
+         CAST(r.COMPLETENESS_SCORE AS DOUBLE) AS "COMPLETENESS_SPR",
+         CAST(c.COMPLETENESS_SCORE AS DOUBLE) AS "COMPLETENESS_CAD"
+  FROM residue r
+  JOIN winner w ON w.q = r.STREET_NORM AND w.h = r.HOUSE_NORM
+               AND w.bn = r.BUILDING_NORM
+  JOIN cands c ON c.h = w.h AND c.bn = w.bn AND c.pos = w.pos
+  JOIN blocks b ON b.h = w.h AND b.bn = w.bn
+  WHERE w.sc >= {threshold}
+)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     # the driver's correctness harness runs at sf0.01; the preprocessed
     # registry fixtures are written (cached) the moment this is called, so the
@@ -753,10 +1105,43 @@ def oracle_sql() -> dict[str, str]:
         WHERE w.word IS NULL
            OR NOT (c.FULL_ADDRESS = s.FULL_ADDRESS AND c._ord = w.word)
     """
+    raw = _registry_paths("/root/testdata/sf0.01")
+    match_sql = _match_pairs_sql(p["spr"], p["cad"])
+    pages_pre = _prep_pages_records_path("/root/testdata/sf0.01")
     return {
+        "engine_variant_pairs": _engine_variant_sql(p["spr"], p["cad"]),
+        # pages flagship: page-derived records play the SPR side of the same
+        # exact+fuzzy match oracle (records fixture written driver-side with
+        # the pipeline's own pure-Arrow extract/parse/preprocess batch fns)
+        "pages_flagship": _match_pairs_sql(pages_pre, p["cad"]),
         "match_exact_full": exact_full_sql,
         "match_exact_key_p2": exact_key_sql,
         "match_exact_pairs": f"{exact_full_sql} UNION ALL {exact_key_sql}",
+        "match_pairs": match_sql,
+        # all fuzzy physical plans are row-identical; same oracle
+        "match_pairs_shuffle_plan": match_sql,
+        "unmatched_spr": f"""
+            WITH RECURSIVE {_match_ctes(p["spr"], p["cad"])},
+            m AS (SELECT * FROM exact UNION ALL SELECT * FROM fuzzy)
+            SELECT r.ADDRESS_ID, r.STREET_NAME, r.HOUSE, r.BUILDING
+            FROM read_parquet('{raw["registry_spr"]}') r
+            WHERE r.ADDRESS_ID NOT IN (SELECT "ADDRESS_ID_SPR" FROM m)
+        """,
+        # bipartite S:/C: connected components, cluster_id = min node id per
+        # component (stages/cluster.py semantics) via min-label reachability
+        "match_clusters": f"""
+            WITH RECURSIVE {_match_ctes(p["spr"], p["cad"])},
+            m AS MATERIALIZED (SELECT * FROM exact UNION ALL SELECT * FROM fuzzy),
+            e AS (SELECT DISTINCT 'S:' || "ADDRESS_ID_SPR" AS a,
+                         'C:' || "ADDRESS_ID_CAD" AS b FROM m),
+            und AS MATERIALIZED (SELECT a, b FROM e UNION SELECT b, a FROM e),
+            reach(node, lab) AS (
+                SELECT a, a FROM und
+                UNION
+                SELECT u.b, r.lab FROM reach r JOIN und u ON u.a = r.node
+            )
+            SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node
+        """,
         "unmatched_exact_spr": f"""
             SELECT s.ADDRESS_ID AS "ADDRESS_ID", s.STREET_NAME AS "STREET_NAME",
                    s.HOUSE AS "HOUSE", s.BUILDING AS "BUILDING",
