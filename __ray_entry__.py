@@ -213,6 +213,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def events_hourly_moving_avg(sf_dir):
         return A.hourly_moving_avg(_read(sf_dir, "events"), "ts", "value")
 
+    def docs_tfidf_top3(sf_dir):
+        return A.tfidf_top_terms(_read(sf_dir, "documents"), "doc_id", "text", 3)
+
+    def events_tumbling_15m(sf_dir):
+        return A.tumbling_window_agg(
+            _read(sf_dir, "events"), "ts", "event_type", "value", width_s=900)
+
+    def events_props_field(sf_dir):
+        return A.regex_field_agg(
+            _read(sf_dir, "events"), "props", "event_type", r'"k": (?P<v>\d+)')
+
+    def lineitem_ntile4(sf_dir):
+        li = _read(sf_dir, "lineitem").select_columns(
+            ["l_extendedprice", "l_orderkey", "l_linenumber"])
+        return A.ntile(
+            li, ["l_extendedprice", "l_orderkey", "l_linenumber"], 4)
+
     def orders_union_filters(sf_dir):
         import pyarrow.compute as pc
 
@@ -660,6 +677,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_zscore": events_value_zscore,
         "events_value_outliers": events_value_outliers,
         "events_hourly_moving_avg": events_hourly_moving_avg,
+        "docs_tfidf_top3": docs_tfidf_top3,
+        "events_tumbling_15m": events_tumbling_15m,
+        "events_props_field": events_props_field,
+        "lineitem_ntile4": lineitem_ntile4,
         "orders_union_filters": orders_union_filters,
         "distinct_returnflags": distinct_returnflags,
         "part_name_contains": part_name_contains,
@@ -1257,6 +1278,48 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(s / c) OVER (ORDER BY hour
                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 3) AS moving_avg
             FROM h ORDER BY hour
+        """,
+        "docs_tfidf_top3": """
+            WITH tok AS (
+                SELECT doc_id, token FROM (
+                    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+                    FROM documents) WHERE token <> ''),
+            tf AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+            dfq AS (SELECT token, count(DISTINCT doc_id) AS d FROM tok GROUP BY 1),
+            nq AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.token, tf.c, dfq.d,
+                       CAST(tf.c AS DOUBLE) * ln(nq.n / CAST(dfq.d AS DOUBLE))
+                           AS score
+                FROM tf JOIN dfq ON dfq.token = tf.token CROSS JOIN nq)
+            SELECT doc_id, token, CAST(c AS BIGINT) AS tf,
+                   CAST(d AS BIGINT) AS df, round(score, 6) AS score
+            FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, token ASC) AS rn FROM scored)
+            WHERE rn <= 3
+        """,
+        "events_tumbling_15m": """
+            SELECT event_type, (epoch_us(ts) // 900000000) * 900 AS win_start,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_props_field": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(v) AS BIGINT) AS sum_v,
+                   round(sum(v) / count(*), 6) AS avg_v
+            FROM (SELECT event_type,
+                         CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS v
+                  FROM events
+                  WHERE regexp_extract(props, '"k": (\\d+)', 1) <> '')
+            GROUP BY 1
+        """,
+        "lineitem_ntile4": """
+            SELECT l_extendedprice, l_orderkey, l_linenumber,
+                   CAST(row_number() OVER w - 1 AS BIGINT) AS rank,
+                   CAST(ntile(4) OVER w AS BIGINT) AS tile
+            FROM lineitem
+            WINDOW w AS (ORDER BY l_extendedprice, l_orderkey, l_linenumber)
         """,
         "orders_union_filters": """
             SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_totalprice > 400000.0

@@ -945,3 +945,235 @@ def bloom_semi_join(
 
     screened = ds.map_batches(_screen, batch_format="pyarrow")
     return semi_join_ids(screened, id_col, ids_ds, ids_col)
+
+
+def tfidf_top_terms(
+    ds: ray.data.Dataset, id_col: str, text_col: str, k: int = 3,
+    ndigits: int = 6,
+) -> ray.data.Dataset:
+    """Per-document top-``k`` terms by tf-idf (``tf * ln(N/df)``).
+
+    Tokenization matches the corpus token ops (lowercase, split on single
+    spaces, drop empties). Two streaming passes over the documents: pass A
+    reduces per-batch distinct (doc, token) partials to the document-frequency
+    table (one small ``groupby`` over O(vocab) rows — the rows shuffled are
+    vocabulary-sized, never corpus-sized) which is broadcast via ``ray.put``;
+    pass B scores each doc's term counts against the broadcast df map and
+    keeps the top ``k`` (score desc, token asc). Output:
+    (id, token, tf, df, score).
+    """
+    import pandas as pd
+
+    n_docs = ds.count()
+
+    def _df_partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        s = df[text_col].fillna("").str.lower().str.split(" ").explode()
+        s = s[s != ""].dropna()
+        pairs = pd.DataFrame({"_id": df.loc[s.index, id_col], "token": s})
+        out = (pairs.drop_duplicates().groupby("token", observed=True)
+               .size().rename("_d").reset_index())
+        return out
+
+    df_tbl = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(_df_partial, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("_d", alias_name="df"))
+        .to_pandas()
+    )
+    df_map = dict(zip(df_tbl["token"], df_tbl["df"].astype(int)))
+    ref = ray.put(df_map)
+
+    def _score(df: "pd.DataFrame") -> "pd.DataFrame":
+        dfm = ray.get(ref)
+        s = df[text_col].fillna("").str.lower().str.split(" ").explode()
+        s = s[s != ""].dropna()
+        tf = (pd.DataFrame({id_col: df.loc[s.index, id_col], "token": s})
+              .groupby([id_col, "token"], observed=True)
+              .size().rename("tf").reset_index())
+        if not len(tf):
+            return pd.DataFrame({id_col: pd.Series([], dtype=df[id_col].dtype),
+                                 "token": pd.Series([], dtype=str),
+                                 "tf": pd.Series([], dtype="int64"),
+                                 "df": pd.Series([], dtype="int64"),
+                                 "score": pd.Series([], dtype="float64")})
+        tf["df"] = tf["token"].map(dfm).astype("int64")
+        # same operand order as the SQL oracle: c * ln(N / d)
+        tf["score"] = tf["tf"].astype(float) * np.log(
+            float(n_docs) / tf["df"].to_numpy(dtype=float))
+        tf = tf.sort_values([id_col, "score", "token"],
+                            ascending=[True, False, True], kind="mergesort")
+        top = tf.groupby(id_col, observed=True).head(k).reset_index(drop=True)
+        top["score"] = top["score"].round(ndigits)
+        top["tf"] = top["tf"].astype("int64")
+        return top[[id_col, "token", "tf", "df", "score"]]
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _score, batch_format="pandas")
+
+
+def tumbling_window_agg(
+    ds: ray.data.Dataset, ts_col: str, key_col: str, val_col: str,
+    width_s: int = 900, ndigits: int = 6,
+) -> ray.data.Dataset:
+    """Tumbling event-time windows: per (key, ``width_s``-second window) count
+    and sum. The shuffle carries only per-batch (key, window, count, sum)
+    partials — O(keys x windows), never O(rows). ``win_start`` is the window's
+    epoch-seconds origin (timezone-free, engine-portable)."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        # normalize any timestamp unit to microseconds before the epoch math
+        us = pc.cast(pc.cast(batch.column(ts_col), pa.timestamp("us")),
+                     pa.int64())
+        win = pc.multiply(
+            pc.divide(us, width_s * 1_000_000), pa.scalar(width_s, pa.int64()))
+        df = pa.table({
+            "k": batch.column(key_col), "win_start": win,
+            "v": pc.cast(batch.column(val_col), pa.float64()),
+        }).to_pandas()
+        g = (df.groupby(["k", "win_start"], observed=True)
+             .agg(_c=("v", "count"), _s=("v", "sum")).reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ds.select_columns([ts_col, key_col, val_col])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby(["k", "win_start"])
+        .aggregate(Sum("_c", alias_name="n"), Sum("_s", alias_name="s"))
+    )
+
+    def _fin(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            key_col: batch.column("k"),
+            "win_start": batch.column("win_start"),
+            "n": pc.cast(batch.column("n"), pa.int64()),
+            "sum_value": pc.round(batch.column("s"), ndigits=ndigits),
+        })
+
+    return agg.map_batches(_fin, batch_format="pyarrow")
+
+
+def regex_field_agg(
+    ds: ray.data.Dataset, src_col: str, key_col: str, pattern: str,
+    ndigits: int = 6,
+) -> ray.data.Dataset:
+    """Vectorized regex field extraction + per-key aggregate.
+
+    ``pattern`` must contain ONE named group ``(?P<v>...)`` capturing an
+    integer (e.g. a field of a JSON-ish props string). Rows without a match
+    are dropped. Output per key: n, sum_v, avg_v. Extraction runs through
+    ``pyarrow.compute.extract_regex`` (RE2, no Python loop); the shuffle
+    carries per-batch partials only."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        arr = pc.fill_null(pc.cast(batch.column(src_col), pa.string()), "")
+        ext = pc.extract_regex(arr, pattern)
+        ok = pc.is_valid(ext)
+        vals = pc.cast(pc.struct_field(ext, "v"), pa.int64())
+        df = pa.table({
+            "k": batch.column(key_col), "ok": ok, "v": vals,
+        }).to_pandas()
+        df = df[df["ok"]]
+        g = (df.groupby("k", observed=True)
+             .agg(_c=("v", "count"), _s=("v", "sum")).reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ds.select_columns([src_col, key_col])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("_c", alias_name="n"), Sum("_s", alias_name="s"))
+    )
+
+    def _fin(batch: pa.Table) -> pa.Table:
+        n = pc.cast(batch.column("n"), pa.float64())
+        return pa.table({
+            key_col: batch.column("k"),
+            "n": pc.cast(batch.column("n"), pa.int64()),
+            "sum_v": pc.cast(batch.column("s"), pa.int64()),
+            "avg_v": pc.round(pc.divide(pc.cast(batch.column("s"), pa.float64()), n),
+                              ndigits=ndigits),
+        })
+
+    return agg.map_batches(_fin, batch_format="pyarrow")
+
+
+def global_rank(
+    ds: ray.data.Dataset, keys: Sequence[str], rank_col: str = "rank",
+) -> ray.data.Dataset:
+    """Dense 0-based global row rank under ``ORDER BY keys`` (ties impossible:
+    the composite key must be UNIQUE — documented partitioning assumption).
+
+    Distributed plan: one range-partitioning sort (Ray Data ``sort`` — blocks
+    come back globally ordered and internally sorted), then a metadata-sized
+    pass collects one (first-key, block-row-count) row PER BLOCK; the driver
+    cumsums those O(#blocks) rows into block-start offsets keyed by the
+    block's first composite key, broadcasts the tiny map, and a stateless
+    second pass assigns ``offset + arange(n)`` per block. No row-level data
+    ever reaches the driver. ``batch_size=None`` keeps task == block so the
+    offset lookup is exact."""
+    keys = list(keys)
+    sorted_ds = ds.sort(keys).materialize()
+
+    def _summ(batch: pa.Table) -> pa.Table:
+        # one row per block: the block's first composite key (typed, for the
+        # driver-side ordering) + its stringified lookup id + the row count
+        sl = batch.slice(0, min(1, batch.num_rows)).select(keys)
+        first_id = pa.array(
+            ["\x1f".join(str(batch.column(c)[0].as_py()) for c in keys)]
+            if batch.num_rows else [], pa.string())
+        return sl.append_column("_first", first_id).append_column(
+            "_n", pa.array([batch.num_rows] if batch.num_rows else [],
+                           pa.int64()))
+
+    summ = (sorted_ds.map_batches(_summ, batch_format="pyarrow", batch_size=None)
+            .to_pandas())
+    # driver work is O(#blocks): blocks are range-partitioned by the sort, so
+    # ordering block summaries by their typed first keys IS the block order
+    summ = summ.sort_values(keys, kind="mergesort").reset_index(drop=True)
+    offsets: dict = {}
+    total = 0
+    for first, nrows in zip(summ["_first"], summ["_n"]):
+        offsets[first] = total
+        total += int(nrows)
+    ref = ray.put(offsets)
+
+    def _annot(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(rank_col, pa.array([], pa.int64()))
+        off = ray.get(ref)
+        first = "\x1f".join(str(batch.column(c)[0].as_py()) for c in keys)
+        start = off[first]
+        return batch.append_column(
+            rank_col, pa.array(np.arange(start, start + batch.num_rows),
+                               pa.int64()))
+
+    return sorted_ds.map_batches(_annot, batch_format="pyarrow",
+                                 batch_size=None)
+
+
+def ntile(
+    ds: ray.data.Dataset, keys: Sequence[str], n: int,
+    rank_col: str = "rank", tile_col: str = "tile",
+) -> ray.data.Dataset:
+    """SQL ``NTILE(n) OVER (ORDER BY keys)`` (first buckets take the
+    remainder rows), riding on :func:`global_rank`."""
+    ranked = global_rank(ds, keys, rank_col)
+    total = ds.count()
+    base, rem = divmod(total, n)
+
+    def _tile(batch: pa.Table) -> pa.Table:
+        r = batch.column(rank_col).to_numpy(zero_copy_only=False)
+        cut = rem * (base + 1)
+        t = np.where(
+            r < cut,
+            r // max(base + 1, 1) + 1,
+            rem + (r - cut) // max(base, 1) + 1,
+        ).astype(np.int64)
+        return batch.append_column(tile_col, pa.array(t, pa.int64()))
+
+    return ranked.map_batches(_tile, batch_format="pyarrow")

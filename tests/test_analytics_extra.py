@@ -308,3 +308,81 @@ def test_bloom_semi_join_exact():
         .to_pandas().sort_values("k").reset_index(drop=True))
     want = np.sort(probe[probe["k"].isin(build["fk"])]["k"].values)
     assert np.array_equal(got["k"].values, want)
+
+
+def test_tfidf_top_terms_small():
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["apple banana apple", "banana cherry", "apple DATE date"],
+    })
+    got = (A.tfidf_top_terms(ray.data.from_pandas(df).repartition(2),
+                             "doc_id", "text", k=2)
+           .to_pandas().sort_values(["doc_id", "score", "token"],
+                                    ascending=[True, False, True])
+           .reset_index(drop=True))
+    # doc 1: apple tf=2 df=2 -> 2*ln(3/2); banana tf=1 df=2
+    top1 = got[got["doc_id"] == 1].iloc[0]
+    assert top1["token"] == "apple" and top1["tf"] == 2 and top1["df"] == 2
+    assert top1["score"] == round(2 * math.log(3 / 2), 6)
+    # doc 3: 'date' (lowercased, tf=2, df=1) outranks apple
+    top3 = got[got["doc_id"] == 3].iloc[0]
+    assert top3["token"] == "date" and top3["tf"] == 2 and top3["df"] == 1
+    assert (got.groupby("doc_id").size() <= 2).all()
+
+
+def test_tumbling_window_agg_small():
+    ts = pd.to_datetime([
+        "2024-01-01 00:00:01", "2024-01-01 00:14:59",  # window 0
+        "2024-01-01 00:15:00",                          # window 900
+        "2024-01-01 01:00:00",                          # window 3600
+    ])
+    df = pd.DataFrame({"ts": ts, "event_type": ["a", "a", "a", "b"],
+                       "value": [1.0, 2.0, 4.0, 8.0]})
+    got = (A.tumbling_window_agg(ray.data.from_pandas(df).repartition(2),
+                                 "ts", "event_type", "value", width_s=900)
+           .to_pandas().sort_values(["event_type", "win_start"])
+           .reset_index(drop=True))
+    base = int(ts[0].floor("15min").timestamp())
+    assert got.loc[0].tolist() == ["a", base, 2, 3.0]
+    assert got.loc[1].tolist() == ["a", base + 900, 1, 4.0]
+    assert got.loc[2].tolist() == ["b", base + 3600, 1, 8.0]
+
+
+def test_regex_field_agg_small():
+    df = pd.DataFrame({
+        "props": ['{"k": 10}', '{"k": 20}', "no match", None, '{"k": 5}'],
+        "event_type": ["x", "x", "x", "y", "y"],
+    })
+    got = (A.regex_field_agg(ray.data.from_pandas(df).repartition(2),
+                             "props", "event_type", r'"k": (?P<v>\d+)')
+           .to_pandas().sort_values("event_type").reset_index(drop=True))
+    assert got.loc[0].tolist() == ["x", 2, 30, 15.0]
+    assert got.loc[1].tolist() == ["y", 1, 5, 5.0]
+
+
+def test_global_rank_and_ntile_vs_pandas():
+    rng = np.random.default_rng(17)
+    n = 5000
+    df = pd.DataFrame({
+        "v": rng.integers(0, 500, size=n),    # heavy ties on v
+        "id": rng.permutation(n),             # unique tiebreak
+    })
+    ds = ray.data.from_pandas(df).repartition(13)
+    got = (A.ntile(ds, ["v", "id"], 7).to_pandas()
+           .sort_values("rank").reset_index(drop=True))
+    want = df.sort_values(["v", "id"], kind="mergesort").reset_index(drop=True)
+    assert (got["v"].values == want["v"].values).all()
+    assert (got["id"].values == want["id"].values).all()
+    assert (got["rank"].values == np.arange(n)).all()
+    # NTILE semantics: first n%7 buckets get the extra row
+    base, rem = divmod(n, 7)
+    sizes = got.groupby("tile").size()
+    assert sizes.iloc[:rem].eq(base + 1).all() and sizes.iloc[rem:].eq(base).all()
+    assert got["tile"].is_monotonic_increasing
+
+
+def test_global_rank_string_keys():
+    df = pd.DataFrame({"s": ["b", "a", "c", "aa", "B"], "x": range(5)})
+    got = (A.global_rank(ray.data.from_pandas(df).repartition(3), ["s"])
+           .to_pandas().sort_values("rank").reset_index(drop=True))
+    assert got["s"].tolist() == sorted(df["s"])
