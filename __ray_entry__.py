@@ -230,6 +230,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return A.ntile(
             li, ["l_extendedprice", "l_orderkey", "l_linenumber"], 4)
 
+    def lineitem_nation_revenue(sf_dir):
+        return A.star_revenue_by_nation(
+            _read(sf_dir, "lineitem"), _read(sf_dir, "orders"),
+            _read(sf_dir, "customer"), _read(sf_dir, "nation"))
+
+    def events_sliding_1h15m(sf_dir):
+        return A.sliding_window_agg(
+            _read(sf_dir, "events"), "ts", "event_type", "value",
+            width_s=3600, slide_s=900)
+
+    def events_daily_users(sf_dir):
+        ev = _read(sf_dir, "events")
+
+        def _day(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            us = pc.cast(pc.cast(batch.column("ts"), pa.timestamp("us")),
+                         pa.int64())
+            return batch.append_column(
+                "day", pc.divide(us, 86_400_000_000))
+
+        return A.distinct_count_agg(
+            ev.select_columns(["ts", "event_type", "user_id"])
+            .map_batches(_day, batch_format="pyarrow"),
+            ["event_type", "day"], "user_id")
+
+    def docs_source_stats(sf_dir):
+        return A.group_stats(_read(sf_dir, "documents"), "source", "n_chars")
+
     def orders_union_filters(sf_dir):
         import pyarrow.compute as pc
 
@@ -681,6 +710,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling_15m": events_tumbling_15m,
         "events_props_field": events_props_field,
         "lineitem_ntile4": lineitem_ntile4,
+        "lineitem_nation_revenue": lineitem_nation_revenue,
+        "events_sliding_1h15m": events_sliding_1h15m,
+        "events_daily_users": events_daily_users,
+        "docs_source_stats": docs_source_stats,
         "orders_union_filters": orders_union_filters,
         "distinct_returnflags": distinct_returnflags,
         "part_name_contains": part_name_contains,
@@ -1320,6 +1353,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ntile(4) OVER w AS BIGINT) AS tile
             FROM lineitem
             WINDOW w AS (ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+        """,
+        "lineitem_nation_revenue": """
+            SELECT n.n_name,
+                   round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                             * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                         / 10000.0, 4) AS revenue
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            GROUP BY 1
+        """,
+        "events_sliding_1h15m": """
+            SELECT event_type,
+                   (epoch_us(ts) // 900000000) * 900 - 900 * g.i AS win_start,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(value), 6) AS sum_value
+            FROM events CROSS JOIN range(0, 4) AS g(i)
+            GROUP BY 1, 2
+        """,
+        "events_daily_users": """
+            SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+            FROM events GROUP BY 1, 2
+        """,
+        "docs_source_stats": """
+            SELECT source, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_v,
+                   round(sum(n_chars) / count(*), 6) AS avg_v,
+                   min(n_chars) AS min_v, max(n_chars) AS max_v
+            FROM documents GROUP BY 1
         """,
         "orders_union_filters": """
             SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_totalprice > 400000.0

@@ -1177,3 +1177,227 @@ def ntile(
         return batch.append_column(tile_col, pa.array(t, pa.int64()))
 
     return ranked.map_batches(_tile, batch_format="pyarrow")
+
+
+def sliding_window_agg(
+    ds: ray.data.Dataset, ts_col: str, key_col: str, val_col: str,
+    width_s: int = 3600, slide_s: int = 900, ndigits: int = 6,
+) -> ray.data.Dataset:
+    """Sliding (overlapping) event-time windows: per (key, window of
+    ``width_s`` seconds sliding every ``slide_s``) count and sum.
+
+    ``width_s`` must be a multiple of ``slide_s``. Rows are first reduced to
+    (key, slide-bucket) partials per batch; only those partials are expanded
+    x ``width/slide`` into the windows they feed — the expansion happens on
+    bucket-level aggregates, never on raw rows, so shuffle volume is
+    O(keys x buckets x overlap)."""
+    if width_s % slide_s:
+        raise ValueError("width_s must be a multiple of slide_s")
+    overlap = width_s // slide_s
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        us = pc.cast(pc.cast(batch.column(ts_col), pa.timestamp("us")),
+                     pa.int64())
+        bucket = pc.multiply(
+            pc.divide(us, slide_s * 1_000_000), pa.scalar(slide_s, pa.int64()))
+        df = pa.table({
+            "k": batch.column(key_col), "b": bucket,
+            "v": pc.cast(batch.column(val_col), pa.float64()),
+        }).to_pandas()
+        g = (df.groupby(["k", "b"], observed=True)
+             .agg(_c=("v", "count"), _s=("v", "sum")).reset_index())
+        # expand each bucket partial into the `overlap` windows containing it
+        reps = pd.concat(
+            [g.assign(win_start=g["b"] - i * slide_s) for i in range(overlap)],
+            ignore_index=True,
+        )
+        return pa.Table.from_pandas(
+            reps[["k", "win_start", "_c", "_s"]], preserve_index=False)
+
+    agg = (
+        ds.select_columns([ts_col, key_col, val_col])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby(["k", "win_start"])
+        .aggregate(Sum("_c", alias_name="n"), Sum("_s", alias_name="s"))
+    )
+
+    def _fin(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            key_col: batch.column("k"),
+            "win_start": batch.column("win_start"),
+            "n": pc.cast(batch.column("n"), pa.int64()),
+            "sum_value": pc.round(batch.column("s"), ndigits=ndigits),
+        })
+
+    return agg.map_batches(_fin, batch_format="pyarrow")
+
+
+def distinct_count_agg(
+    ds: ray.data.Dataset, keys: Sequence[str], distinct_col: str,
+    out_col: str = "n_distinct",
+) -> ray.data.Dataset:
+    """Exact COUNT(DISTINCT distinct_col) per ``keys``.
+
+    Two-level aggregation: per-batch DISTINCT (keys + value) tuples (drops
+    in-batch duplicates before anything moves), a first ``groupby`` dedupes
+    the tuples globally, and a second — over the already-unique tuples, so its
+    input is O(distinct combos) — counts per key. No driver materialization."""
+    keys = list(keys)
+
+    def _tuples(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.select(keys + [distinct_col]).to_pandas()
+        return pa.Table.from_pandas(df.drop_duplicates(), preserve_index=False)
+
+    uniq = (
+        ds.select_columns(keys + [distinct_col])
+        .map_batches(_tuples, batch_format="pyarrow")
+        .groupby(keys + [distinct_col])
+        .aggregate(Count(alias_name="_dup"))
+    )
+
+    def _strip(batch: pa.Table) -> pa.Table:
+        return batch.select(keys + [distinct_col])
+
+    counted = (
+        uniq.map_batches(_strip, batch_format="pyarrow")
+        .groupby(keys)
+        .aggregate(Count(alias_name=out_col))
+    )
+
+    def _fin(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index(out_col)
+        return batch.set_column(
+            i, out_col, pc.cast(batch.column(out_col), pa.int64()))
+
+    return counted.map_batches(_fin, batch_format="pyarrow")
+
+
+def group_stats(
+    ds: ray.data.Dataset, key_col: str, val_col: str, ndigits: int = 6,
+) -> ray.data.Dataset:
+    """Per-key n / sum / avg / min / max over a numeric column, all from
+    per-batch partials (single small shuffle)."""
+
+    def _partial(df):
+        g = (df.groupby(key_col, observed=True)[val_col]
+             .agg(_c="count", _s="sum", _mn="min", _mx="max").reset_index())
+        return g
+
+    agg = (
+        ds.select_columns([key_col, val_col])
+        .map_batches(_partial, batch_format="pandas")
+        .groupby(key_col)
+        .aggregate(Sum("_c", alias_name="n"), Sum("_s", alias_name="s"),
+                   Min("_mn", alias_name="min_v"), Max("_mx", alias_name="max_v"))
+    )
+
+    def _fin(batch: pa.Table) -> pa.Table:
+        n = pc.cast(batch.column("n"), pa.float64())
+        return pa.table({
+            key_col: batch.column(key_col),
+            "n": pc.cast(batch.column("n"), pa.int64()),
+            "sum_v": pc.cast(batch.column("s"), pa.int64())
+            if pa.types.is_integer(batch.schema.field("s").type)
+            else pc.round(batch.column("s"), ndigits=ndigits),
+            "avg_v": pc.round(
+                pc.divide(pc.cast(batch.column("s"), pa.float64()), n),
+                ndigits=ndigits),
+            "min_v": batch.column("min_v"),
+            "max_v": batch.column("max_v"),
+        })
+
+    return agg.map_batches(_fin, batch_format="pyarrow")
+
+
+def star_revenue_by_nation(
+    lineitem: ray.data.Dataset, orders: ray.data.Dataset,
+    customer: ray.data.Dataset, nation: ray.data.Dataset,
+    num_partitions: int = 16, ndigits: int = 4,
+) -> ray.data.Dataset:
+    """TPC-H-Q5-style star join: revenue per nation.
+
+    Scale shape: the fact side is PRE-AGGREGATED per batch to
+    (l_orderkey, partial revenue) BEFORE any exchange (collapsing the ~4:1
+    lineitem:orders fan-in), then one shuffle ``groupby`` finishes the
+    per-order revenue, one hash ``Dataset.join`` attaches ``o_custkey``
+    (orders is fact-sized — broadcast would not hold at scale), and the two
+    genuinely small dimensions (customer -> nationkey, nation -> name) are
+    broadcast as ``ray.put`` maps probed inside ``map_batches`` — the classic
+    map-side dim join. Output: (n_name, revenue)."""
+    import pandas as pd
+
+    def _fact_partial(batch: pa.Table) -> pa.Table:
+        # decimal-exact: 2-dp price/discount -> int64 1e-4-unit revenue, so
+        # the sum is order-independent (no float drift vs the SQL oracle);
+        # int64 headroom ~1e9 rows per group at ~1e9 units/row
+        price_c = pc.cast(pc.round(pc.multiply(
+            pc.cast(batch.column("l_extendedprice"), pa.float64()), 100.0)),
+            pa.int64())
+        disc_c = pc.cast(pc.round(pc.multiply(
+            pc.cast(batch.column("l_discount"), pa.float64()), 100.0)),
+            pa.int64())
+        rev = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()),
+                                               disc_c))
+        df = pa.table({"l_orderkey": batch.column("l_orderkey"),
+                       "_r": rev}).to_pandas()
+        return pa.Table.from_pandas(
+            df.groupby("l_orderkey", observed=True)["_r"].sum().reset_index(),
+            preserve_index=False)
+
+    per_order = (
+        lineitem.select_columns(["l_orderkey", "l_extendedprice", "l_discount"])
+        .map_batches(_fact_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("_r", alias_name="rev"))
+    )
+
+    joined = per_order.join(
+        orders.select_columns(["o_orderkey", "o_custkey"]),
+        join_type="inner", num_partitions=num_partitions,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    cust_nation = {
+        int(r["c_custkey"]): int(r["c_nationkey"])
+        for b in customer.select_columns(["c_custkey", "c_nationkey"])
+        .iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    }
+    nation_name = {
+        int(r["n_nationkey"]): r["n_name"]
+        for b in nation.select_columns(["n_nationkey", "n_name"])
+        .iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    }
+    cn_ref = ray.put(cust_nation)
+    nn_ref = ray.put(nation_name)
+
+    def _dims(batch: pa.Table) -> pa.Table:
+        cn = ray.get(cn_ref)
+        nn = ray.get(nn_ref)
+        cust = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        names = [nn[cn[int(c)]] for c in cust]
+        df = pd.DataFrame({
+            "n_name": names,
+            "_r": batch.column("rev").to_numpy(zero_copy_only=False),
+        })
+        return pa.Table.from_pandas(
+            df.groupby("n_name", observed=True)["_r"].sum().reset_index(),
+            preserve_index=False)
+
+    agg = (joined.map_batches(_dims, batch_format="pyarrow")
+           .groupby("n_name").aggregate(Sum("_r", alias_name="revenue")))
+
+    def _fin(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": batch.column("n_name"),
+            "revenue": pc.round(
+                pc.divide(pc.cast(batch.column("revenue"), pa.float64()),
+                          10000.0), ndigits=ndigits),
+        })
+
+    return agg.map_batches(_fin, batch_format="pyarrow")

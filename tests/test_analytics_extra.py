@@ -386,3 +386,86 @@ def test_global_rank_string_keys():
     got = (A.global_rank(ray.data.from_pandas(df).repartition(3), ["s"])
            .to_pandas().sort_values("rank").reset_index(drop=True))
     assert got["s"].tolist() == sorted(df["s"])
+
+
+def test_sliding_window_agg_small():
+    ts = pd.to_datetime(["2024-01-01 00:50:00", "2024-01-01 01:10:00"])
+    df = pd.DataFrame({"ts": ts, "event_type": ["a", "a"], "value": [1.0, 2.0]})
+    got = (A.sliding_window_agg(ray.data.from_pandas(df).repartition(2),
+                                "ts", "event_type", "value",
+                                width_s=3600, slide_s=900)
+           .to_pandas().sort_values("win_start").reset_index(drop=True))
+    t0 = int(ts[0].timestamp())   # 00:50 -> bucket 00:45
+    t1 = int(ts[1].timestamp())   # 01:10 -> bucket 01:00
+    b0, b1 = t0 - t0 % 900, t1 - t1 % 900
+    # event 0 feeds windows starting b0-2700..b0; event 1 feeds b1-2700..b1
+    exp = {}
+    for b, v in ((b0, 1.0), (b1, 2.0)):
+        for i in range(4):
+            w = b - 900 * i
+            n, s = exp.get(w, (0, 0.0))
+            exp[w] = (n + 1, s + v)
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        n, s = exp[int(r["win_start"])]
+        assert (r["n"], r["sum_value"]) == (n, s)
+    # the overlapping middle windows contain both events
+    assert exp[b1 - 2700] == (2, 3.0)
+
+
+def test_distinct_count_agg_vs_pandas():
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame({
+        "g": rng.choice(["x", "y", "z"], size=2000),
+        "u": rng.integers(0, 50, size=2000),
+    })
+    got = (A.distinct_count_agg(ray.data.from_pandas(df).repartition(7),
+                                ["g"], "u")
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    want = df.groupby("g")["u"].nunique().reset_index()
+    assert got["n_distinct"].tolist() == want["u"].tolist()
+
+
+def test_group_stats_vs_pandas():
+    rng = np.random.default_rng(29)
+    df = pd.DataFrame({"k": rng.choice(["a", "b"], size=500),
+                       "v": rng.integers(0, 1000, size=500)})
+    got = (A.group_stats(ray.data.from_pandas(df).repartition(4), "k", "v")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    want = df.groupby("k")["v"].agg(["count", "sum", "mean", "min", "max"])
+    for i, k in enumerate(["a", "b"]):
+        assert got.loc[i, "n"] == want.loc[k, "count"]
+        assert got.loc[i, "sum_v"] == want.loc[k, "sum"]
+        assert got.loc[i, "avg_v"] == round(want.loc[k, "mean"], 6)
+        assert got.loc[i, "min_v"] == want.loc[k, "min"]
+        assert got.loc[i, "max_v"] == want.loc[k, "max"]
+
+
+def test_star_revenue_by_nation_vs_pandas():
+    rng = np.random.default_rng(31)
+    n_li, n_o, n_c = 400, 120, 30
+    li = pd.DataFrame({
+        "l_orderkey": rng.integers(0, n_o, size=n_li),
+        "l_extendedprice": np.round(rng.uniform(10, 1000, size=n_li), 2),
+        "l_discount": np.round(rng.uniform(0, 0.1, size=n_li), 2),
+    })
+    orders = pd.DataFrame({"o_orderkey": np.arange(n_o),
+                           "o_custkey": rng.integers(0, n_c, size=n_o)})
+    cust = pd.DataFrame({"c_custkey": np.arange(n_c),
+                         "c_nationkey": rng.integers(0, 5, size=n_c)})
+    nation = pd.DataFrame({"n_nationkey": np.arange(5),
+                           "n_name": [f"N{i}" for i in range(5)]})
+    got = (A.star_revenue_by_nation(
+        ray.data.from_pandas(li).repartition(4),
+        ray.data.from_pandas(orders).repartition(2),
+        ray.data.from_pandas(cust), ray.data.from_pandas(nation),
+        num_partitions=4)
+        .to_pandas().sort_values("n_name").reset_index(drop=True))
+    j = (li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+         .merge(cust, left_on="o_custkey", right_on="c_custkey")
+         .merge(nation, left_on="c_nationkey", right_on="n_nationkey"))
+    units = (np.round(j["l_extendedprice"] * 100).astype("int64")
+             * (100 - np.round(j["l_discount"] * 100).astype("int64")))
+    want = (units.groupby(j["n_name"]).sum() / 10000.0).round(4)
+    assert got["n_name"].tolist() == list(want.index)
+    assert got["revenue"].tolist() == want.tolist()
