@@ -259,6 +259,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def docs_source_stats(sf_dir):
         return A.group_stats(_read(sf_dir, "documents"), "source", "n_chars")
 
+    def orders_cust_priorities(sf_dir):
+        return A.grouped_concat(
+            _read(sf_dir, "orders"), "o_custkey", "o_orderpriority")
+
+    def events_users_approx(sf_dir):
+        """HLL approximate distinct users (mergeable sketch; no SQL oracle —
+        approximate by construction, error bound pinned in pytest)."""
+        est = A.approx_distinct(_read(sf_dir, "events"), "user_id")
+        return pd.DataFrame({"n_users_approx": [est]})
+
     def orders_union_filters(sf_dir):
         import pyarrow.compute as pc
 
@@ -714,6 +724,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_1h15m": events_sliding_1h15m,
         "events_daily_users": events_daily_users,
         "docs_source_stats": docs_source_stats,
+        "orders_cust_priorities": orders_cust_priorities,
+        "events_users_approx": events_users_approx,
         "orders_union_filters": orders_union_filters,
         "distinct_returnflags": distinct_returnflags,
         "part_name_contains": part_name_contains,
@@ -1384,6 +1396,12 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(n_chars) / count(*), 6) AS avg_v,
                    min(n_chars) AS min_v, max(n_chars) AS max_v
             FROM documents GROUP BY 1
+        """,
+        "orders_cust_priorities": """
+            SELECT o_custkey,
+                   string_agg(o_orderpriority, ',' ORDER BY o_orderpriority)
+                       AS vals
+            FROM orders GROUP BY 1
         """,
         "orders_union_filters": """
             SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_totalprice > 400000.0

@@ -1401,3 +1401,92 @@ def star_revenue_by_nation(
         })
 
     return agg.map_batches(_fin, batch_format="pyarrow")
+
+
+def grouped_concat(
+    ds: ray.data.Dataset, key_col: str, val_col: str, sep: str = ",",
+    out_col: str = "vals",
+) -> ray.data.Dataset:
+    """Deterministic per-key concatenation of ``val_col`` (values sorted
+    ascending, joined with ``sep``) — SQL ``string_agg(v, sep ORDER BY v)``.
+
+    The rows must co-locate per key, so this is one genuine shuffle
+    (``groupby().map_groups``); the per-group sort is the determinism
+    contract. Bounded-group premise: a single key's values must fit a task
+    (same premise as per-group quantiles)."""
+    import pandas as pd
+
+    def _concat(df: "pd.DataFrame") -> "pd.DataFrame":
+        vals = sorted(str(v) for v in df[val_col])
+        return pd.DataFrame({key_col: [df[key_col].iloc[0]],
+                             out_col: [sep.join(vals)]})
+
+    return (ds.select_columns([key_col, val_col])
+            .groupby(key_col).map_groups(_concat, batch_format="pandas"))
+
+
+_HLL_P = 12  # 4096 registers; relative error ~1.04/sqrt(4096) ~ 1.6%
+
+
+def approx_distinct(ds: ray.data.Dataset, col: str, p: int = _HLL_P) -> int:
+    """HyperLogLog approximate COUNT(DISTINCT col).
+
+    Per-batch partial: a 2^p-register max-rank sketch built vectorized (numpy)
+    from a splitmix64 hash of the values; partials merge by elementwise max —
+    a classic mergeable sketch, so the shuffle carries 2^p bytes per batch
+    regardless of row count, and the driver folds O(#batches) sketches.
+    Standard error ~1.04/sqrt(2^p) (~1.6% at p=12); see
+    tests/test_analytics_extra.py for the pinned error-bound check."""
+    m = 1 << p
+
+    def _mix(v: np.ndarray) -> np.ndarray:
+        v = (v + np.uint64(0x9E3779B97F4A7C15))
+        v = (v ^ (v >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        v = (v ^ (v >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return v ^ (v >> np.uint64(31))
+
+    def _sketch(batch: pa.Table) -> pa.Table:
+        col_arr = batch.column(col)
+        if pa.types.is_integer(col_arr.type):
+            h = _mix(col_arr.to_numpy(zero_copy_only=False).astype(np.uint64))
+        else:
+            import pandas as pd
+
+            h = pd.util.hash_array(
+                col_arr.to_pandas().astype(str).to_numpy(dtype=object)
+            ).astype(np.uint64)
+            h = _mix(h)
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = h << np.uint64(p)
+        # rank = leading zeros of the remaining 64-p bits + 1 (capped)
+        rank = np.zeros(len(h), dtype=np.uint8)
+        nz = rest != 0
+        # position of highest set bit via log2 on the float mantissa is unsafe
+        # at 64 bits; use a bit-length loop over the 64 possible shifts instead
+        # (vectorized: 64-bit_length == leading zeros)
+        bl = np.zeros(len(h), dtype=np.int64)
+        r = rest.copy()
+        for shift in (32, 16, 8, 4, 2, 1):
+            big = r >= (np.uint64(1) << np.uint64(shift))
+            bl[big] += shift
+            r[big] >>= np.uint64(shift)
+        bl[rest != 0] += 1
+        rank[nz] = (64 - bl[nz] + 1)
+        rank[~nz] = 64 - p + 1
+        regs = np.zeros(m, dtype=np.uint8)
+        np.maximum.at(regs, idx, rank)
+        return pa.table({"regs": [regs.tobytes()]})
+
+    regs = np.zeros(m, dtype=np.uint8)
+    for b in (ds.select_columns([col])
+              .map_batches(_sketch, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        for buf in b.column("regs").to_pylist():
+            regs = np.maximum(regs, np.frombuffer(buf, dtype=np.uint8))
+
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * math.log(m / zeros)  # small-range correction
+    return int(round(est))

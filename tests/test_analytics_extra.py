@@ -469,3 +469,33 @@ def test_star_revenue_by_nation_vs_pandas():
     want = (units.groupby(j["n_name"]).sum() / 10000.0).round(4)
     assert got["n_name"].tolist() == list(want.index)
     assert got["revenue"].tolist() == want.tolist()
+
+
+def test_grouped_concat_deterministic():
+    df = pd.DataFrame({"k": ["a", "b", "a", "a", "b"],
+                       "v": ["z", "m", "x", "y", "n"]})
+    for parts in (1, 3):
+        got = (A.grouped_concat(ray.data.from_pandas(df).repartition(parts),
+                                "k", "v")
+               .to_pandas().sort_values("k").reset_index(drop=True))
+        assert got["vals"].tolist() == ["x,y,z", "m,n"]
+
+
+@pytest.mark.parametrize("n_true", [50, 2000, 40000])
+def test_approx_distinct_error_bound(n_true):
+    rng = np.random.default_rng(n_true)
+    vals = rng.choice(n_true, size=n_true * 3, replace=True)  # dups galore
+    exact = len(np.unique(vals))
+    ds = ray.data.from_pandas(pd.DataFrame({"u": vals})).repartition(5)
+    est = A.approx_distinct(ds, "u")
+    assert abs(est - exact) / exact < 0.05, (est, exact)
+
+
+def test_approx_distinct_partition_invariant():
+    vals = np.arange(10000)
+    df = pd.DataFrame({"u": vals})
+    ests = {
+        A.approx_distinct(ray.data.from_pandas(df).repartition(p), "u")
+        for p in (1, 4, 16)
+    }
+    assert len(ests) == 1  # mergeable sketch: partitioning cannot change it
