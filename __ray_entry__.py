@@ -263,6 +263,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return A.grouped_concat(
             _read(sf_dir, "orders"), "o_custkey", "o_orderpriority")
 
+    def customer_order_counts(sf_dir):
+        return A.left_join_counts(
+            _read(sf_dir, "customer"), "c_custkey", _read(sf_dir, "orders"),
+            "o_custkey", ["c_custkey", "c_name"], out_col="n_orders")
+
+    def orders_price_quantiles_cont(sf_dir):
+        qsv = A.exact_quantiles_cont(
+            _read(sf_dir, "orders"), "o_totalprice", (0.25, 0.5, 0.75))
+        return pd.DataFrame({
+            "p25": [round(qsv[0.25], 6)], "p50": [round(qsv[0.5], 6)],
+            "p75": [round(qsv[0.75], 6)],
+        })
+
     def events_users_approx(sf_dir):
         """HLL approximate distinct users (mergeable sketch; no SQL oracle —
         approximate by construction, error bound pinned in pytest)."""
@@ -682,6 +695,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         cad_ref = matching.put_broadcast(EV.build_engine_cad_table(cad_p))
         return EV.engine_variant_matches(spr_p, cad_ref)
 
+    def media_real_decode(sf_dir):
+        """REAL (library-free) decode path: PPM gradient images -> pixel-true
+        features via the pure-numpy codec (functions/codecs.py). Rows-only
+        driver check; pixel exactness is pinned in tests/test_multimodal.py."""
+        import ray.data
+
+        from registry_address_matcher_ray.stages import multimodal as M
+
+        n = max(20, int(_sf_of(sf_dir) * 2000))
+        tbl = M.synth_decodable_media(n, "ppm", seed=3)
+        return M.decode_images(
+            ray.data.from_arrow(tbl).materialize(), codec="real", dim=64
+        ).select_columns(["media_id", "width", "height", "features"])
+
     def media_image_features(sf_dir):
         """Actor-pool image decode/feature stage over opaque binary payloads."""
         import ray.data
@@ -725,6 +752,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_users": events_daily_users,
         "docs_source_stats": docs_source_stats,
         "orders_cust_priorities": orders_cust_priorities,
+        "customer_order_counts": customer_order_counts,
+        "orders_price_quantiles_cont": orders_price_quantiles_cont,
         "events_users_approx": events_users_approx,
         "orders_union_filters": orders_union_filters,
         "distinct_returnflags": distinct_returnflags,
@@ -778,6 +807,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_neardup": embeddings_neardup,
         "docs_text_stats": docs_text_stats,
         "engine_variant_pairs": engine_variant_pairs,
+        "media_real_decode": media_real_decode,
         "media_image_features": media_image_features,
         "media_frame_sample": media_frame_sample,
     }
@@ -1402,6 +1432,18 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(o_orderpriority, ',' ORDER BY o_orderpriority)
                        AS vals
             FROM orders GROUP BY 1
+        """,
+        "customer_order_counts": """
+            SELECT c.c_custkey, c.c_name,
+                   CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+            FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+        """,
+        "orders_price_quantiles_cont": """
+            SELECT round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+                   round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+                   round(quantile_cont(o_totalprice, 0.75), 6) AS p75
+            FROM orders
         """,
         "orders_union_filters": """
             SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_totalprice > 400000.0

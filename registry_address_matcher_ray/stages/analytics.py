@@ -1490,3 +1490,58 @@ def approx_distinct(ds: ray.data.Dataset, col: str, p: int = _HLL_P) -> int:
     if est <= 2.5 * m and zeros:
         est = m * math.log(m / zeros)  # small-range correction
     return int(round(est))
+
+
+def exact_quantiles_cont(
+    ds: ray.data.Dataset, col: str, qs: Sequence[float]
+) -> dict[float, float]:
+    """Exact INTERPOLATED quantiles (DuckDB ``quantile_cont`` / numpy
+    'linear' semantics: position ``h = (n-1)*q``, linear between the two
+    bracketing sorted elements). Same scale shape as
+    :func:`exact_quantiles`: one distributed sort, O(len(qs)) row picks."""
+    n = ds.count()
+    if not n:
+        return {q: None for q in qs}
+    pos = {q: (n - 1) * q for q in qs}
+    idxs = sorted({i for h in pos.values()
+                   for i in (int(math.floor(h)), min(int(math.floor(h)) + 1,
+                                                     n - 1))})
+    s = ds.select_columns([col]).sort(col)
+    parts = s.split_at_indices(idxs)
+    at = {i: float(parts[k + 1].take(1)[0][col]) for k, i in enumerate(idxs)}
+    out = {}
+    for q, h in pos.items():
+        lo = int(math.floor(h))
+        hi = min(lo + 1, n - 1)
+        frac = h - lo
+        out[q] = at[lo] + (at[hi] - at[lo]) * frac
+    return out
+
+
+def left_join_counts(
+    ds: ray.data.Dataset, key_col: str, right: ray.data.Dataset,
+    right_key: str, keep_cols: Sequence[str], out_col: str = "n_matches",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """LEFT OUTER join semantics: every left row with the count of matching
+    right rows (0 when none). The right side is PRE-COUNTED per key before the
+    join (one small groupby — count rows, not payloads), so the hash join
+    moves O(left + distinct right keys), never O(right rows)."""
+    counts = right.groupby(right_key).count()
+
+    def _cnt(batch: pa.Table) -> pa.Table:
+        return pa.table({"_k": batch.column(right_key),
+                         "_c": pc.cast(batch.column("count()"), pa.int64())})
+
+    joined = ds.select_columns(list(keep_cols)).join(
+        counts.map_batches(_cnt, batch_format="pyarrow"),
+        join_type="left_outer", num_partitions=num_partitions,
+        on=(key_col,), right_on=("_k",),
+    )
+
+    def _fin(batch: pa.Table) -> pa.Table:
+        out = batch.select(list(keep_cols))
+        return out.append_column(
+            out_col, pc.fill_null(pc.cast(batch.column("_c"), pa.int64()), 0))
+
+    return joined.map_batches(_fin, batch_format="pyarrow")

@@ -11,11 +11,15 @@ payloads. Design contract here:
   per actor in ``__init__``, per-batch work in ``__call__``;
 - batch sizes are SMALL (default 32) because each row may carry megabytes — batch
   bytes × concurrency must fit worker heaps;
-- the actual codec is NOT available in this container (no PIL/ffmpeg), so decoding
-  is stubbed: ``codec="fake"`` (default) derives deterministic pseudo-pixels /
-  pseudo-samples from a SHA-256 of the payload (stable across runs and
-  parallelism — testable plumbing); ``codec="real"`` raises ``NotImplementedError``
-  at actor construction, marking exactly where PIL/libav plugs in.
+- ``codec="fake"`` (default) derives deterministic pseudo-pixels / pseudo-samples
+  from a SHA-256 of the payload (stable across runs and parallelism — testable
+  plumbing for formats whose codecs aren't in this container);
+- ``codec="real"`` GENUINELY decodes the library-free formats via
+  ``functions/codecs.py`` — PPM(P6)/24-bit-BMP pixels and PCM16 WAV samples —
+  and computes real features (channel stats + grayscale grid; framed FFT band
+  energies). Compressed formats (JPEG/PNG/MP4) raise ``ValueError`` inside the
+  stage, and video frame sampling raises ``NotImplementedError`` at actor
+  construction — marking exactly where PIL/libav plugs in.
 """
 
 from __future__ import annotations
@@ -71,13 +75,16 @@ def _fake_floats(payload: bytes, n: int, tag: bytes) -> np.ndarray:
 class _MediaActor:
     """Base: validates codec availability once per actor (the __init__ contract)."""
 
+    #: set False in subclasses whose real path needs an external library
+    _REAL_SUPPORTED = True
+
     def __init__(self, codec: str = "fake"):
-        if codec == "real":
+        if codec == "real" and not self._REAL_SUPPORTED:
             raise NotImplementedError(
-                "real media codecs (PIL/libav) are not available in this "
-                "environment; plug the decoder in here"
+                "real video container codecs (libav) are not available in "
+                "this environment; plug the decoder in here"
             )
-        if codec != "fake":
+        if codec not in ("fake", "real"):
             raise ValueError(f"unknown codec {codec!r}")
         self.codec = codec
 
@@ -91,11 +98,36 @@ class ImageDecodeActor(_MediaActor):
 
     def __init__(self, codec: str = "fake", dim: int = 64):
         super().__init__(codec)
+        if codec == "real" and dim < 9:
+            raise ValueError("real feature vector needs dim >= 9")
         self.dim = dim
+        if codec == "real":
+            n = dim - 8
+            gh = max(1, int(n ** 0.5))
+            while n % gh:
+                gh -= 1
+            self._grid = (n // gh, gh)  # (gw, gh)
+
+    def _real_features(self, payload: bytes) -> np.ndarray:
+        from ..functions import codecs
+
+        img = codecs.decode_image(payload)
+        h, w = img.shape[:2]
+        f = img.astype(np.float32)
+        stats = np.array(
+            [w / 4096.0, h / 4096.0,
+             *(f[:, :, c].mean() / 255.0 for c in range(3)),
+             *(f[:, :, c].std() / 255.0 for c in range(3))], np.float32)
+        gray = f.mean(axis=2)
+        gw, gh = self._grid
+        grid = codecs.resize_nearest(gray, gw, gh).ravel() / 255.0
+        return np.concatenate([stats, grid.astype(np.float32)])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
-        feats = np.stack([_fake_floats(p or b"", self.dim, b"img") for p in payloads]) \
+        kern = (self._real_features if self.codec == "real"
+                else lambda p: _fake_floats(p, self.dim, b"img"))
+        feats = np.stack([kern(p or b"") for p in payloads]) \
             if payloads else np.empty((0, self.dim), np.float32)
         arr = pa.FixedSizeListArray.from_arrays(
             pa.array(feats.ravel(), pa.float32()), self.dim
@@ -115,14 +147,25 @@ class ImageResizeActor(_MediaActor):
         n = batch.num_rows
         w = pa.array([self.target[0]] * n, pa.int32())
         h = pa.array([self.target[1]] * n, pa.int32())
+        out = batch.drop_columns(["width", "height"])
+        out = out.append_column("width", w).append_column("height", h)
+        if self.codec == "real":
+            from ..functions import codecs
+
+            resized = pa.array(
+                [codecs.encode_ppm(codecs.resize_nearest(
+                    codecs.decode_image(p or b""), self.target[0],
+                    self.target[1]))
+                 for p in batch.column("payload").to_pylist()],
+                pa.binary(),
+            )
+            return out.append_column("resized_payload", resized)
         digests = pa.array(
             [hashlib.sha256(b"resize" + (p or b"")).digest()
              for p in batch.column("payload").to_pylist()],
             pa.binary(),
         )
-        out = batch.drop_columns(["width", "height"])
-        return out.append_column("width", w).append_column("height", h) \
-                  .append_column("resized_digest", digests)
+        return out.append_column("resized_digest", digests)
 
 
 class AudioFeatureActor(_MediaActor):
@@ -130,11 +173,32 @@ class AudioFeatureActor(_MediaActor):
 
     def __init__(self, codec: str = "fake", n_mels: int = 16, frames: int = 8):
         super().__init__(codec)
+        self.n_mels = n_mels
+        self.frames = frames
         self.n = n_mels * frames
+
+    def _real_features(self, payload: bytes) -> np.ndarray:
+        from ..functions import codecs
+
+        samples, _rate = codecs.decode_wav(payload)
+        if not len(samples):
+            return np.zeros(self.n, np.float32)
+        chunk = max(1, len(samples) // self.frames)
+        out = np.zeros((self.frames, self.n_mels), np.float32)
+        for f in range(self.frames):
+            seg = samples[f * chunk : (f + 1) * chunk]
+            if not len(seg):
+                continue
+            mag = np.abs(np.fft.rfft(seg))
+            bands = np.array_split(mag, self.n_mels)
+            out[f] = [np.log1p(b.sum()) for b in bands]
+        return out.ravel()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
-        feats = np.stack([_fake_floats(p or b"", self.n, b"aud") for p in payloads]) \
+        kern = (self._real_features if self.codec == "real"
+                else lambda p: _fake_floats(p, self.n, b"aud"))
+        feats = np.stack([kern(p or b"") for p in payloads]) \
             if payloads else np.empty((0, self.n), np.float32)
         arr = pa.FixedSizeListArray.from_arrays(
             pa.array(feats.ravel(), pa.float32()), self.n
@@ -149,6 +213,8 @@ class FrameSampleActor(_MediaActor):
     timestamp grid from ``duration_ms``/``fps`` metadata and a per-frame digest.
     Demonstrates the 1->N (flat-map-shaped) media stage in plain ``map_batches``.
     """
+
+    _REAL_SUPPORTED = False  # mp4/containers genuinely need libav
 
     def __init__(self, codec: str = "fake", every_ms: int = 1000, max_frames: int = 16):
         super().__init__(codec)
@@ -228,3 +294,47 @@ def synth_media(n: int, kind: str = "image", seed: int = 0) -> pa.Table:
         "duration_ms": pa.array(rng.integers(1000, 120_000, n), pa.int32()),
         "fps": pa.array([30.0] * n, pa.float32()),
     })
+
+
+def synth_decodable_media(n: int, kind: str = "ppm", seed: int = 0) -> pa.Table:
+    """Synthetic REAL-decodable media table: PPM/BMP gradient images or WAV
+    sine payloads (pure-numpy encoders from ``functions/codecs.py``)."""
+    from ..functions import codecs
+
+    rng = np.random.default_rng(seed)
+    ids = [f"{kind}-{i:06d}" for i in range(n)]
+    if kind in ("ppm", "bmp"):
+        payloads, ws, hs = [], [], []
+        enc = codecs.encode_ppm if kind == "ppm" else codecs.encode_bmp
+        for i in range(n):
+            w, h = int(rng.integers(8, 64)), int(rng.integers(8, 64))
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = np.stack([
+                (xx * 255 // max(w - 1, 1)),
+                (yy * 255 // max(h - 1, 1)),
+                np.full((h, w), int(rng.integers(0, 256))),
+            ], axis=2).astype(np.uint8)
+            payloads.append(enc(img))
+            ws.append(w)
+            hs.append(h)
+        return pa.table({
+            "media_id": ids, "media_type": [f"image/{kind}"] * n,
+            "payload": payloads,
+            "width": pa.array(ws, pa.int32()), "height": pa.array(hs, pa.int32()),
+        })
+    if kind == "wav":
+        payloads, durs = [], []
+        for i in range(n):
+            dur_ms = int(rng.integers(50, 500))
+            t = np.arange(int(16000 * dur_ms / 1000)) / 16000.0
+            freq = float(rng.integers(100, 2000))
+            samples = (np.sin(2 * np.pi * freq * t) * 20000).astype(np.int16)
+            payloads.append(codecs.encode_wav(samples, 16000))
+            durs.append(dur_ms)
+        return pa.table({
+            "media_id": ids, "media_type": ["audio/wav"] * n,
+            "payload": payloads,
+            "sample_rate": pa.array([16000] * n, pa.int32()),
+            "duration_ms": pa.array(durs, pa.int32()),
+        })
+    raise ValueError(f"unknown decodable kind {kind!r}")

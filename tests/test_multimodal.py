@@ -54,5 +54,119 @@ def test_frame_sampling_one_to_many(ray_session):
 
 
 def test_real_codec_is_gated(ray_session):
+    # image/audio real codecs are genuinely implemented (library-free formats);
+    # only the video container path still needs libav and stays gated
+    M.ImageDecodeActor(codec="real")
     with pytest.raises(NotImplementedError):
-        M.ImageDecodeActor(codec="real")
+        M.FrameSampleActor(codec="real")
+
+
+# ------------------------------------------------------- real (library-free) codecs
+
+
+def test_codec_ppm_roundtrip():
+    import numpy as np
+
+    from registry_address_matcher_ray.functions import codecs
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(13, 7, 3), dtype=np.uint8)
+    assert np.array_equal(codecs.decode_image(codecs.encode_ppm(img)), img)
+
+
+def test_codec_bmp_roundtrip_padded_rows():
+    import numpy as np
+
+    from registry_address_matcher_ray.functions import codecs
+
+    rng = np.random.default_rng(5)
+    for w in (5, 6, 7, 8):  # exercise every 4-byte row-padding case
+        img = rng.integers(0, 256, size=(9, w, 3), dtype=np.uint8)
+        assert np.array_equal(codecs.decode_image(codecs.encode_bmp(img)), img)
+
+
+def test_codec_wav_roundtrip():
+    import numpy as np
+
+    from registry_address_matcher_ray.functions import codecs
+
+    samples = (np.sin(np.arange(4000) / 30.0) * 25000).astype(np.int16)
+    dec, rate = codecs.decode_wav(codecs.encode_wav(samples, 22050))
+    assert rate == 22050
+    assert np.allclose(dec * 32768.0, samples, atol=0.51)
+
+
+def test_codec_rejects_compressed_formats():
+    import pytest
+
+    from registry_address_matcher_ray.functions import codecs
+
+    with pytest.raises(ValueError, match="unsupported image format"):
+        codecs.decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+
+
+def test_real_image_decode_features(ray_session):
+    import numpy as np
+    import ray.data
+
+    from registry_address_matcher_ray.stages import multimodal as M
+    from registry_address_matcher_ray.functions import codecs
+
+    tbl = M.synth_decodable_media(12, "ppm", seed=7)
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    out = M.decode_images(ds, codec="real", dim=64).to_pandas()
+    assert len(out) == 12
+    # features are REAL functions of the pixels: recompute one row exactly
+    row = out.iloc[0]
+    img = codecs.decode_image(tbl.column("payload")[0].as_py())
+    f = np.asarray(row["features"], dtype=np.float32)
+    assert f.shape == (64,)
+    assert f[0] == np.float32(img.shape[1] / 4096.0)
+    assert f[1] == np.float32(img.shape[0] / 4096.0)
+    assert abs(f[2] - img[:, :, 0].astype(np.float32).mean() / 255.0) < 1e-6
+
+
+def test_real_resize_roundtrip(ray_session):
+    import numpy as np
+    import ray.data
+
+    from registry_address_matcher_ray.stages import multimodal as M
+    from registry_address_matcher_ray.functions import codecs
+
+    tbl = M.synth_decodable_media(6, "bmp", seed=11)
+    out = M.resize_images(ray.data.from_arrow(tbl), codec="real",
+                          target=(16, 12)).to_pandas()
+    for _, r in out.iterrows():
+        img = codecs.decode_image(r["resized_payload"])
+        assert img.shape == (12, 16, 3)
+    # resized pixels equal a direct nearest-neighbor resize of the source
+    src = codecs.decode_image(tbl.column("payload")[0].as_py())
+    got0 = codecs.decode_image(
+        out[out["media_id"] == tbl.column("media_id")[0].as_py()]
+        .iloc[0]["resized_payload"])
+    assert np.array_equal(got0, codecs.resize_nearest(src, 16, 12))
+
+
+def test_real_audio_features(ray_session):
+    import numpy as np
+    import ray.data
+
+    from registry_address_matcher_ray.stages import multimodal as M
+
+    tbl = M.synth_decodable_media(8, "wav", seed=13)
+    out = M.audio_features(ray.data.from_arrow(tbl), codec="real").to_pandas()
+    assert len(out) == 8
+    feats = np.stack([np.asarray(f) for f in out["audio_features"]])
+    assert feats.shape == (8, 128)
+    # a pure sine has energy: features must be nonzero and differ across rows
+    assert (feats.sum(axis=1) > 0).all()
+    assert len({tuple(np.round(f, 4)) for f in feats}) == 8
+
+
+def test_real_video_still_raises(ray_session):
+    import pytest
+
+    from registry_address_matcher_ray.stages import multimodal as M
+
+    with pytest.raises(NotImplementedError):
+        M.FrameSampleActor(codec="real")
