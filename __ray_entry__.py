@@ -263,6 +263,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return A.grouped_concat(
             _read(sf_dir, "orders"), "o_custkey", "o_orderpriority")
 
+    def events_user_trailing_avg(sf_dir):
+        return A.rolling_window_per_key(
+            _read(sf_dir, "events"), "user_id", ["ts", "event_id"], "value",
+            3, ["event_id"])
+
     def customer_order_counts(sf_dir):
         return A.left_join_counts(
             _read(sf_dir, "customer"), "c_custkey", _read(sf_dir, "orders"),
@@ -753,6 +758,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_source_stats": docs_source_stats,
         "orders_cust_priorities": orders_cust_priorities,
         "customer_order_counts": customer_order_counts,
+        "events_user_trailing_avg": events_user_trailing_avg,
         "orders_price_quantiles_cont": orders_price_quantiles_cont,
         "events_users_approx": events_users_approx,
         "orders_union_filters": orders_union_filters,
@@ -1438,6 +1444,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
             FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
             GROUP BY 1, 2
+        """,
+        "events_user_trailing_avg": """
+            SELECT event_id, user_id,
+                   round(avg(value) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+                       AS trailing_avg
+            FROM events
         """,
         "orders_price_quantiles_cont": """
             SELECT round(quantile_cont(o_totalprice, 0.25), 6) AS p25,

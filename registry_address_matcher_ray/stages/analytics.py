@@ -1545,3 +1545,31 @@ def left_join_counts(
             out_col, pc.fill_null(pc.cast(batch.column("_c"), pa.int64()), 0))
 
     return joined.map_batches(_fin, batch_format="pyarrow")
+
+
+def rolling_window_per_key(
+    ds: ray.data.Dataset, key_col: str, order_cols: Sequence[str],
+    val_col: str, window: int, id_cols: Sequence[str], ndigits: int = 4,
+) -> ray.data.Dataset:
+    """Per-key trailing row-window mean: SQL ``avg(v) OVER (PARTITION BY key
+    ORDER BY order_cols ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW)``.
+
+    One shuffle co-locates each key's rows (``groupby().map_groups``); the
+    per-group sort over ``order_cols`` is the determinism contract.
+    Bounded-group premise: one key's rows fit a task (same as running sums /
+    per-group quantiles — salt the key upstream if a key is unbounded)."""
+    import pandas as pd
+
+    cols = list(dict.fromkeys(
+        [key_col, *order_cols, val_col, *id_cols]))
+
+    def _roll(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(list(order_cols), kind="mergesort")
+        out = g[list(id_cols)].copy()
+        out[key_col] = g[key_col]
+        out["trailing_avg"] = (
+            g[val_col].rolling(window, min_periods=1).mean().round(ndigits))
+        return out
+
+    return (ds.select_columns(cols)
+            .groupby(key_col).map_groups(_roll, batch_format="pandas"))
