@@ -263,6 +263,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return A.grouped_concat(
             _read(sf_dir, "orders"), "o_custkey", "o_orderpriority")
 
+    def orders_running_price(sf_dir):
+        return A.global_running_sum(
+            _read(sf_dir, "orders").select_columns(
+                ["o_orderkey", "o_totalprice"]),
+            ["o_orderkey"], "o_totalprice")
+
     def events_user_trailing_avg(sf_dir):
         return A.rolling_window_per_key(
             _read(sf_dir, "events"), "user_id", ["ts", "event_id"], "value",
@@ -759,6 +765,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cust_priorities": orders_cust_priorities,
         "customer_order_counts": customer_order_counts,
         "events_user_trailing_avg": events_user_trailing_avg,
+        "orders_running_price": orders_running_price,
         "orders_price_quantiles_cont": orders_price_quantiles_cont,
         "events_users_approx": events_users_approx,
         "orders_union_filters": orders_union_filters,
@@ -1444,6 +1451,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
             FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
             GROUP BY 1, 2
+        """,
+        "orders_running_price": """
+            SELECT o_orderkey, o_totalprice,
+                   round(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                         OVER (ORDER BY o_orderkey
+                               ROWS UNBOUNDED PRECEDING) / 100.0, 2)
+                       AS running
+            FROM orders
         """,
         "events_user_trailing_avg": """
             SELECT event_id, user_id,

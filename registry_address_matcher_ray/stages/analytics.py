@@ -1573,3 +1573,59 @@ def rolling_window_per_key(
 
     return (ds.select_columns(cols)
             .groupby(key_col).map_groups(_roll, batch_format="pandas"))
+
+
+def global_running_sum(
+    ds: ray.data.Dataset, keys: Sequence[str], val_col: str,
+    out_col: str = "running", scale: int = 100,
+) -> ray.data.Dataset:
+    """Distributed prefix scan: SQL ``sum(v) OVER (ORDER BY keys ROWS
+    UNBOUNDED PRECEDING)`` with DECIMAL-EXACT arithmetic (values are
+    ``round(v*scale)`` int64 units, so partial-sum association cannot drift
+    from the sequential SQL result; divided back once on output).
+
+    Same plan as :func:`global_rank`: one range-partitioning sort, a
+    metadata-sized pass collecting one (first-key, block-unit-sum) row per
+    block, a driver-side exclusive prefix over those O(#blocks) rows, then a
+    stateless pass adds each block's broadcast offset to its in-block cumsum.
+    Composite key must be unique (documented assumption)."""
+    keys = list(keys)
+    sorted_ds = ds.sort(keys).materialize()
+
+    def _units(batch: pa.Table) -> pa.Array:
+        return pc.cast(pc.round(pc.multiply(
+            pc.cast(batch.column(val_col), pa.float64()), float(scale))),
+            pa.int64())
+
+    def _summ(batch: pa.Table) -> pa.Table:
+        sl = batch.slice(0, min(1, batch.num_rows)).select(keys)
+        first_id = pa.array(
+            ["\x1f".join(str(batch.column(c)[0].as_py()) for c in keys)]
+            if batch.num_rows else [], pa.string())
+        tot = pa.array(
+            [pc.sum(_units(batch)).as_py() or 0] if batch.num_rows else [],
+            pa.int64())
+        return sl.append_column("_first", first_id).append_column("_sum", tot)
+
+    summ = (sorted_ds.map_batches(_summ, batch_format="pyarrow",
+                                  batch_size=None).to_pandas())
+    summ = summ.sort_values(keys, kind="mergesort").reset_index(drop=True)
+    offsets: dict = {}
+    total = 0
+    for first, bsum in zip(summ["_first"], summ["_sum"]):
+        offsets[first] = total
+        total += int(bsum)
+    ref = ray.put(offsets)
+
+    def _annot(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(out_col, pa.array([], pa.float64()))
+        off = ray.get(ref)
+        first = "\x1f".join(str(batch.column(c)[0].as_py()) for c in keys)
+        units = _units(batch).to_numpy(zero_copy_only=False)
+        running = off[first] + np.cumsum(units)
+        return batch.append_column(
+            out_col, pa.array(np.round(running / scale, 2), pa.float64()))
+
+    return sorted_ds.map_batches(_annot, batch_format="pyarrow",
+                                 batch_size=None)

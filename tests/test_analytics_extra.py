@@ -499,3 +499,39 @@ def test_approx_distinct_partition_invariant():
         for p in (1, 4, 16)
     }
     assert len(ests) == 1  # mergeable sketch: partitioning cannot change it
+
+
+def test_global_running_sum_vs_pandas():
+    rng = np.random.default_rng(37)
+    n = 3000
+    df = pd.DataFrame({
+        "k": rng.permutation(n),
+        "v": np.round(rng.uniform(1, 500, size=n), 2),
+    })
+    got = (A.global_running_sum(ray.data.from_pandas(df).repartition(9),
+                                ["k"], "v")
+           .to_pandas().reset_index(drop=True))
+    want = df.sort_values("k", kind="mergesort").reset_index(drop=True)
+    cents = np.round(want["v"] * 100).astype("int64")
+    exp = np.round(np.cumsum(cents) / 100.0, 2)
+    assert got["k"].tolist() == want["k"].tolist()
+    assert got["running"].tolist() == exp.tolist()
+
+
+def test_rolling_window_per_key_vs_pandas():
+    rng = np.random.default_rng(41)
+    df = pd.DataFrame({
+        "u": rng.integers(0, 20, size=800),
+        "t": rng.permutation(800),
+        "id": np.arange(800),
+        "v": rng.uniform(0, 100, size=800),
+    })
+    got = (A.rolling_window_per_key(ray.data.from_pandas(df).repartition(5),
+                                    "u", ["t", "id"], "v", 3, ["id"])
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    want = df.sort_values(["u", "t", "id"], kind="mergesort")
+    want["trailing_avg"] = (want.groupby("u")["v"]
+                            .transform(lambda s: s.rolling(3, min_periods=1)
+                                       .mean()).round(4))
+    want = want.sort_values("id").reset_index(drop=True)
+    assert np.allclose(got["trailing_avg"].values, want["trailing_avg"].values)
