@@ -892,16 +892,49 @@ tasks AS (
    AND least(g.i + least(length(p.q), length(p.c)),
              greatest(length(p.q), length(p.c))) - greatest(0, g.i) > 0
 ),
-lpairs AS (SELECT DISTINCT a, b FROM tasks),
-amask AS (
-  SELECT a, ch, sum(1::HUGEINT << (i - 1)::INT)::HUGEINT AS m
-  FROM (SELECT DISTINCT l.a, g.i, substring(l.a, g.i::INT, 1) AS ch
-        FROM (SELECT DISTINCT a FROM lpairs) l
-        JOIN range(1, 127) AS g(i) ON g.i <= length(l.a))
-  GROUP BY a, ch
+lpairs AS MATERIALIZED (SELECT DISTINCT a, b FROM tasks),
+-- common-prefix / common-suffix trimming: LCS(a,b) = ncp + ncs + LCS(cores)
+-- (exact identity), so the expensive recursion only sees the differing cores
+-- — address-like string pairs share long prefixes, collapsing most pairs to
+-- tiny or empty cores. The trim scans are flat vectorized group-bys.
+lp_cp AS MATERIALIZED (
+  SELECT l.a, l.b,
+         coalesce(min(CASE WHEN substring(l.a, g.i::INT, 1)
+                                <> substring(l.b, g.i::INT, 1)
+                           THEN g.i END),
+                  least(length(l.a), length(l.b)) + 1) - 1 AS ncp
+  FROM lpairs l LEFT JOIN range(1, 127) AS g(i)
+    ON g.i <= least(length(l.a), length(l.b))
+  GROUP BY l.a, l.b
+),
+lp_trim AS MATERIALIZED (
+  SELECT p.a, p.b, p.ncp,
+         coalesce(min(CASE WHEN substring(p.a, (length(p.a) - g.i + 1)::INT, 1)
+                                <> substring(p.b, (length(p.b) - g.i + 1)::INT, 1)
+                           THEN g.i END),
+                  least(length(p.a), length(p.b)) - p.ncp + 1) - 1 AS ncs
+  FROM lp_cp p LEFT JOIN range(1, 127) AS g(i)
+    ON g.i <= least(length(p.a), length(p.b)) - p.ncp
+  GROUP BY p.a, p.b, p.ncp
+),
+lp_core AS MATERIALIZED (
+  SELECT a, b, ncp, ncs,
+         substring(a, (ncp + 1)::INT, (length(a) - ncp - ncs)::INT) AS ca,
+         substring(b, (ncp + 1)::INT, (length(b) - ncp - ncs)::INT) AS cb
+  FROM lp_trim
+),
+cores AS MATERIALIZED (
+  SELECT DISTINCT ca, cb FROM lp_core WHERE ca <> '' AND cb <> ''
+),
+amask AS MATERIALIZED (
+  SELECT ca AS a, ch, sum(1::HUGEINT << (i - 1)::INT)::HUGEINT AS m
+  FROM (SELECT DISTINCT l.ca, g.i, substring(l.ca, g.i::INT, 1) AS ch
+        FROM (SELECT DISTINCT ca FROM cores) l
+        JOIN range(1, 127) AS g(i) ON g.i <= length(l.ca))
+  GROUP BY ca, ch
 ),
 step(a, b, j, v) AS (
-  SELECT a, b, 0::BIGINT, (1::HUGEINT << length(a)::INT) - 1 FROM lpairs
+  SELECT ca, cb, 0::BIGINT, (1::HUGEINT << length(ca)::INT) - 1 FROM cores
   UNION ALL
   SELECT s.a, s.b, s.j + 1,
          ((s.v + (s.v & coalesce(am.m, 0::HUGEINT)))
@@ -911,9 +944,14 @@ step(a, b, j, v) AS (
   LEFT JOIN amask am ON am.a = s.a AND am.ch = substring(s.b, (s.j + 1)::INT, 1)
   WHERE s.j < length(s.b)
 ),
-lcs AS (
-  SELECT a, b, length(a) - bit_count(v) AS l
+core_lcs AS (
+  SELECT a AS ca, b AS cb, length(a) - bit_count(v) AS l
   FROM step WHERE j = length(b)
+),
+lcs AS (
+  SELECT t.a, t.b, t.ncp + t.ncs + coalesce(cl.l, 0) AS l
+  FROM lp_core t
+  LEFT JOIN core_lcs cl ON cl.ca = t.ca AND cl.cb = t.cb
 ),
 pair_scores AS (
   SELECT t.q, t.c,
