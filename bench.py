@@ -236,10 +236,15 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 def run_scaling(sf_dir: str) -> dict:
     """Fresh-process N vs 4N CPU runs on identical input (cache pre-warmed).
 
-    Uses a 4x-larger fixture (240k rows) than the plain per-sf bench so the run
+    Uses a 4x-larger fixture (240k rows; RAY_GRAFT_BENCH_N overrides — 480k
+    doubles the compute-bound fraction but exceeds a 10-min budget) than the
+    plain per-sf bench so the run
     is compute-bound — the scaling criterion measures throughput scaling of the
     pipeline's work, not of fixed session/driver overheads that a 100 TB run
-    amortizes away. Both CPU levels read the identical input.
+    amortizes away (measured: ~10 s of serial extract/exact/emit/cluster cost
+    per run regardless of fixture size; at 240k rows that serial floor alone
+    caps the 2->8 end-to-end ratio near 0.8 even with perfect scoring
+    scaling). Both CPU levels read the identical input.
     """
     env_base = dict(os.environ)
     env_base.setdefault("RAY_GRAFT_BENCH_N", "240000")
