@@ -263,6 +263,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return A.grouped_concat(
             _read(sf_dir, "orders"), "o_custkey", "o_orderpriority")
 
+    def events_user_value_delta(sf_dir):
+        return A.lag_delta_per_key(
+            _read(sf_dir, "events"), "user_id", ["ts", "event_id"], "value",
+            ["event_id"])
+
+    def segments_without_top_orders(sf_dir):
+        # market segments with NO near-maximum-value order (distinct-projection
+        # EXCEPT via one key-only groupby + broadcast anti-join)
+        import pyarrow.compute as pc
+
+        cust = _read(sf_dir, "customer")
+
+        def _top(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.greater(batch.column("o_totalprice"), 499900.0)
+            ).select(["o_custkey"])
+
+        top_cust = (_read(sf_dir, "orders")
+                    .select_columns(["o_custkey", "o_totalprice"])
+                    .map_batches(_top, batch_format="pyarrow"))
+        top_segments = A.semi_join_ids(
+            cust.select_columns(["c_custkey", "c_mktsegment"]), "c_custkey",
+            top_cust, "o_custkey", anti=False)
+        return A.distinct_except(
+            cust.select_columns(["c_mktsegment"]), "c_mktsegment",
+            top_segments, "c_mktsegment")
+
     def orders_running_price(sf_dir):
         return A.global_running_sum(
             _read(sf_dir, "orders").select_columns(
@@ -766,6 +793,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_counts": customer_order_counts,
         "events_user_trailing_avg": events_user_trailing_avg,
         "orders_running_price": orders_running_price,
+        "events_user_value_delta": events_user_value_delta,
+        "segments_without_top_orders": segments_without_top_orders,
         "orders_price_quantiles_cont": orders_price_quantiles_cont,
         "events_users_approx": events_users_approx,
         "orders_union_filters": orders_union_filters,
@@ -1489,6 +1518,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
             FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
             GROUP BY 1, 2
+        """,
+        "events_user_value_delta": """
+            SELECT event_id, user_id,
+                   round(value - lag(value) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id), 4) AS delta
+            FROM events
+        """,
+        "segments_without_top_orders": """
+            SELECT DISTINCT c_mktsegment FROM customer
+            EXCEPT
+            SELECT DISTINCT c.c_mktsegment FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+                         AND o.o_totalprice > 499900.0
         """,
         "orders_running_price": """
             SELECT o_orderkey, o_totalprice,

@@ -1629,3 +1629,42 @@ def global_running_sum(
 
     return sorted_ds.map_batches(_annot, batch_format="pyarrow",
                                  batch_size=None)
+
+
+def lag_delta_per_key(
+    ds: ray.data.Dataset, key_col: str, order_cols: Sequence[str],
+    val_col: str, id_cols: Sequence[str], ndigits: int = 4,
+) -> ray.data.Dataset:
+    """Per-key LAG delta: ``v - lag(v) OVER (PARTITION BY key ORDER BY
+    order_cols)`` (NULL for each key's first row). Same co-locating
+    shuffle + deterministic per-group sort as the other per-key window ops."""
+    import pandas as pd
+
+    cols = list(dict.fromkeys([key_col, *order_cols, val_col, *id_cols]))
+
+    def _lag(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(list(order_cols), kind="mergesort")
+        out = g[list(id_cols)].copy()
+        out[key_col] = g[key_col]
+        out["delta"] = (g[val_col] - g[val_col].shift(1)).round(ndigits)
+        return out
+
+    return (ds.select_columns(cols)
+            .groupby(key_col).map_groups(_lag, batch_format="pandas"))
+
+
+def distinct_except(
+    left: ray.data.Dataset, left_col: str,
+    right: ray.data.Dataset, right_col: str,
+) -> ray.data.Dataset:
+    """SQL ``SELECT DISTINCT l EXCEPT SELECT r``: distinct left values absent
+    from the right value set. Left side dedupes through one key-only groupby;
+    the right distinct set rides the broadcast anti-join (O(distinct right))."""
+    uniq = left.select_columns([left_col]).groupby(left_col).count()
+
+    def _strip(batch: pa.Table) -> pa.Table:
+        return batch.select([left_col])
+
+    return semi_join_ids(
+        uniq.map_batches(_strip, batch_format="pyarrow"), left_col,
+        right, right_col, anti=True)
