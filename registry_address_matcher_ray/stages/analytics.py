@@ -1134,12 +1134,14 @@ def global_rank(
             .to_pandas())
     # driver work is O(#blocks): blocks are range-partitioned by the sort, so
     # ordering block summaries by their typed first keys IS the block order
-    summ = summ.sort_values(keys, kind="mergesort").reset_index(drop=True)
+    # (an all-empty input yields a column-less frame — nothing to order)
     offsets: dict = {}
     total = 0
-    for first, nrows in zip(summ["_first"], summ["_n"]):
-        offsets[first] = total
-        total += int(nrows)
+    if len(summ):
+        summ = summ.sort_values(keys, kind="mergesort").reset_index(drop=True)
+        for first, nrows in zip(summ["_first"], summ["_n"]):
+            offsets[first] = total
+            total += int(nrows)
     ref = ray.put(offsets)
 
     def _annot(batch: pa.Table) -> pa.Table:
@@ -1609,12 +1611,13 @@ def global_running_sum(
 
     summ = (sorted_ds.map_batches(_summ, batch_format="pyarrow",
                                   batch_size=None).to_pandas())
-    summ = summ.sort_values(keys, kind="mergesort").reset_index(drop=True)
     offsets: dict = {}
     total = 0
-    for first, bsum in zip(summ["_first"], summ["_sum"]):
-        offsets[first] = total
-        total += int(bsum)
+    if len(summ):
+        summ = summ.sort_values(keys, kind="mergesort").reset_index(drop=True)
+        for first, bsum in zip(summ["_first"], summ["_sum"]):
+            offsets[first] = total
+            total += int(bsum)
     ref = ray.put(offsets)
 
     def _annot(batch: pa.Table) -> pa.Table:

@@ -535,3 +535,10 @@ def test_rolling_window_per_key_vs_pandas():
                                        .mean()).round(4))
     want = want.sort_values("id").reset_index(drop=True)
     assert np.allclose(got["trailing_avg"].values, want["trailing_avg"].values)
+
+
+def test_global_rank_and_scan_empty_input():
+    empty = ray.data.from_arrow(pa.table({"k": pa.array([], pa.int64()),
+                                          "v": pa.array([], pa.float64())}))
+    assert A.global_rank(empty, ["k"]).count() == 0
+    assert A.global_running_sum(empty, ["k"], "v").count() == 0
