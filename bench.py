@@ -220,6 +220,40 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         S.knn_brute(ds, q, k=10)
         queries["knn_brute"] = round(time.time() - t0, 3)
 
+    # ---- round-2 graft operator additions (representative one per family)
+    if os.path.exists(docs_path):
+        t0 = time.time()
+        A.tfidf_top_terms(
+            ray.data.read_parquet(docs_path, columns=["doc_id", "text"]),
+            "doc_id", "text", 3).count()
+        queries["tfidf_top3"] = round(time.time() - t0, 3)
+
+    ev_path = f"{sf_dir}/events.parquet"
+    if os.path.exists(ev_path):
+        t0 = time.time()
+        A.tumbling_window_agg(
+            ray.data.read_parquet(ev_path, columns=["ts", "event_type", "value"]),
+            "ts", "event_type", "value", width_s=900).count()
+        queries["tumbling_15m"] = round(time.time() - t0, 3)
+
+    li_path = f"{sf_dir}/lineitem.parquet"
+    if os.path.exists(li_path):
+        t0 = time.time()
+        A.ntile(
+            ray.data.read_parquet(
+                li_path,
+                columns=["l_extendedprice", "l_orderkey", "l_linenumber"]),
+            ["l_extendedprice", "l_orderkey", "l_linenumber"], 4).count()
+        queries["ntile4"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        A.star_revenue_by_nation(
+            ray.data.read_parquet(li_path),
+            ray.data.read_parquet(f"{sf_dir}/orders.parquet"),
+            ray.data.read_parquet(f"{sf_dir}/customer.parquet"),
+            ray.data.read_parquet(f"{sf_dir}/nation.parquet")).count()
+        queries["star_revenue"] = round(time.time() - t0, 3)
+
     result = {
         "metric": "linkage_pages_sec",
         "value": queries["linkage_pages"],

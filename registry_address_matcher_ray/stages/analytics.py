@@ -1350,11 +1350,12 @@ def star_revenue_by_nation(
             df.groupby("l_orderkey", observed=True)["_r"].sum().reset_index(),
             preserve_index=False)
 
+    # per-BATCH pre-aggregation only: a global per-order groupby would be a
+    # second all-to-all for nothing — revenue is re-summed per nation after
+    # the join, and the join is happy with several partial rows per order
     per_order = (
         lineitem.select_columns(["l_orderkey", "l_extendedprice", "l_discount"])
         .map_batches(_fact_partial, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("_r", alias_name="rev"))
     )
 
     joined = per_order.join(
@@ -1385,7 +1386,7 @@ def star_revenue_by_nation(
         names = [nn[cn[int(c)]] for c in cust]
         df = pd.DataFrame({
             "n_name": names,
-            "_r": batch.column("rev").to_numpy(zero_copy_only=False),
+            "_r": batch.column("_r").to_numpy(zero_copy_only=False),
         })
         return pa.Table.from_pandas(
             df.groupby("n_name", observed=True)["_r"].sum().reset_index(),
