@@ -339,3 +339,64 @@ def best_match_block(
     if best_i < 0 or best_score <= 0.0:
         return None
     return best_score, best_i, best_name
+
+
+def per_strategy_bests_block(
+    query: str,
+    blk: PreparedBlock,
+    threshold: float,
+) -> Optional[Tuple[Optional[Tuple[float, int]], ...]]:
+    """Vectorized counterpart of ``scorers.per_strategy_bests``: per-strategy
+    (max score, lowest index) over the block's candidates, in STRATEGIES order.
+
+    Contract (same as the block kernel's pruned strategies): each strategy's
+    reported best is EXACT — value and min-index tie-break — whenever its true
+    best is >= ``threshold``; below-threshold values may understate (partial /
+    token_set pruning). That is sufficient for the salted-shuffle shard merge
+    (stages/matching.py): sub-threshold values can neither produce an output
+    row nor displace an at/above-threshold winner, so the merged result is
+    bit-identical to scalar scoring. Returns None when the query falls outside
+    the vector kernel's envelope (caller uses the scalar path).
+    """
+    if blk.n == 0 or not query:
+        return None
+    lq = len(query)
+    ts_query = _token_sorted(query)
+    if lq > _MAX_PATTERN or len(ts_query) > _MAX_PATTERN:
+        return None
+    if max(map(ord, query)) > 0xFFFF or blk.max_code > 0xFFFF:
+        return None
+
+    # token_sort_ratio — exact for every candidate
+    ts_lcs = _vector_lcs(ts_query, blk.ts_codes, blk.ts_lens_sorted,
+                         blk.max_code, blk.ts_inv)
+    ts_scores = _ratio_from_lcs(ts_lcs, len(ts_query), blk.ts_lens)
+    i0 = int(np.argmax(ts_scores))   # argmax keeps the FIRST (lowest) index
+    b_tsort = (float(ts_scores[i0]), i0)
+
+    # token_set_ratio — exact at/above threshold (closed forms + pruned DP)
+    s1, i1 = _token_set_extract_one(query, blk, threshold, ts_lcs)
+    b_tset = (float(s1), int(i1))
+
+    # full-string LCS powers ratio exactly and the partial upper bound
+    r_lcs = _vector_lcs(query, blk.codes, blk.lens_sorted, blk.max_code, blk.inv)
+    r_scores = _ratio_from_lcs(r_lcs, lq, blk.lens)
+    i3 = int(np.argmax(r_scores))
+    b_ratio = (float(r_scores[i3]), i3)
+
+    # partial_ratio — bound-pruned at the threshold only (NOT at other
+    # strategies' scores: the shard merge needs this strategy's own max)
+    l_short = np.minimum(lq, blk.lens)
+    denom = l_short + r_lcs
+    bounds = np.where(denom > 0, 100.0 * (2.0 * r_lcs) / np.maximum(denom, 1),
+                      0.0)
+    p_best, p_i = -1.0, -1
+    for i in np.nonzero(bounds >= threshold)[0]:
+        sc = partial_ratio(query, blk.streets[int(i)])
+        if sc > p_best:
+            p_best, p_i = sc, int(i)
+            if p_best >= 100.0:
+                break
+    b_partial = None if p_i < 0 else (float(p_best), p_i)
+
+    return (b_tsort, b_tset, b_partial, b_ratio)

@@ -1181,6 +1181,7 @@ def fuzzy_matches_shuffle(
                   + [f"o{k}" for k in range(n_strats)])
 
     def _shard_bests(g: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.block_scorer import PreparedBlock, per_strategy_bests_block
         from ..functions.scorers import per_strategy_bests
 
         g = g.sort_values("_ord_C", kind="mergesort")
@@ -1188,8 +1189,34 @@ def fuzzy_matches_shuffle(
         row["count"] = len(g)
         cand = g[g["STREET_NORM_C"] != ""]
         q = row["STREET_NORM_S"]
-        bests = per_strategy_bests(q, cand["STREET_NORM_C"].tolist()) \
-            if q and len(cand) else (None,) * n_strats
+        bests = (None,) * n_strats
+        if q and len(cand):
+            streets = cand["STREET_NORM_C"].tolist()
+            # dedupe to first occurrence: a duplicate street scores identically
+            # and extractOne keeps the lowest index, so first-occurrence
+            # evaluation preserves every tie-break (same as _BlockIndex)
+            u_seen: dict = {}
+            u_streets, u_pos = [], []
+            for pos, st in enumerate(streets):
+                if st not in u_seen:
+                    u_seen[st] = pos
+                    u_streets.append(st)
+                    u_pos.append(pos)
+            key = ("shard-blk", tuple(u_streets))
+            cache = _worker_state(("shard-blk-cache",), dict)
+            blk = cache.get(key)
+            if blk is None:
+                blk = PreparedBlock(u_streets)
+                if len(cache) < 100_000:
+                    cache[key] = blk
+            vb = per_strategy_bests_block(q, blk, thr)
+            if vb is not None:
+                # understate-below-threshold contract: sub-threshold entries
+                # cannot produce or displace an output row in the shard merge
+                bests = tuple(
+                    None if b is None else (b[0], u_pos[b[1]]) for b in vb)
+            else:  # long query / non-BMP chars: scalar bit-parallel path
+                bests = per_strategy_bests(q, streets)
         ords = cand["_ord_C"].to_numpy()
         for k, b in enumerate(bests):
             row[f"s{k}"] = -1.0 if b is None else float(b[0])
