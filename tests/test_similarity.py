@@ -119,3 +119,33 @@ def test_knn_ivf_recall_and_exactness(clustered_embeddings):
         top_approx = set(approx[approx.query_idx == qi]["vec_id"].head(10))
         hits += len(top_exact & top_approx)
     assert hits / 30 >= 0.8, hits
+
+
+def test_knn_lsh_recall_vs_brute(clustered_embeddings, ray_session):
+    """LSH-bucketed ANN: candidates come only from the query's hyperplane
+    bucket, so recall is partial but must be substantial for clustered
+    queries, and every returned score must be an exact cosine present in the
+    brute-force result set."""
+    m = clustered_embeddings
+    ds = ray.data.from_arrow(_emb_table(m)).repartition(4)
+    queries = m[:8]  # cluster members -> neighbors share buckets often
+    brute = S.knn_brute(ds, queries, k=10)
+    lsh = S.knn_lsh(ds, queries, k=10, n_bits=4)
+    total_hits, total = 0, 0
+    for qi in range(len(queries)):
+        b = brute[brute["query_idx"] == qi]
+        l = lsh[lsh["query_idx"] == qi]
+        bmap = dict(zip(b["vec_id"], b["score"]))
+        for _, r in l.iterrows():
+            # approximate = may MISS neighbors, never invent them: any returned
+            # (id, score) must match the exact cosine from the brute pass
+            if r["vec_id"] in bmap:
+                assert r["score"] == pytest.approx(bmap[r["vec_id"]], abs=1e-9)
+                total_hits += 1
+        total += len(b)
+    recall = total_hits / total
+    assert recall >= 0.3, recall  # 4-bit buckets: partial recall by design
+    # top-1 self-match always survives (a vector shares its own bucket)
+    for qi in range(len(queries)):
+        l = lsh[lsh["query_idx"] == qi].sort_values("score", ascending=False)
+        assert len(l) and l.iloc[0]["vec_id"] == qi
