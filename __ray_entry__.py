@@ -263,6 +263,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return A.grouped_concat(
             _read(sf_dir, "orders"), "o_custkey", "o_orderpriority")
 
+    def events_late_flags(sf_dir):
+        return A.late_event_flags(
+            _read(sf_dir, "events"), "user_id", "event_id", "ts",
+            ["event_id"])
+
     def events_user_value_delta(sf_dir):
         return A.lag_delta_per_key(
             _read(sf_dir, "events"), "user_id", ["ts", "event_id"], "value",
@@ -794,6 +799,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_trailing_avg": events_user_trailing_avg,
         "orders_running_price": orders_running_price,
         "events_user_value_delta": events_user_value_delta,
+        "events_late_flags": events_late_flags,
         "segments_without_top_orders": segments_without_top_orders,
         "orders_price_quantiles_cont": orders_price_quantiles_cont,
         "events_users_approx": events_users_approx,
@@ -1518,6 +1524,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
             FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
             GROUP BY 1, 2
+        """,
+        "events_late_flags": """
+            SELECT event_id, user_id,
+                   coalesce(ts < max(ts) OVER (PARTITION BY user_id
+                            ORDER BY event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                            FALSE) AS is_late
+            FROM events
         """,
         "events_user_value_delta": """
             SELECT event_id, user_id,

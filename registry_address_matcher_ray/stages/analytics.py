@@ -1672,3 +1672,31 @@ def distinct_except(
     return semi_join_ids(
         uniq.map_batches(_strip, batch_format="pyarrow"), left_col,
         right, right_col, anti=True)
+
+
+def late_event_flags(
+    ds: ray.data.Dataset, key_col: str, order_col: str, ts_col: str,
+    id_cols: Sequence[str],
+) -> ray.data.Dataset:
+    """Late-data detection: a row is LATE if its event time precedes the
+    running per-key watermark (max event time over all earlier arrivals,
+    arrival order = ``order_col``) — i.e. SQL
+    ``ts < max(ts) OVER (PARTITION BY key ORDER BY order_col
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)``.
+
+    One co-locating shuffle per key; the per-group pass is a vectorized
+    cummax. Bounded-group premise as with the other per-key window ops."""
+    import pandas as pd
+
+    cols = list(dict.fromkeys([key_col, order_col, ts_col, *id_cols]))
+
+    def _flags(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(order_col, kind="mergesort")
+        wm = g[ts_col].cummax().shift(1)
+        out = g[list(id_cols)].copy()
+        out[key_col] = g[key_col]
+        out["is_late"] = (g[ts_col] < wm).fillna(False).astype(bool)
+        return out
+
+    return (ds.select_columns(cols)
+            .groupby(key_col).map_groups(_flags, batch_format="pandas"))

@@ -542,3 +542,17 @@ def test_global_rank_and_scan_empty_input():
                                           "v": pa.array([], pa.float64())}))
     assert A.global_rank(empty, ["k"]).count() == 0
     assert A.global_running_sum(empty, ["k"], "v").count() == 0
+
+
+def test_late_event_flags_small():
+    ts = pd.to_datetime([
+        "2024-01-01 10:00", "2024-01-01 09:00",  # u1: second arrival is late
+        "2024-01-01 11:00",                       # u1: ahead of watermark
+        "2024-01-01 08:00",                       # u2: first arrival never late
+    ])
+    df = pd.DataFrame({"u": [1, 1, 1, 2], "arr": [0, 1, 2, 3],
+                       "ts": ts, "id": [10, 11, 12, 13]})
+    got = (A.late_event_flags(ray.data.from_pandas(df).repartition(2),
+                              "u", "arr", "ts", ["id"])
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    assert got["is_late"].tolist() == [False, True, False, False]
