@@ -23,10 +23,17 @@ class PipelineConfig:
     max_records: Optional[int] = None
 
     # physical plan
-    # "broadcast_dedup" (scale default: distinct probes scored once job-wide,
-    # task-based stages) | "broadcast" (fused single actor-pool stage) |
-    # "shuffle" (both sides large; salted equi-join) — all row-identical
-    fuzzy_strategy: str = "broadcast_dedup"
+    # "auto" (default: measure the preprocessed cadastre's byte size and pick
+    # broadcast_dedup when it fits under ``broadcast_threshold_bytes``, else
+    # the salted shuffle — SURVEY §7.3(4)) | "broadcast_dedup" (distinct
+    # probes scored once job-wide, task-based stages) | "broadcast" (fused
+    # single actor-pool stage) | "shuffle" (both sides large; salted
+    # equi-join) — all row-identical
+    fuzzy_strategy: str = "auto"
+    #: auto-plan cutover: max cadastre in-memory bytes for the broadcast plans
+    #: (the build side is collected to one Arrow table held per worker — size
+    #: this to a fraction of worker heap, NOT of the cluster)
+    broadcast_threshold_bytes: int = 2 << 30
     num_partitions: Optional[int] = None
     #: int = fixed actor count (provisioned eagerly); (min, max) = autoscaling
     fuzzy_concurrency: "int | Tuple[int, int]" = (2, 8)
@@ -50,9 +57,11 @@ class PipelineConfig:
     def __post_init__(self):
         if self.method not in METHODS:
             raise ValueError(f"unknown method {self.method!r}; one of {METHODS}")
-        if self.fuzzy_strategy not in ("broadcast", "broadcast_dedup", "shuffle"):
+        if self.fuzzy_strategy not in (
+                "auto", "broadcast", "broadcast_dedup", "shuffle"):
             raise ValueError(
-                "fuzzy_strategy must be 'broadcast', 'broadcast_dedup' or 'shuffle'")
+                "fuzzy_strategy must be 'auto', 'broadcast', "
+                "'broadcast_dedup' or 'shuffle'")
 
     @property
     def do_exact(self) -> bool:

@@ -33,6 +33,40 @@ def preprocess(ds: ray.data.Dataset) -> ray.data.Dataset:
     return blocking.add_order_column(blocking.preprocess_registry(ds))
 
 
+#: last physical-plan decision (strategy, cad_bytes) — observability for tests
+#: and operators, same pattern as ``matching.LAST_PHASE_TIMES``
+LAST_PLAN: dict = {}
+
+
+def resolve_fuzzy_strategy(
+    cad: ray.data.Dataset, cfg: PipelineConfig
+) -> "tuple[str, ray.data.Dataset]":
+    """Pick the physical fuzzy plan (SURVEY §7.3(4)).
+
+    ``auto`` measures the preprocessed cadastre's in-memory byte size and
+    chooses the broadcast plan only when it fits ``broadcast_threshold_bytes``
+    (the build side is collected into one Arrow table held per worker — a
+    mis-sized default would silently broadcast a too-big cadastre at 100x).
+    Both regimes need the full preprocessed cadastre anyway (broadcast collects
+    it, shuffle materializes it as its stage boundary), so the materialize here
+    is never wasted work. Returns the decision plus the (possibly materialized)
+    cadastre so the chosen plan reuses the blocks.
+    """
+    if cfg.fuzzy_strategy != "auto":
+        LAST_PLAN.clear()
+        LAST_PLAN.update({"strategy": cfg.fuzzy_strategy, "cad_bytes": None,
+                          "forced": True})
+        return cfg.fuzzy_strategy, cad
+    cad = cad.materialize()
+    nbytes = cad.size_bytes() or 0
+    strategy = (
+        "broadcast_dedup" if nbytes <= cfg.broadcast_threshold_bytes else "shuffle"
+    )
+    LAST_PLAN.clear()
+    LAST_PLAN.update({"strategy": strategy, "cad_bytes": nbytes, "forced": False})
+    return strategy, cad
+
+
 def match_registries(
     spr: ray.data.Dataset,
     cad: ray.data.Dataset,
@@ -47,7 +81,9 @@ def match_registries(
     if cfg.max_records is not None:
         spr = spr.limit(cfg.max_records)
 
-    if cfg.fuzzy_strategy in ("broadcast", "broadcast_dedup"):
+    strategy, cad = resolve_fuzzy_strategy(cad, cfg)
+
+    if strategy in ("broadcast", "broadcast_dedup"):
         # Broadcast plans: exact phase 1+2 and the fuzzy phase all run inside
         # actor-pool map_batches probing broadcast in-actor indexes of the
         # (small) cadastre side — the big probe side never shuffles.
@@ -62,7 +98,7 @@ def match_registries(
         # number of input blocks, and the largest block bounds the straggler
         # tail — split to several tasks per actor.
         nblocks = cfg.score_blocks or cfg.max_fuzzy_actors * 6
-        if cfg.fuzzy_strategy == "broadcast_dedup":
+        if strategy == "broadcast_dedup":
             # scale path: score each distinct probe triple once job-wide
             return matching.broadcast_matches_dedup(
                 spr, cad_ref, cfg.threshold, cfg.do_exact, cfg.do_fuzzy,
