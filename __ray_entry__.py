@@ -81,9 +81,9 @@ def _prep_registry_paths(sf_dir: str) -> dict:
 
 
 def _read(sf_dir: str, table: str):
-    import ray.data
+    from registry_address_matcher_ray.sources.io import read_parquet_clean
 
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet")
+    return read_parquet_clean(f"{sf_dir}/{table}.parquet")
 
 
 def _round_cols(df: pd.DataFrame, cols, nd: int) -> pd.DataFrame:
@@ -100,9 +100,11 @@ def entry() -> Any:
     import ray.data
     from registry_address_matcher_ray.pipelines import linkage
 
+    from registry_address_matcher_ray.sources.io import read_parquet_clean
+
     paths = _registry_paths("/root/testdata/sf0.001")
-    pages = ray.data.read_parquet(paths["pages"])
-    cad = ray.data.read_parquet(paths["registry_cad"])
+    pages = read_parquet_clean(paths["pages"])
+    cad = read_parquet_clean(paths["registry_cad"])
     out = linkage.pages_to_match_clusters(pages, cad)
     return out["matches"]
 
@@ -579,20 +581,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # semantics are pytest-gated against the pandas oracle in tests/) ----------
 
     def _registries(sf_dir):
-        import ray.data
+        from registry_address_matcher_ray.sources.io import read_parquet_clean
 
         p = _registry_paths(sf_dir)
         return (
-            ray.data.read_parquet(p["registry_spr"]),
-            ray.data.read_parquet(p["registry_cad"]),
+            read_parquet_clean(p["registry_spr"]),
+            read_parquet_clean(p["registry_cad"]),
             p,
         )
 
     def _pre_registries(sf_dir):
-        import ray.data
+        from registry_address_matcher_ray.sources.io import read_parquet_clean
 
         p = _prep_registry_paths(sf_dir)
-        return ray.data.read_parquet(p["spr"]), ray.data.read_parquet(p["cad"])
+        return read_parquet_clean(p["spr"]), read_parquet_clean(p["cad"])
 
     # ---------- SQL-oracle-checked linkage phases (J1/J2/D2/J5, §3.3 exact):
     # the exact phases and anti-joins are relational; DuckDB checks them over
@@ -675,10 +677,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return A.unmatched_records(spr, m)
 
     def pages_flagship(sf_dir):
-        import ray.data
+        from registry_address_matcher_ray.sources.io import read_parquet_clean
 
         _, cad, p = _registries(sf_dir)
-        pages = ray.data.read_parquet(p["pages"])
+        pages = read_parquet_clean(p["pages"])
         return linkage.pages_to_match_clusters(pages, cad)["matches"]
 
     def docs_minhash_dedup(sf_dir):

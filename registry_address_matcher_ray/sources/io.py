@@ -40,6 +40,35 @@ def validate_registry_schema(schema: pa.Schema, registry_name: str = "registry")
         )
 
 
+def read_parquet_clean(
+    path: str, columns: Optional[Iterable[str]] = None
+) -> ray.data.Dataset:
+    """``read_parquet`` with the file schema's key/value metadata stripped.
+
+    pandas-written parquet carries a ``b'pandas'`` schema-metadata blob that
+    makes every downstream ``pa.Schema`` unhashable on this pyarrow build, so
+    Ray's ``unify_schemas`` logs "Failed to hash the schemas" on every shuffle
+    that touches the lineage. Passing an explicit metadata-free schema to the
+    read means every block is born clean — no per-stage strip projections.
+    """
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    probe = path
+    if os.path.isdir(path):
+        inside = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        if inside:
+            probe = inside[0]
+    try:
+        schema = pq.read_schema(probe).remove_metadata()
+    except Exception:
+        schema = None  # non-local / exotic layout: fall back to inference
+    return ray.data.read_parquet(
+        path, schema=schema, columns=list(columns) if columns else None
+    )
+
+
 def read_registry(
     path: str,
     registry_name: str = "registry",
@@ -49,7 +78,7 @@ def read_registry(
 
     ``columns`` prunes at the read (only needed columns leave storage).
     """
-    ds = ray.data.read_parquet(path, columns=list(columns) if columns else None)
+    ds = read_parquet_clean(path, columns=columns)
     validate_registry_schema(ds.schema(), registry_name)
     return ds
 
@@ -96,7 +125,7 @@ def write_jsonl_dataset(ds: ray.data.Dataset, out_dir: str) -> str:
 
 def read_pages(path: str, columns: Optional[Iterable[str]] = None) -> ray.data.Dataset:
     """Read a Common-Crawl-style pages table (url, warc_ts, html, text, lang)."""
-    return ray.data.read_parquet(path, columns=list(columns) if columns else None)
+    return read_parquet_clean(path, columns=columns)
 
 
 def write_dataset(ds: ray.data.Dataset, out_dir: str, min_rows_per_file: int = 200_000) -> str:

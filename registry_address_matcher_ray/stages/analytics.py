@@ -870,7 +870,7 @@ def hourly_moving_avg(
         v = pc.cast(batch.column(val_col), pa.float64())
         df = pa.table({"hour": hour, "v": v}).to_pandas()
         g = df.groupby("hour").agg(_s=("v", "sum"), _c=("v", "count")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     agg = (
         ds.select_columns([ts_col, val_col])
@@ -1035,7 +1035,7 @@ def tumbling_window_agg(
         }).to_pandas()
         g = (df.groupby(["k", "win_start"], observed=True)
              .agg(_c=("v", "count"), _s=("v", "sum")).reset_index())
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     agg = (
         ds.select_columns([ts_col, key_col, val_col])
@@ -1080,7 +1080,7 @@ def regex_field_agg(
         df = df[df["ok"]]
         g = (df.groupby("k", observed=True)
              .agg(_c=("v", "count"), _s=("v", "sum")).reset_index())
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     agg = (
         ds.select_columns([src_col, key_col])
@@ -1216,7 +1216,7 @@ def sliding_window_agg(
             ignore_index=True,
         )
         return pa.Table.from_pandas(
-            reps[["k", "win_start", "_c", "_s"]], preserve_index=False)
+            reps[["k", "win_start", "_c", "_s"]], preserve_index=False).replace_schema_metadata(None)
 
     agg = (
         ds.select_columns([ts_col, key_col, val_col])
@@ -1252,7 +1252,7 @@ def distinct_count_agg(
         import pandas as pd
 
         df = batch.select(keys + [distinct_col]).to_pandas()
-        return pa.Table.from_pandas(df.drop_duplicates(), preserve_index=False)
+        return pa.Table.from_pandas(df.drop_duplicates(), preserve_index=False).replace_schema_metadata(None)
 
     uniq = (
         ds.select_columns(keys + [distinct_col])
@@ -1318,7 +1318,7 @@ def group_stats(
 def star_revenue_by_nation(
     lineitem: ray.data.Dataset, orders: ray.data.Dataset,
     customer: ray.data.Dataset, nation: ray.data.Dataset,
-    num_partitions: int = 16, ndigits: int = 4,
+    num_partitions: int = 32, ndigits: int = 4,
 ) -> ray.data.Dataset:
     """TPC-H-Q5-style star join: revenue per nation.
 
@@ -1348,7 +1348,7 @@ def star_revenue_by_nation(
                        "_r": rev}).to_pandas()
         return pa.Table.from_pandas(
             df.groupby("l_orderkey", observed=True)["_r"].sum().reset_index(),
-            preserve_index=False)
+            preserve_index=False).replace_schema_metadata(None)
 
     # per-BATCH pre-aggregation only: a global per-order groupby would be a
     # second all-to-all for nothing — revenue is re-summed per nation after
@@ -1364,40 +1364,46 @@ def star_revenue_by_nation(
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
 
-    cust_nation = {
-        int(r["c_custkey"]): int(r["c_nationkey"])
-        for b in customer.select_columns(["c_custkey", "c_nationkey"])
-        .iter_batches(batch_format="pyarrow")
-        for r in b.to_pylist()
-    }
+    # dims as a DENSE numpy lookup (custkey is a small dense int id): one
+    # fancy-index per batch replaces a per-row Python dict probe — this was
+    # the hottest loop of the whole bench suite before vectorization
+    ck_parts, nk_parts = [], []
+    for b in (customer.select_columns(["c_custkey", "c_nationkey"])
+              .iter_batches(batch_format="pyarrow")):
+        ck_parts.append(b.column("c_custkey").to_numpy(zero_copy_only=False))
+        nk_parts.append(b.column("c_nationkey").to_numpy(zero_copy_only=False))
+    ck = np.concatenate(ck_parts).astype(np.int64) if ck_parts else np.array([], np.int64)
+    nk = np.concatenate(nk_parts).astype(np.int64) if nk_parts else np.array([], np.int64)
+    cn_arr = np.full(int(ck.max()) + 1 if ck.size else 1, -1, dtype=np.int32)
+    cn_arr[ck] = nk.astype(np.int32)
     nation_name = {
         int(r["n_nationkey"]): r["n_name"]
         for b in nation.select_columns(["n_nationkey", "n_name"])
         .iter_batches(batch_format="pyarrow")
         for r in b.to_pylist()
     }
-    cn_ref = ray.put(cust_nation)
-    nn_ref = ray.put(nation_name)
+    cn_ref = ray.put(cn_arr)
 
     def _dims(batch: pa.Table) -> pa.Table:
+        # int-keyed partial sum (pandas C hash agg; int64 stays decimal-exact);
+        # the ~25 nation NAMES only ever touch the final ≤25-row aggregate
         cn = ray.get(cn_ref)
-        nn = ray.get(nn_ref)
         cust = batch.column("o_custkey").to_numpy(zero_copy_only=False)
-        names = [nn[cn[int(c)]] for c in cust]
         df = pd.DataFrame({
-            "n_name": names,
+            "_nk": cn[cust.astype(np.int64)],
             "_r": batch.column("_r").to_numpy(zero_copy_only=False),
         })
         return pa.Table.from_pandas(
-            df.groupby("n_name", observed=True)["_r"].sum().reset_index(),
-            preserve_index=False)
+            df.groupby("_nk", observed=True)["_r"].sum().reset_index(),
+            preserve_index=False).replace_schema_metadata(None)
 
     agg = (joined.map_batches(_dims, batch_format="pyarrow")
-           .groupby("n_name").aggregate(Sum("_r", alias_name="revenue")))
+           .groupby("_nk").aggregate(Sum("_r", alias_name="revenue")))
 
     def _fin(batch: pa.Table) -> pa.Table:
+        keys = batch.column("_nk").to_pylist()
         return pa.table({
-            "n_name": batch.column("n_name"),
+            "n_name": pa.array([nation_name[int(k)] for k in keys], pa.string()),
             "revenue": pc.round(
                 pc.divide(pc.cast(batch.column("revenue"), pa.float64()),
                           10000.0), ndigits=ndigits),

@@ -162,7 +162,7 @@ def connected_components(
             # per-batch partial min combiner: shrink the shuffle before the groupby
             df = batch.to_pandas()
             out = df.groupby("node", as_index=False)["cluster_id"].min()
-            return pa.Table.from_pandas(out, preserve_index=False)
+            return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
         candidates = labels.union(via_src).union(via_dst).map_batches(
             _premin, batch_format="pyarrow"

@@ -42,9 +42,13 @@ def exact_dedup(
     is O(distinct keys); at scales where that outgrows the driver swap the final
     filter for an equi-join on ``(key, min_id)``.
     """
-    def _partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(id_col, kind="mergesort").drop_duplicates(
+    def _partial(df: pd.DataFrame) -> pa.Table:
+        out = df.sort_values(id_col, kind="mergesort").drop_duplicates(
             subset=[key_col], keep="first")
+        # Arrow out without pandas metadata (feeds the winner groupby; a
+        # metadata-bearing schema is unhashable and Ray warns per shuffle task)
+        return pa.Table.from_pandas(
+            out, preserve_index=False).replace_schema_metadata(None)
 
     partial = ds.map_batches(_partial, batch_format="pandas").materialize()
     winners = partial.groupby(key_col).min(id_col)
@@ -94,11 +98,13 @@ def exact_dedup_keep_longest(
     """
     _LOW = (1 << 32) - 1
 
-    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+    def _partial(df: pd.DataFrame) -> pa.Table:
         df = df.assign(_len=df[text_col].str.len().fillna(0))
         df = df.sort_values([key_col, "_len", id_col],
                             ascending=[True, False, True], kind="mergesort")
-        return df.drop_duplicates(subset=[key_col], keep="first").drop(columns=["_len"])
+        out = df.drop_duplicates(subset=[key_col], keep="first").drop(columns=["_len"])
+        return pa.Table.from_pandas(
+            out, preserve_index=False).replace_schema_metadata(None)
 
     partial = ds.map_batches(_partial, batch_format="pandas").materialize()
 

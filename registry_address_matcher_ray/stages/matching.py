@@ -204,10 +204,13 @@ def dedup_keep_last(
     distinct keys; the join is hash-partitioned."""
     nparts = num_partitions or _num_partitions(ds)
 
-    def _partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(ord_col, kind="mergesort").drop_duplicates(
+    def _partial(df: pd.DataFrame) -> pa.Table:
+        out = df.sort_values(ord_col, kind="mergesort").drop_duplicates(
             subset=[key], keep="last"
         )
+        # emit Arrow sans pandas metadata: these blocks feed a shuffle, and
+        # metadata-bearing schemas are unhashable (Ray logs a warning per task)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     partial = ds.map_batches(_partial, batch_format="pandas").materialize()
     winners = partial.groupby(key).max(ord_col)
@@ -954,7 +957,7 @@ def broadcast_matches_dedup(
                 pa.Table.from_pandas(
                     res.iloc[ix][["s", "h", "b"]].rename(columns=rename),
                     preserve_index=False,
-                )
+                ).replace_schema_metadata(None)
                 for ix in units if len(ix)
             ]
             # materialize first: a fused FromArrow input would ride along as
@@ -1221,7 +1224,10 @@ def fuzzy_matches_shuffle(
         for k, b in enumerate(bests):
             row[f"s{k}"] = -1.0 if b is None else float(b[0])
             row[f"o{k}"] = "" if b is None else str(ords[b[1]])
-        return pd.DataFrame([row])[shard_cols]
+        # Arrow out (feeds the per-SPR groupby): metadata-free schema
+        return pa.Table.from_pandas(
+            pd.DataFrame([row])[shard_cols], preserve_index=False
+        ).replace_schema_metadata(None)
 
     def _pack_shard_key(batch: pa.Table) -> pa.Table:
         k = pc.binary_join_element_wise(
@@ -1240,8 +1246,21 @@ def fuzzy_matches_shuffle(
     out_cols = ["ADDRESS_ID_SPR", "STREET_NAME_SPR", "HOUSE_SPR", "BUILDING_SPR",
                 "FULL_ADDRESS_SPR", "MATCH_SCORE", "MATCH_TYPE",
                 "CANDIDATES_COUNT", "COMPLETENESS_SPR", "_win_ord"]
+    # stable Arrow out-schema (groups yield Arrow, not pandas: the output feeds
+    # the winner join and metadata-bearing pandas schemas are unhashable there)
+    _merge_schema = pa.schema([
+        (c, pa.float64() if c in ("MATCH_SCORE", "COMPLETENESS_SPR")
+         else pa.int64() if c == "CANDIDATES_COUNT" else pa.string())
+        for c in out_cols])
+    _merge_empty = _merge_schema.empty_table()
 
-    def _merge_shards(g: pd.DataFrame) -> pd.DataFrame:
+    def _merge_tbl(row: dict) -> pa.Table:
+        return pa.Table.from_pylist([{
+            k: (v if k in ("MATCH_SCORE", "CANDIDATES_COUNT", "COMPLETENESS_SPR")
+                else None if v is None else str(v))
+            for k, v in row.items()}], schema=_merge_schema)
+
+    def _merge_shards(g: pd.DataFrame) -> pa.Table:
         best_score, best_ord, best_name = 0.0, None, ""
         for k in range(n_strats):
             sk = g[f"s{k}"].max()
@@ -1251,10 +1270,9 @@ def fuzzy_matches_shuffle(
             if sk > best_score:
                 best_score, best_ord, best_name = float(sk), o, STRATEGIES[k][0]
         if best_ord is None or best_score < thr:
-            return pd.DataFrame({c: pd.Series([], dtype="object")
-                                 for c in out_cols})[out_cols]
+            return _merge_empty
         s = g.iloc[0]
-        return pd.DataFrame([{
+        return _merge_tbl({
             "ADDRESS_ID_SPR": s["ADDRESS_ID_S"], "STREET_NAME_SPR": s["STREET_NAME_S"],
             "HOUSE_SPR": s["HOUSE_S"], "BUILDING_SPR": s["BUILDING_S"],
             "FULL_ADDRESS_SPR": s["FULL_ADDRESS_S"],
@@ -1263,7 +1281,7 @@ def fuzzy_matches_shuffle(
             "CANDIDATES_COUNT": int(g["count"].sum()),
             "COMPLETENESS_SPR": float(s["COMPLETENESS_SCORE_S"]),
             "_win_ord": best_ord,
-        }])[out_cols]
+        })
 
     winners = shard_bests.groupby("ADDRESS_ID_S").map_groups(
         _merge_shards, batch_format="pandas")
