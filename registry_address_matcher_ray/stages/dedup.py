@@ -31,17 +31,34 @@ from ..functions import textfns
 from . import blocking, cluster
 
 
+#: winner-resolution plan cutover: above this many distinct winners the
+#: driver-gathered ``is_in`` broadcast would not hold (on a 100-TB corpus
+#: distinct content keys ~ corpus size) and the equi-join path runs instead
+WINNER_BROADCAST_LIMIT = 2_000_000
+
+
+def _winner_join_partitions(ds: ray.data.Dataset) -> int:
+    try:
+        return max(8, min(200, ds.num_blocks()))
+    except Exception:
+        return 32
+
+
 def exact_dedup(
-    ds: ray.data.Dataset, key_col: str, id_col: str
+    ds: ray.data.Dataset, key_col: str, id_col: str,
+    winner_broadcast_limit: Optional[int] = None,
 ) -> ray.data.Dataset:
     """Keep exactly one row (min ``id_col``) per distinct ``key_col`` value.
 
     Fully vectorized: per-batch partial keep-min (pandas C kernels), then a
-    ``groupby(key).min(id)`` aggregate over the survivors and a broadcast
-    ``is_in`` filter on the winning ids — no per-group Python. The winner-id set
-    is O(distinct keys); at scales where that outgrows the driver swap the final
-    filter for an equi-join on ``(key, min_id)``.
+    ``groupby(key).min(id)`` aggregate over the survivors. Winner resolution
+    auto-selects its physical plan: up to ``winner_broadcast_limit`` distinct
+    winners the id set is gathered once and broadcast as an ``is_in`` filter
+    (no second shuffle); above it the winners stay distributed and survivors
+    are selected by an equi-join on the winning id — never driver-gathered.
     """
+    limit = WINNER_BROADCAST_LIMIT if winner_broadcast_limit is None else winner_broadcast_limit
+
     def _partial(df: pd.DataFrame) -> pa.Table:
         out = df.sort_values(id_col, kind="mergesort").drop_duplicates(
             subset=[key_col], keep="first")
@@ -51,8 +68,17 @@ def exact_dedup(
             out, preserve_index=False).replace_schema_metadata(None)
 
     partial = ds.map_batches(_partial, batch_format="pandas").materialize()
-    winners = partial.groupby(key_col).min(id_col)
+    winners = partial.groupby(key_col).min(id_col).materialize()
     win_col = f"min({id_col})"
+    if winners.count() > limit:
+        ids_only = winners.map_batches(
+            lambda b: pa.table({"_win_id": b.column(win_col)}),
+            batch_format="pyarrow")
+        return partial.join(
+            ids_only, join_type="inner",
+            num_partitions=_winner_join_partitions(partial),
+            on=(id_col,), right_on=("_win_id",))
+
     ids = [b.column(win_col) for b in winners.iter_batches(batch_format="pyarrow")
            if b.num_rows]
     if not ids:
@@ -68,7 +94,8 @@ def exact_dedup(
 
 
 def exact_dedup_by_fingerprint(
-    ds: ray.data.Dataset, text_col: str, id_col: str
+    ds: ray.data.Dataset, text_col: str, id_col: str,
+    winner_broadcast_limit: Optional[int] = None,
 ) -> ray.data.Dataset:
     """Exact dedup on the md5 fingerprint of the canonicalized text."""
 
@@ -80,22 +107,26 @@ def exact_dedup_by_fingerprint(
         return batch.append_column("_fp", fps)
 
     with_fp = ds.map_batches(_fp, batch_format="pyarrow")
-    return exact_dedup(with_fp, "_fp", id_col).drop_columns(["_fp"])
+    return exact_dedup(
+        with_fp, "_fp", id_col,
+        winner_broadcast_limit=winner_broadcast_limit).drop_columns(["_fp"])
 
 
 def exact_dedup_keep_longest(
-    ds: ray.data.Dataset, key_col: str, id_col: str, text_col: str
+    ds: ray.data.Dataset, key_col: str, id_col: str, text_col: str,
+    winner_broadcast_limit: Optional[int] = None,
 ) -> ray.data.Dataset:
     """Keep the LONGEST row per distinct ``key_col`` (ties: min ``id_col``) —
     the training-data dedup policy that keeps the most complete duplicate.
 
     Same scale shape as :func:`exact_dedup` (per-batch partial keep-best, one
-    tiny winner aggregate, broadcast ``is_in`` filter), but the global argmax
-    rides an ordinary ``groupby(key).max`` over a packed int64
+    tiny winner aggregate, auto broadcast-vs-join winner resolution), but the
+    global argmax rides an ordinary ``groupby(key).max`` over a packed int64
     ``len(text) * 2^32 + (2^32-1 - id)`` — no per-group Python, and the
     (longest, then min-id) preference decodes from one Max.
     Assumes ``id < 2^32`` and ``len < 2^31`` (asserted per batch).
     """
+    limit = WINNER_BROADCAST_LIMIT if winner_broadcast_limit is None else winner_broadcast_limit
     _LOW = (1 << 32) - 1
 
     def _partial(df: pd.DataFrame) -> pa.Table:
@@ -119,7 +150,28 @@ def exact_dedup_keep_longest(
         packed = pc.add(pc.multiply(ln, _LOW + 1), pc.subtract(_LOW, iid))
         return pa.table({key_col: batch.column(key_col), "_packed": packed})
 
-    winners = partial.map_batches(_pack, batch_format="pyarrow").groupby(key_col).max("_packed")
+    winners = (partial.map_batches(_pack, batch_format="pyarrow")
+               .groupby(key_col).max("_packed").materialize())
+    if winners.count() > limit:
+        # winners stay distributed: decode the id from the packed max per
+        # batch and equi-join the survivors on it (int64-cast join key added
+        # to the probe side; Dataset.join drops the right key column)
+        def _decode(b: pa.Table) -> pa.Table:
+            packed = b.column("max(_packed)")
+            return pa.table(
+                {"_win_id": pc.subtract(_LOW, pc.bit_wise_and(packed, _LOW))})
+
+        def _addkey(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "_idc", pc.cast(b.column(id_col), pa.int64()))
+
+        joined = partial.map_batches(_addkey, batch_format="pyarrow").join(
+            winners.map_batches(_decode, batch_format="pyarrow"),
+            join_type="inner",
+            num_partitions=_winner_join_partitions(partial),
+            on=("_idc",), right_on=("_win_id",))
+        return joined.drop_columns(["_idc"])
+
     ids = []
     for b in winners.iter_batches(batch_format="pyarrow"):
         if b.num_rows:
@@ -140,7 +192,8 @@ def exact_dedup_keep_longest(
 
 
 def fingerprint_dedup_keep_longest(
-    ds: ray.data.Dataset, text_col: str, id_col: str
+    ds: ray.data.Dataset, text_col: str, id_col: str,
+    winner_broadcast_limit: Optional[int] = None,
 ) -> ray.data.Dataset:
     """Keep-longest dedup on the md5 fingerprint of the canonicalized text."""
 
@@ -152,7 +205,9 @@ def fingerprint_dedup_keep_longest(
         return batch.append_column("_fp", fps)
 
     with_fp = ds.map_batches(_fp, batch_format="pyarrow")
-    return exact_dedup_keep_longest(with_fp, "_fp", id_col, text_col).drop_columns(["_fp"])
+    return exact_dedup_keep_longest(
+        with_fp, "_fp", id_col, text_col,
+        winner_broadcast_limit=winner_broadcast_limit).drop_columns(["_fp"])
 
 
 def _bucket_candidate_pairs(
@@ -290,19 +345,22 @@ def minhash_lsh_dedup(
 
     def _melt(batch: pa.Table) -> pa.Table:
         # ids only through the shuffle — the text payload NEVER enters the
-        # all-to-all exchange (it would be replicated x bands otherwise)
+        # all-to-all exchange (it would be replicated x bands otherwise).
+        # Fully vectorized: the id column is repeated as CHUNK REFERENCES
+        # (zero-copy) and the bucket keys fill one preallocated int64 array.
         n = batch.num_rows
-        ids, bkey = [], []
-        id_vals = batch.column(id_col).to_pylist()
+        idc = batch.column(id_col)
+        if isinstance(idc, pa.ChunkedArray):
+            idc = idc.combine_chunks()
+        bkey = np.empty(n * bands, dtype=np.int64)
         for b in range(bands):
             h = batch.column(f"band_{b}").to_numpy(zero_copy_only=False)
             # fold the band index into the bucket key (single int64 group key)
-            ids.extend(id_vals)
-            bkey.append((h.astype("int64") * np.int64(31)) ^ np.int64(b * 0x9E3779B9))
+            bkey[b * n:(b + 1) * n] = (
+                h.astype("int64") * np.int64(31)) ^ np.int64(b * 0x9E3779B9)
         return pa.table({
-            "bucket": pa.array(np.concatenate(bkey) if bkey else
-                               np.array([], dtype="int64"), pa.int64()),
-            id_col: pa.array(ids),
+            "bucket": pa.array(bkey, pa.int64()),
+            id_col: pa.chunked_array([idc] * bands) if bands else idc,
         })
 
     melted = banded.map_batches(_melt, batch_format="pyarrow")
@@ -390,16 +448,19 @@ def simhash_dedup(
         _sig, batch_format="pyarrow").materialize()
 
     def _melt(batch: pa.Table) -> pa.Table:
-        ids, bkey = [], []
-        id_vals = batch.column(id_col).to_pylist()
+        # same vectorized ids-only melt as the MinHash path (4 fixed bands)
+        n = batch.num_rows
+        idc = batch.column(id_col)
+        if isinstance(idc, pa.ChunkedArray):
+            idc = idc.combine_chunks()
+        bkey = np.empty(n * 4, dtype=np.int64)
         for b in range(4):
             h = batch.column(f"sh_band_{b}").to_numpy(zero_copy_only=False)
-            ids.extend(id_vals)
-            bkey.append((h.astype("int64") * np.int64(31)) ^ np.int64(b * 0x9E3779B9))
+            bkey[b * n:(b + 1) * n] = (
+                h.astype("int64") * np.int64(31)) ^ np.int64(b * 0x9E3779B9)
         return pa.table({
-            "bucket": pa.array(np.concatenate(bkey) if bkey else
-                               np.array([], dtype="int64"), pa.int64()),
-            id_col: pa.array(ids),
+            "bucket": pa.array(bkey, pa.int64()),
+            id_col: pa.chunked_array([idc] * 4),
         })
 
     melted = sigds.map_batches(_melt, batch_format="pyarrow")

@@ -206,3 +206,25 @@ def test_line_dedup_partition_invariance(ray_session):
         if kept:
             exp[did] = "\n".join(kept)
     assert dict(zip(a["doc_id"], a["text"])) == exp
+
+
+def test_exact_dedup_join_fallback(docs, ray_session):
+    """winner_broadcast_limit=0 forces the distributed equi-join winner
+    resolution; survivors must be identical to the broadcast path."""
+    ds = ray.data.from_pandas(docs[["doc_id", "text"]]).repartition(8)
+    bc = sorted(D.exact_dedup(ds, "text", "doc_id").to_pandas()["doc_id"])
+    jn = D.exact_dedup(
+        ds, "text", "doc_id", winner_broadcast_limit=0).to_pandas()
+    assert sorted(jn["doc_id"]) == bc
+    assert list(jn.columns) == ["doc_id", "text"]
+
+
+def test_keep_longest_join_fallback(docs, ray_session):
+    ds = ray.data.from_pandas(docs[["doc_id", "text"]]).repartition(8)
+    bc = sorted(
+        D.fingerprint_dedup_keep_longest(ds, "text", "doc_id")
+        .to_pandas()["doc_id"])
+    jn = D.fingerprint_dedup_keep_longest(
+        ds, "text", "doc_id", winner_broadcast_limit=0).to_pandas()
+    assert sorted(jn["doc_id"]) == bc
+    assert sorted(jn.columns) == ["doc_id", "text"]
