@@ -282,6 +282,75 @@ def sessionize(
     )
 
 
+def _salt_tagged_hot_keys(
+    tagged: ray.data.Dataset, max_group_rows: int, op_name: str
+) -> "tuple[ray.data.Dataset, list[str]]":
+    """Hot-key guard for the tagged-union co-shuffle joins (as-of / range).
+
+    Pre-pass: per-(key, side) counts via one pre-aggregated ``groupby.count``;
+    only keys whose count exceeds ``max_group_rows`` are gathered (tiny set).
+    Probe-split / build-replicate salting: a hot key's LEFT rows are split
+    across ``ceil(count/max_group_rows)`` salt shards and its RIGHT rows are
+    replicated to every shard — each shard holds the key's full right side, so
+    per-shard results are identical to the unsalted plan. A hot RIGHT side
+    cannot be salted away (every shard needs all of it); that case gets a loud
+    warning instead. Returns the (possibly salted) dataset + the group keys.
+    """
+    import logging
+
+    tagged = tagged.materialize()
+    counts = tagged.groupby(["_k", "_side"]).count()
+
+    def _hot_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b.column("count()"), max_group_rows))
+
+    hot = counts.map_batches(_hot_only, batch_format="pyarrow").take_all()
+    hot_r = [r for r in hot if r["_side"] == "R"]
+    if hot_r:
+        logging.getLogger(__name__).warning(
+            "%s: right side exceeds %d rows for key(s) %s — salting cannot "
+            "shrink a hot BUILD side (every shard needs all of it); expect a "
+            "straggler group. Pre-aggregate or trim the right side per key.",
+            op_name, max_group_rows, [r["_k"] for r in hot_r[:5]])
+    hot_l = {r["_k"]: -(-int(r["count()"]) // max_group_rows)
+             for r in hot if r["_side"] == "L"}
+    if not hot_l:
+        return tagged, ["_k"]
+
+    smap_ref = ray.put(hot_l)
+
+    def _salt(batch: pa.Table) -> pa.Table:
+        smap = ray.get(smap_ref)
+        n = batch.num_rows
+        karr = batch.column("_k").to_numpy(zero_copy_only=False)
+        sarr = batch.column("_side").to_numpy(zero_copy_only=False)
+        salt = np.zeros(n, dtype=np.int64)
+        keep = np.ones(n, dtype=bool)
+        rep_tables = []
+        for key, nshard in smap.items():
+            mk = karr == key
+            if not mk.any():
+                continue
+            ml = mk & (sarr == "L")
+            salt[ml] = np.arange(int(ml.sum()), dtype=np.int64) % nshard
+            mr = mk & (sarr == "R")
+            if mr.any():
+                keep &= ~mr  # re-emit this key's right rows once per shard
+                rsub = batch.filter(pa.array(mr))
+                for s in range(nshard):
+                    rep_tables.append(rsub.append_column(
+                        "_salt",
+                        pa.array(np.full(rsub.num_rows, s, dtype=np.int64))))
+        base = batch.append_column("_salt", pa.array(salt, pa.int64()))
+        if not keep.all():
+            base = base.filter(pa.array(keep))
+        if rep_tables:
+            return pa.concat_tables([base] + rep_tables)
+        return base
+
+    return tagged.map_batches(_salt, batch_format="pyarrow"), ["_k", "_salt"]
+
+
 def asof_join_latest(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -291,6 +360,7 @@ def asof_join_latest(
     right_ts: str,
     left_id: str,
     out_col: str = "asof_ts",
+    max_group_rows: int = 1_000_000,
 ) -> ray.data.Dataset:
     """As-of join (custom operator — Ray Data has no native one): for every
     left row, the LATEST right timestamp at-or-before the left timestamp for
@@ -303,8 +373,10 @@ def asof_join_latest(
     Emitting the matched TIMESTAMP (not an arbitrary right id) keeps the
     semantics deterministic under right-side ties.
 
-    Partitioning assumption: one key's rows fit a task (salt upstream if a
-    key is pathologically hot).
+    Hot keys are handled, not assumed away: a pre-pass counts rows per
+    (key, side) and keys whose LEFT side exceeds ``max_group_rows`` are
+    salted (probe split across shards, build replicated per shard) via
+    :func:`_salt_tagged_hot_keys`; a hot RIGHT side logs a loud warning.
     """
     import numpy as np
     import pandas as pd
@@ -330,6 +402,8 @@ def asof_join_latest(
 
     tagged = left.map_batches(_l, batch_format="pyarrow").union(
         right.map_batches(_r, batch_format="pyarrow"))
+    tagged, group_keys = _salt_tagged_hot_keys(
+        tagged, max_group_rows, "asof_join_latest")
 
     def _asof(g: "pd.DataFrame") -> "pd.DataFrame":
         lmask = g["_side"] == "L"
@@ -348,7 +422,7 @@ def asof_join_latest(
         return pd.DataFrame({left_id: lrows["_id"].to_numpy(),
                              out_col: vals})
 
-    out = tagged.groupby("_k").map_groups(_asof, batch_format="pandas")
+    out = tagged.groupby(group_keys).map_groups(_asof, batch_format="pandas")
 
     def _cast_id(batch: pa.Table) -> pa.Table:
         # the tagged union null-pads _id on the right side, which promotes
@@ -369,15 +443,17 @@ def range_join_count(
     left_id: str,
     window_s: float,
     out_col: str = "n_in_window",
+    max_group_rows: int = 1_000_000,
 ) -> ray.data.Dataset:
     """Range join (custom operator): per left row, COUNT of right rows with the
     same key whose timestamp falls in the trailing window
     ``[left_ts - window_s, left_ts]``.
 
     Same single-exchange construction as :func:`asof_join_latest` (tagged
-    union co-shuffled by key); per group the right timestamps sort once and
-    every left row resolves with two vectorized ``searchsorted`` probes —
-    never a per-pair expansion (the naive inequality join is O(n*m) per key).
+    union co-shuffled by key, hot keys salted by the same pre-pass); per group
+    the right timestamps sort once and every left row resolves with two
+    vectorized ``searchsorted`` probes — never a per-pair expansion (the naive
+    inequality join is O(n*m) per key).
     """
     import numpy as np
     import pandas as pd
@@ -404,6 +480,8 @@ def range_join_count(
 
     tagged = left.map_batches(_l, batch_format="pyarrow").union(
         right.map_batches(_r, batch_format="pyarrow"))
+    tagged, group_keys = _salt_tagged_hot_keys(
+        tagged, max_group_rows, "range_join_count")
 
     def _count(g: "pd.DataFrame") -> "pd.DataFrame":
         lmask = g["_side"] == "L"
@@ -418,7 +496,7 @@ def range_join_count(
         return pd.DataFrame({left_id: lrows["_id"].to_numpy(),
                              out_col: (hi - lo).astype(np.int64)})
 
-    out = tagged.groupby("_k").map_groups(_count, batch_format="pandas")
+    out = tagged.groupby(group_keys).map_groups(_count, batch_format="pandas")
 
     def _cast_id(batch: pa.Table) -> pa.Table:
         i = batch.column_names.index(left_id)
