@@ -48,6 +48,12 @@ class PipelineConfig:
         c = self.fuzzy_concurrency
         return c if isinstance(c, int) else c[1]
 
+    #: live in-flight progress counters (SURVEY A9): spawn a zero-CPU
+    #: ProgressActor and count probe rows / match rows as blocks stream; poll
+    #: ``linkage.LAST_PROGRESS`` (or your own handle) with ``snapshot.remote()``
+    #: during the run. Off by default — one actor message per batch.
+    progress: bool = False
+
     # clustering
     cluster_max_iters: int = 25
     # vectorized numpy local CC handles millions of edges in seconds on the

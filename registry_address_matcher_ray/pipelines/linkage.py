@@ -37,6 +37,27 @@ def preprocess(ds: ray.data.Dataset) -> ray.data.Dataset:
 #: and operators, same pattern as ``matching.LAST_PHASE_TIMES``
 LAST_PLAN: dict = {}
 
+#: live ProgressActor handle for the most recent run with
+#: ``PipelineConfig(progress=True)`` — poll ``snapshot.remote()`` mid-run for
+#: rows / rows-per-sec / ETA (the reference's per-chunk counters, A9)
+LAST_PROGRESS = None
+
+
+def _maybe_track(ds: ray.data.Dataset, stage: str, cfg: PipelineConfig,
+                 total_rows: Optional[int] = None) -> ray.data.Dataset:
+    """Insert a live row counter at this pipeline point when cfg.progress."""
+    global LAST_PROGRESS
+    if not cfg.progress:
+        return ds
+    from ..state import progress as prog
+
+    if LAST_PROGRESS is None or getattr(_maybe_track, "_run", None) is not cfg:
+        LAST_PROGRESS = prog.start()
+        _maybe_track._run = cfg
+    if total_rows is not None:
+        LAST_PROGRESS.set_total.remote(stage, total_rows)
+    return prog.track(ds, stage, LAST_PROGRESS)
+
 
 def resolve_fuzzy_strategy(
     cad: ray.data.Dataset, cfg: PipelineConfig
@@ -80,6 +101,7 @@ def match_registries(
         cad = preprocess(cad)
     if cfg.max_records is not None:
         spr = spr.limit(cfg.max_records)
+    spr = _maybe_track(spr, "probe_rows", cfg)
 
     strategy, cad = resolve_fuzzy_strategy(cad, cfg)
 
@@ -100,19 +122,19 @@ def match_registries(
         nblocks = cfg.score_blocks or cfg.max_fuzzy_actors * 6
         if strategy == "broadcast_dedup":
             # scale path: score each distinct probe triple once job-wide
-            return matching.broadcast_matches_dedup(
+            return _maybe_track(matching.broadcast_matches_dedup(
                 spr, cad_ref, cfg.threshold, cfg.do_exact, cfg.do_fuzzy,
                 concurrency=cfg.fuzzy_concurrency,
                 batch_size=cfg.fuzzy_batch_size, num_blocks=nblocks,
-            )
+            ), "match_rows", cfg)
         spr = spr.repartition(nblocks)
-        return spr.map_batches(
+        return _maybe_track(spr.map_batches(
             matching.BroadcastMatcherActor,
             fn_constructor_args=(cad_ref, cfg.threshold, cfg.do_exact, cfg.do_fuzzy),
             batch_format="pyarrow",
             batch_size=cfg.fuzzy_batch_size,
             concurrency=cfg.fuzzy_concurrency,
-        )
+        ), "match_rows", cfg)
 
     # ---- shuffle plan: both sides large; equi-join / groupby exchanges ----
     # Preprocessed registries feed several consumers (two exact joins, the fuzzy
@@ -151,7 +173,7 @@ def match_registries(
     out = parts[0]
     for p in parts[1:]:
         out = out.union(p)
-    return out
+    return _maybe_track(out, "match_rows", cfg)
 
 
 def cluster_matches(
