@@ -55,6 +55,23 @@ def _registry_paths(sf_dir: str) -> dict:
     return paths
 
 
+def _crawl_urls_path(sf_dir: str) -> str:
+    """Deterministic crawl-log URL fixture (page_id, url, warc_ts), cached.
+
+    Surface-form re-crawl duplicates with exact inversion guarantees under
+    ``functions.urls.canonicalize_url`` (``sources/synth.synth_crawl_urls``).
+    """
+    from registry_address_matcher_ray.sources import synth
+
+    n = max(2_000, int(_sf_of(sf_dir) * 200_000))
+    path = f"/tmp/ram_ray_fixtures/crawl_urls_n{n}_seed42.parquet"
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        pq.write_table(synth.synth_crawl_urls(n, seed=42), path + ".tmp")
+        os.replace(path + ".tmp", path)
+    return path
+
+
 def _prep_registry_paths(sf_dir: str) -> dict:
     """Preprocessed (normalized + derived + ``_ord``) registries as parquet.
 
@@ -217,6 +234,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def docs_tfidf_top3(sf_dir):
         return A.tfidf_top_terms(_read(sf_dir, "documents"), "doc_id", "text", 3)
+
+    def docs_unigram_logprob(sf_dir):
+        return A.unigram_logprob(_read(sf_dir, "documents"), "doc_id", "text")
+
+    def docs_unigram_logprob_joinplan(sf_dir):
+        # same op through the distributed (explode->join->groupby) plan the
+        # broadcast path falls back to above VOCAB_BROADCAST_LIMIT
+        return A.unigram_logprob(
+            _read(sf_dir, "documents"), "doc_id", "text",
+            vocab_broadcast_limit=0)
 
     def events_tumbling_15m(sf_dir):
         return A.tumbling_window_agg(
@@ -773,6 +800,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = ray.data.from_arrow(M.synth_media(n, "video", seed=42))
         return M.sample_frames(ds, every_ms=5000, max_frames=8)
 
+    # ---------- crawl-URL family (Common-Crawl canonical-URL dedup) ----------
+
+    def _crawl_urls_ds(sf_dir):
+        from registry_address_matcher_ray.functions import urls as U
+        from registry_address_matcher_ray.sources.io import read_parquet_clean
+
+        ds = read_parquet_clean(_crawl_urls_path(sf_dir))
+        return ds.map_batches(
+            lambda b: U.canonical_column(b, "url", "canonical_url", with_host=True),
+            batch_format="pyarrow")
+
+    def pages_url_canonical(sf_dir):
+        return _crawl_urls_ds(sf_dir).select_columns(
+            ["page_id", "url", "canonical_url", "host"])
+
+    def pages_url_dedup(sf_dir):
+        return D.exact_dedup(
+            _crawl_urls_ds(sf_dir), "canonical_url", "page_id"
+        ).select_columns(["page_id", "canonical_url"])
+
+    def hosts_page_stats(sf_dir):
+        from ray.data.aggregate import Count
+
+        ds = _crawl_urls_ds(sf_dir).select_columns(["host", "canonical_url"])
+        pages = A.ensure_arrow_schema(
+            ds.groupby("host").aggregate(Count(alias_name="n_pages")),
+            pa.schema([("host", pa.string()), ("n_pages", pa.int64())]))
+        canon = A.ensure_arrow_schema(
+            A.distinct_count_agg(ds, ["host"], "canonical_url", "n_canonical"),
+            pa.schema([("host", pa.string()), ("n_canonical", pa.int64())]))
+        return pages.join(canon, join_type="inner", num_partitions=4, on=("host",))
+
     # Dict ORDER is part of the contract: the driver's CORRECTNESS gate checks
     # the FIRST 50 entries only, so the flagship linkage family, one
     # representative per §2.13 training-data family, and the core analytics
@@ -832,8 +891,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_orders": events_asof_orders,
         "events_orders_range_count": events_orders_range_count,
         "customer_order_counts": customer_order_counts,
-        "orders_prio_price_quantiles": orders_prio_price_quantiles,
+        # crawl-URL family representative (canonical-URL dedup — the web-scale
+        # pre-pass of the north-star pipeline)
+        "pages_url_dedup": pages_url_dedup,
         # ---------------- position 51+ (beyond the driver's window) ----------
+        "pages_url_canonical": pages_url_canonical,
+        "hosts_page_stats": hosts_page_stats,
+        "docs_unigram_logprob": docs_unigram_logprob,
+        "docs_unigram_logprob_joinplan": docs_unigram_logprob_joinplan,
+        "orders_prio_price_quantiles": orders_prio_price_quantiles,
         "events_type_counts": events_type_counts,
         "orders_price_histogram": orders_price_histogram,
         "events_hourly": events_hourly,
@@ -1302,6 +1368,30 @@ def oracle_sql() -> dict[str, str]:
     raw = _registry_paths("/root/testdata/sf0.01")
     match_sql = _match_pairs_sql(p["spr"], p["cad"])
     pages_pre = _prep_pages_records_path("/root/testdata/sf0.01")
+    # crawl-URL family: the SQL chain is GENERATED from the same module that
+    # defines the Python regex chain (functions/urls.py sql_canonical), so the
+    # oracle is a transcription by construction
+    from registry_address_matcher_ray.functions import urls as _U
+    urls_path = _crawl_urls_path("/root/testdata/sf0.01")
+    _canon = _U.sql_canonical("url")
+    _crawl_canon_sql = f"""
+        SELECT page_id, url, {_canon} AS canonical_url,
+               {_U.sql_host(_canon)} AS host
+        FROM read_parquet('{urls_path}')
+    """
+    # unigram LM: same tokenizer as the other token ops; avg ln(c/N) per doc
+    _unigram_sql = """
+        WITH tok AS (
+            SELECT doc_id, token FROM (
+                SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+                FROM documents) WHERE token <> ''),
+        cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+        tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok)
+        SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               round(avg(ln(CAST(cnt.c AS DOUBLE) / tot.n)), 6) AS avg_logprob
+        FROM tok JOIN cnt ON cnt.token = tok.token CROSS JOIN tot
+        GROUP BY tok.doc_id
+    """
     return {
         "engine_variant_pairs": _engine_variant_sql(p["spr"], p["cad"]),
         # pages flagship: page-derived records play the SPR side of the same
@@ -1612,6 +1702,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_exact_dedup": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "pages_url_canonical": _crawl_canon_sql,
+        "docs_unigram_logprob": _unigram_sql,
+        "docs_unigram_logprob_joinplan": _unigram_sql,
+        "pages_url_dedup": f"""
+            SELECT min(page_id) AS page_id, canonical_url
+            FROM ({_crawl_canon_sql}) GROUP BY canonical_url
+        """,
+        "hosts_page_stats": f"""
+            SELECT host, count(*) AS n_pages,
+                   count(DISTINCT canonical_url) AS n_canonical
+            FROM ({_crawl_canon_sql}) GROUP BY host
         """,
         "docs_fingerprint_dedup": r"""
             SELECT min(doc_id) AS doc_id FROM documents

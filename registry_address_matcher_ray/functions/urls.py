@@ -1,0 +1,143 @@
+"""URL canonicalization for crawl-scale dedup (graft §2.13 addition).
+
+Common-Crawl pipelines dedup by canonical URL before any content pass: the
+same page is crawled as ``HTTP://WWW.Example.com:80/a/?utm_source=x#frag`` and
+``http://example.com/a``. The reference has no URL layer (it matches address
+registries), so this kernel is specified here and checked against a DuckDB
+transcription of the SAME regex chain (driver oracle ``pages_url_canonical``).
+Every rule is ONE regex substitution, written RE2-compatible (no lookaround,
+no replacement callbacks) so Python ``re``, pandas' C kernels and DuckDB's
+``regexp_replace`` reproduce it byte-for-byte.
+
+Rules, applied in order to ``scheme://[user@]host[:port][/path][?q][#f]``:
+
+1. fragment dropped (``#.*$``)
+2. authority lowercased: the ``scheme://…up-to-first-/?#`` prefix is extracted,
+   lowercased, and re-concatenated with the untouched remainder
+3. ``www.`` prefix stripped from the host (only directly after ``://``)
+4. explicit default port ``:80`` / ``:443`` stripped
+5. tracking params removed (lowercase names ``utm_*``, ``fbclid``, ``gclid``,
+   ``msclkid``) in three passes that each stay a single substitution:
+   a. every ``&name=value`` unit, globally
+   b. a leading ``?name=value&`` collapses to ``?`` (at most one such unit
+      can remain after (a))
+   c. a lone ``?name=value`` at end of string is dropped
+6. bare trailing ``?`` dropped
+7. trailing ``/`` stripped from the path when followed by end or ``?``
+   (``/a/?q`` -> ``/a?q``; bare ``host/`` -> ``host``)
+
+The chain is deterministic but not idempotent in pathological cases
+(``www.www.x`` loses one ``www.`` per application) — callers canonicalize raw
+URLs exactly once.
+
+Vectorized: the batch path runs the same compiled-regex chain through pandas'
+C string kernels — no Python loop per row.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Union
+
+import pandas as pd
+import pyarrow as pa
+
+_TRACK_NAMES = r"(?:utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid)"
+
+# one compiled pattern per documented rule — applied in order; every pattern
+# is RE2-valid so the DuckDB oracle runs the identical chain (see SQL_CHAIN)
+_FRAGMENT_RE = re.compile(r"#.*$")
+_AUTHORITY_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)")
+_WWW_RE = re.compile(r"^([a-z][a-z0-9+.-]*://)www\.")
+_DEFAULT_PORT_RE = re.compile(r"^([a-z][a-z0-9+.-]*://[^/?#:]*):(?:80|443)([/?#]|$)")
+_TRACK_AMP_RE = re.compile(r"&" + _TRACK_NAMES + r"=[^&#]*")
+_TRACK_FIRST_RE = re.compile(r"\?" + _TRACK_NAMES + r"=[^&#]*&")
+_TRACK_ONLY_RE = re.compile(r"\?" + _TRACK_NAMES + r"=[^&#]*$")
+_TRAILING_Q_RE = re.compile(r"\?$")
+_TRAILING_SLASH_RE = re.compile(
+    r"^([a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*[^/?#])?)/(\?|$)")
+
+_HOST_RE = re.compile(r"^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)")
+
+
+def canonicalize_url(url: str) -> str:
+    """Scalar reference implementation (the batch path is vectorized)."""
+    if not url:
+        return ""
+    u = _FRAGMENT_RE.sub("", url)
+    m = _AUTHORITY_RE.match(u)
+    if m:
+        u = m.group(1).lower() + u[m.end():]
+    u = _WWW_RE.sub(r"\1", u, count=1)
+    u = _DEFAULT_PORT_RE.sub(r"\1\2", u, count=1)
+    u = _TRACK_AMP_RE.sub("", u)
+    u = _TRACK_FIRST_RE.sub("?", u, count=1)
+    u = _TRACK_ONLY_RE.sub("", u, count=1)
+    u = _TRAILING_Q_RE.sub("", u, count=1)
+    u = _TRAILING_SLASH_RE.sub(r"\1\3", u, count=1)
+    return u
+
+
+def canonicalize_series(urls: pd.Series) -> pd.Series:
+    """Same rule chain through pandas' C regex kernels (hot path)."""
+    s = urls.fillna("").astype(str)
+    s = s.str.replace(_FRAGMENT_RE, "", regex=True)
+    auth = s.str.extract(_AUTHORITY_RE, expand=False)
+    s = auth.str.lower().fillna("") + s.str.replace(_AUTHORITY_RE, "", regex=True)
+    s = s.str.replace(_WWW_RE, r"\1", regex=True)
+    s = s.str.replace(_DEFAULT_PORT_RE, r"\1\2", regex=True)
+    s = s.str.replace(_TRACK_AMP_RE, "", regex=True)
+    s = s.str.replace(_TRACK_FIRST_RE, "?", regex=True)
+    s = s.str.replace(_TRACK_ONLY_RE, "", regex=True)
+    s = s.str.replace(_TRAILING_Q_RE, "", regex=True)
+    s = s.str.replace(_TRAILING_SLASH_RE, r"\1\3", regex=True)
+    return s
+
+
+def host_of(urls: pd.Series) -> pd.Series:
+    """Registrable host of an already-CANONICAL url ('' when unparseable)."""
+    return urls.str.extract(_HOST_RE, expand=False).fillna("")
+
+
+def canonical_column(
+    batch: Union[pa.Table, pd.DataFrame], url_col: str = "url",
+    out_col: str = "canonical_url", with_host: bool = False,
+) -> pa.Table:
+    """Batch kernel: append ``out_col`` = canonical form of ``url_col``."""
+    tbl = batch if isinstance(batch, pa.Table) else pa.Table.from_pandas(
+        batch, preserve_index=False)
+    urls = tbl.column(url_col).to_pandas()
+    canon = canonicalize_series(urls)
+    tbl = tbl.append_column(out_col, pa.array(canon, pa.string()))
+    if with_host:
+        tbl = tbl.append_column("host", pa.array(host_of(canon), pa.string()))
+    return tbl
+
+
+def sql_canonical(expr: str) -> str:
+    """DuckDB expression computing the IDENTICAL chain over ``expr``.
+
+    RE2 regexes are the same strings as the compiled patterns above; rule 2's
+    callback-free lowercase becomes extract+lower+concat. Used by the driver
+    oracle so the SQL is generated from one source of truth.
+    """
+    auth = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+    u = f"regexp_replace({expr}, '#.*$', '')"
+    u = (f"(lower(regexp_extract({u}, '{auth}'))"
+         f" || regexp_replace({u}, '{auth}', ''))")
+    u = f"regexp_replace({u}, '^([a-z][a-z0-9+.-]*://)www\\.', '\\1')"
+    u = (f"regexp_replace({u}, "
+         f"'^([a-z][a-z0-9+.-]*://[^/?#:]*):(?:80|443)([/?#]|$)', '\\1\\2')")
+    u = f"regexp_replace({u}, '&{_TRACK_NAMES}=[^&#]*', '', 'g')"
+    u = f"regexp_replace({u}, '\\?{_TRACK_NAMES}=[^&#]*&', '?')"
+    u = f"regexp_replace({u}, '\\?{_TRACK_NAMES}=[^&#]*$', '')"
+    u = f"regexp_replace({u}, '\\?$', '')"
+    u = (f"regexp_replace({u}, "
+         f"'^([a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*[^/?#])?)/(\\?|$)', '\\1\\3')")
+    return u
+
+
+def sql_host(expr: str) -> str:
+    """DuckDB expression for :func:`host_of` over an already-canonical col."""
+    return (f"coalesce(regexp_extract({expr}, "
+            f"'^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1), '')")

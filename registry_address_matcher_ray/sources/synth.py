@@ -311,3 +311,85 @@ def synth_pages(spr: pa.Table, seed: int = 42, noise_fraction: float = 0.1) -> p
             "lang": pa.array(langs, pa.string()),
         }
     )
+
+
+def synth_crawl_urls(n: int, seed: int = 42, dup_fraction: float = 0.35) -> pa.Table:
+    """Crawl-log URL fixture: ``(page_id, url, warc_ts)`` with re-crawl dups.
+
+    ~``dup_fraction`` of rows are RE-CRAWLS of an earlier row's canonical URL
+    under a different surface form (case, ``www.``, default port, tracking
+    params, fragment, trailing slash) — every decoration inverts exactly under
+    ``functions.urls.canonicalize_url``, so canonical-URL dedup finds real
+    groups with known ground truth. Pure function of ``(n, seed)``.
+    """
+    from ..functions import urls as _urls
+
+    rng = random.Random((seed, n, "crawl_urls").__repr__())
+    t0 = datetime(2024, 3, 1)
+    hosts = [f"site{h:03d}.example.{tld}"
+             for h in range(max(4, n // 40)) for tld in ("com",)]
+    real_params = ["q", "page", "id", "ref", "lang"]
+    track_params = ["utm_source", "utm_medium", "utm_campaign", "fbclid",
+                    "gclid", "msclkid"]
+
+    def _canonical() -> str:
+        scheme = rng.choice(["http", "https"])
+        host = rng.choice(hosts)
+        segs = rng.randrange(0, 4)
+        path = "".join(f"/{rng.choice(['a','b','dir','item','p'])}{rng.randrange(100)}"
+                       for _ in range(segs))
+        q = ""
+        if rng.random() < 0.4:
+            parts = [f"{rng.choice(real_params)}={rng.randrange(1000)}"
+                     for _ in range(rng.randrange(1, 3))]
+            q = "?" + "&".join(parts)
+        return f"{scheme}://{host}{path}{q}"
+
+    def _decorate(canon: str) -> str:
+        scheme, rest = canon.split("://", 1)
+        slash = rest.find("/")
+        qmark = rest.find("?")
+        cut = min(x for x in (slash, qmark, len(rest)) if x >= 0)
+        host, tail = rest[:cut], rest[cut:]
+        if rng.random() < 0.5:
+            scheme = scheme.upper()
+        if rng.random() < 0.5:
+            host = "www." + host
+        if rng.random() < 0.4:
+            host = host.upper()
+        if rng.random() < 0.4:
+            host += rng.choice([":80", ":443"])
+        path, _, query = tail.partition("?")
+        if path and not path.endswith("/") and rng.random() < 0.5:
+            path += "/"
+        track = [f"{rng.choice(track_params)}={rng.randrange(1000)}"
+                 for _ in range(rng.randrange(0, 3))]
+        if track and query:
+            mix = track + [query]
+            rng.shuffle(mix)
+            query = "&".join(mix) if mix[0] != query else query + "&" + "&".join(track)
+        elif track:
+            query = "&".join(track)
+        frag = f"#sec{rng.randrange(10)}" if rng.random() < 0.3 else ""
+        q = f"?{query}" if query else ""
+        return f"{scheme}://{host}{path}{q}{frag}"
+
+    canon_pool: List[str] = []
+    urls, tss = [], []
+    for i in range(n):
+        if canon_pool and rng.random() < dup_fraction:
+            canon = rng.choice(canon_pool)
+        else:
+            canon = _canonical()
+            canon_pool.append(canon)
+        u = _decorate(canon) if rng.random() < 0.7 else canon
+        # the decoration contract: every surface form canonicalizes back
+        assert _urls.canonicalize_url(u) == canon, (u, canon)
+        urls.append(u)
+        tss.append(t0 + timedelta(seconds=rng.randrange(90 * 24 * 3600)))
+
+    return pa.table({
+        "page_id": pa.array(range(n), pa.int64()),
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array(tss, pa.timestamp("us")),
+    })

@@ -1090,6 +1090,135 @@ def tfidf_top_terms(
         _score, batch_format="pandas")
 
 
+VOCAB_BROADCAST_LIMIT = 2_000_000
+
+
+def ensure_arrow_schema(ds: ray.data.Dataset, schema: pa.Schema) -> ray.data.Dataset:
+    """Re-block to metadata-free Arrow with a stable schema.
+
+    Ray's hash aggregate emits pandas-format blocks — including COLUMN-LESS
+    empty blocks for hash partitions that received no groups — and both break
+    a downstream ``Dataset.join``: the pandas schema metadata is an
+    unhashable dict (per-task warning) and the column-less empty block makes
+    the join's key FieldRef unresolvable. One pass normalizes every block.
+    """
+    empty = pa.table({f.name: pa.array([], f.type) for f in schema})
+
+    def _fix(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return empty
+        return b.select(schema.names).cast(schema).replace_schema_metadata(None)
+
+    return ds.map_batches(_fix, batch_format="pyarrow")
+
+
+def unigram_logprob(
+    ds: ray.data.Dataset, id_col: str, text_col: str, ndigits: int = 6,
+    vocab_broadcast_limit: Optional[int] = None,
+) -> ray.data.Dataset:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram LM — the CCNet-style quality signal (unusually low avg logprob =
+    atypical/garbled text; unusually high = boilerplate).
+
+    ``P(token) = c_token / N`` over the whole corpus; no smoothing is needed
+    when scoring the training corpus against itself (every token is
+    in-vocabulary). Tokenization matches the corpus token ops (lowercase,
+    split on single spaces, drop empties); zero-token docs are dropped, like
+    the SQL form's inner join.
+
+    Pass A reduces per-batch token counts to the vocabulary table (one small
+    ``groupby`` over O(vocab) rows). Pass B auto-selects its physical plan
+    like ``dedup.exact_dedup``: a vocabulary within ``vocab_broadcast_limit``
+    is gathered once and broadcast via ``ray.put`` — each doc's tokens stay
+    inside their batch, so per-doc means need NO shuffle; a larger vocabulary
+    stays distributed and pass B becomes explode -> equi-join on token ->
+    per-doc partial sums -> ``groupby(id)`` — a corpus-sized shuffle, but
+    never a driver-sized gather. Output: ``(id_col, n_tokens, avg_logprob)``.
+    """
+    import pandas as pd
+
+    limit = VOCAB_BROADCAST_LIMIT if vocab_broadcast_limit is None else vocab_broadcast_limit
+
+    def _cnt(df: "pd.DataFrame") -> pa.Table:
+        s = df[text_col].fillna("").str.lower().str.split(" ").explode()
+        s = s[s != ""].dropna()
+        vc = s.value_counts()
+        return pa.table({"token": pa.array(vc.index, pa.string()),
+                         "_c": pa.array(vc.to_numpy(), pa.int64())})
+
+    counts = (
+        ds.select_columns([text_col])
+        .map_batches(_cnt, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("_c", alias_name="c"))
+        .materialize()
+    )
+    n_total = float(counts.sum("c"))
+
+    if counts.count() <= limit:
+        cm = counts.to_pandas()
+        ref = ray.put(dict(zip(cm["token"], cm["c"].astype("int64"))))
+
+        def _score(df: "pd.DataFrame") -> pa.Table:
+            m = ray.get(ref)
+            s = df[text_col].fillna("").str.lower().str.split(" ").explode()
+            s = s[s != ""].dropna()
+            lp = pd.Series(
+                np.log(s.map(m).to_numpy(dtype=float) / n_total), index=s.index)
+            g = lp.groupby(level=0)
+            n = g.size().astype("int64")
+            out = pd.DataFrame({
+                id_col: df.loc[n.index, id_col],
+                "n_tokens": n,
+                "avg_logprob": g.mean().round(ndigits),
+            })
+            return pa.Table.from_pandas(
+                out, preserve_index=False).replace_schema_metadata(None)
+
+        return ds.select_columns([id_col, text_col]).map_batches(
+            _score, batch_format="pandas")
+
+    # distributed plan: token stream joins the vocabulary, partials per doc
+    def _pairs(df: "pd.DataFrame") -> pa.Table:
+        s = df[text_col].fillna("").str.lower().str.split(" ").explode()
+        s = s[s != ""].dropna()
+        return pa.Table.from_pandas(
+            pd.DataFrame({id_col: df.loc[s.index, id_col], "token": s}),
+            preserve_index=False).replace_schema_metadata(None)
+
+    pairs = ds.select_columns([id_col, text_col]).map_batches(
+        _pairs, batch_format="pandas")
+    counts_arrow = ensure_arrow_schema(
+        counts, pa.schema([("token", pa.string()), ("c", pa.int64())]))
+    joined = pairs.join(counts_arrow, join_type="inner", num_partitions=16,
+                        on=("token",))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        id_type = batch.schema.field(id_col).type
+        df = batch.to_pandas()
+        df["_lp"] = np.log(df["c"].to_numpy(dtype=float) / n_total)
+        g = df.groupby(id_col, observed=True)["_lp"].agg(["sum", "size"])
+        # explicit types so empty join partitions keep a stable schema
+        return pa.table({
+            id_col: pa.array(g.index.to_numpy(), id_type),
+            "_slp": pa.array(g["sum"].to_numpy(), pa.float64()),
+            "_n": pa.array(g["size"].to_numpy(dtype="int64"), pa.int64()),
+        })
+
+    agg = (joined.map_batches(_partial, batch_format="pyarrow")
+           .groupby(id_col)
+           .aggregate(Sum("_slp", alias_name="_slp"), Sum("_n", alias_name="n_tokens")))
+
+    def _fin(batch: pa.Table) -> pa.Table:
+        n = pc.cast(batch.column("n_tokens"), pa.int64())
+        avg = pc.round(pc.divide(batch.column("_slp"), pc.cast(n, pa.float64())),
+                       ndigits=ndigits)
+        return pa.table({id_col: batch.column(id_col),
+                         "n_tokens": n, "avg_logprob": avg})
+
+    return agg.map_batches(_fin, batch_format="pyarrow")
+
+
 def tumbling_window_agg(
     ds: ray.data.Dataset, ts_col: str, key_col: str, val_col: str,
     width_s: int = 900, ndigits: int = 6,
@@ -1349,6 +1478,8 @@ def distinct_count_agg(
     )
 
     def _fin(batch: pa.Table) -> pa.Table:
+        if out_col not in batch.column_names:  # column-less empty agg block
+            return batch
         i = batch.column_names.index(out_col)
         return batch.set_column(
             i, out_col, pc.cast(batch.column(out_col), pa.int64()))

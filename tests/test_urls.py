@@ -1,0 +1,85 @@
+"""URL canonicalization: scalar/vectorized/DuckDB three-way parity and
+canonical-URL dedup ground truth (graft §2.13 crawl pre-pass; the reference
+has no URL layer — rules specified in ``functions/urls.py``)."""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from registry_address_matcher_ray.functions import urls as U
+from registry_address_matcher_ray.sources.synth import synth_crawl_urls
+from registry_address_matcher_ray.stages import dedup as D
+
+TRICKY = [
+    "HTTP://WWW.Example.com:80/a/?utm_source=x#frag",
+    "http://example.com/a",
+    "https://Example.COM:443/",
+    "https://example.com:8080/a/",
+    "http://www.example.com/path/?utm_a=1&b=2&utm_c=3",
+    "http://h/p?utm_a=1&b=2",
+    "http://h/p?b=2&utm_a=1",
+    "http://h/p?utm_a=1",
+    "http://h/p?utm_a=1&utm_b=2",
+    "http://h/p?",
+    "http://h/p/?fbclid=abc",
+    "ftp://USER@Host.com/Dir/",
+    "https://user@www.site.org:443/x//",
+    "http://host//",
+    "http://www.com/",
+    "not a url at all",
+    "",
+    None,
+    "http://h/a/b/c/?gclid=1&x=2&msclkid=3#z",
+    "HTTPS://WWW.A.B.C:443",
+    "http://h?utm_x=9",
+    "http://h/%7Euser/?UTM_SOURCE=up",  # uppercase name kept (case-sensitive)
+]
+
+
+def test_scalar_matches_vectorized():
+    vec = U.canonicalize_series(pd.Series(TRICKY, dtype=object))
+    for raw, v in zip(TRICKY, vec):
+        assert U.canonicalize_url(raw) == v, raw
+
+
+def test_duckdb_chain_is_byte_identical():
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"u": TRICKY}))
+    expr = U.sql_canonical("coalesce(u, '')")
+    got = con.execute(f"SELECT {expr} AS c FROM t").fetchdf()["c"].tolist()
+    want = U.canonicalize_series(pd.Series(TRICKY, dtype=object)).tolist()
+    assert got == want
+    hosts = con.execute(
+        f"SELECT {U.sql_host(expr)} AS h FROM t").fetchdf()["h"].tolist()
+    assert hosts == U.host_of(pd.Series(want)).tolist()
+
+
+def test_fixture_decorations_invert_and_are_deterministic():
+    t = synth_crawl_urls(1500, seed=9)
+    assert t.equals(synth_crawl_urls(1500, seed=9))
+    df = t.to_pandas()
+    canon = U.canonicalize_series(df["url"])
+    # duplicates exist (the dedup family has work to do) and every group's
+    # members share one canonical form by construction (asserted in synth)
+    assert canon.nunique() < len(df)
+    # fixture canonical forms are fixed points of the chain
+    assert (U.canonicalize_series(canon) == canon).all()
+
+
+def test_canonical_dedup_ground_truth(ray_session):
+    t = synth_crawl_urls(3000, seed=42)
+    ds = ray.data.from_arrow(t).map_batches(
+        lambda b: U.canonical_column(b, "url", "canonical_url", with_host=True),
+        batch_format="pyarrow")
+    kept = D.exact_dedup(ds, "canonical_url", "page_id").to_pandas()
+    df = t.to_pandas()
+    df["canonical_url"] = U.canonicalize_series(df["url"])
+    want = df.groupby("canonical_url")["page_id"].min().sort_values()
+    got = kept.set_index("canonical_url")["page_id"].sort_values()
+    assert len(got) == len(want)
+    assert (got.sort_index() == want.sort_index()).all()
+    # host extraction is total over the fixture (every url parses)
+    hosts = U.host_of(df["canonical_url"])
+    assert (hosts != "").all()
