@@ -820,6 +820,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _crawl_urls_ds(sf_dir), "canonical_url", "page_id"
         ).select_columns(["page_id", "canonical_url"])
 
+    def pages_url_latest(sf_dir):
+        # Common-Crawl "latest snapshot wins": newest row per canonical URL
+        return D.keep_latest_dedup(
+            _crawl_urls_ds(sf_dir), "canonical_url", "warc_ts", "page_id"
+        ).select_columns(["page_id", "canonical_url", "warc_ts"])
+
+    def pages_per_host_cap(sf_dir):
+        # crawl-politeness style per-host quota: 3 earliest pages per host
+        from registry_address_matcher_ray.stages import sampling as SP
+
+        return SP.per_key_topn(
+            _crawl_urls_ds(sf_dir), "host",
+            [("warc_ts", False), ("page_id", False)], 3,
+            columns=["page_id", "warc_ts"])
+
     def hosts_page_stats(sf_dir):
         from ray.data.aggregate import Count
 
@@ -896,6 +911,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_url_dedup": pages_url_dedup,
         # ---------------- position 51+ (beyond the driver's window) ----------
         "pages_url_canonical": pages_url_canonical,
+        "pages_url_latest": pages_url_latest,
+        "pages_per_host_cap": pages_per_host_cap,
         "hosts_page_stats": hosts_page_stats,
         "docs_unigram_logprob": docs_unigram_logprob,
         "docs_unigram_logprob_joinplan": docs_unigram_logprob_joinplan,
@@ -1379,6 +1396,11 @@ def oracle_sql() -> dict[str, str]:
                {_U.sql_host(_canon)} AS host
         FROM read_parquet('{urls_path}')
     """
+    _crawl_full_sql = f"""
+        SELECT page_id, warc_ts, {_canon} AS canonical_url,
+               {_U.sql_host(_canon)} AS host
+        FROM read_parquet('{urls_path}')
+    """
     # unigram LM: same tokenizer as the other token ops; avg ln(c/N) per doc
     _unigram_sql = """
         WITH tok AS (
@@ -1704,6 +1726,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
         """,
         "pages_url_canonical": _crawl_canon_sql,
+        "pages_url_latest": f"""
+            WITH c AS ({_crawl_full_sql}),
+            m AS (SELECT canonical_url, max(warc_ts) AS mts FROM c GROUP BY 1)
+            SELECT min(c.page_id) AS page_id, c.canonical_url, c.warc_ts
+            FROM c JOIN m ON m.canonical_url = c.canonical_url
+                         AND c.warc_ts = m.mts
+            GROUP BY c.canonical_url, c.warc_ts
+        """,
+        "pages_per_host_cap": f"""
+            WITH c AS ({_crawl_full_sql})
+            SELECT host, page_id, warc_ts FROM (
+                SELECT host, page_id, warc_ts,
+                       row_number() OVER (PARTITION BY host
+                           ORDER BY warc_ts ASC, page_id ASC) AS rn
+                FROM c) WHERE rn <= 3
+        """,
         "docs_unigram_logprob": _unigram_sql,
         "docs_unigram_logprob_joinplan": _unigram_sql,
         "pages_url_dedup": f"""

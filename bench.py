@@ -254,6 +254,34 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             rio.read_parquet_clean(f"{sf_dir}/nation.parquet")).count()
         queries["star_revenue"] = round(time.time() - t0, 3)
 
+    # ---- round-3 graft operator additions
+    if os.path.exists(docs_path):
+        t0 = time.time()
+        A.unigram_logprob(
+            rio.read_parquet_clean(docs_path, columns=["doc_id", "text"]),
+            "doc_id", "text").count()
+        queries["unigram_logprob"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    from registry_address_matcher_ray.functions import urls as U
+    from registry_address_matcher_ray.sources import synth as _synth
+
+    crawl_n = max(20_000, int(sf * 2_000_000))
+    crawl_path = f"/tmp/ram_ray_bench/crawl_n{crawl_n}_seed42.parquet"
+    if not os.path.exists(crawl_path):
+        os.makedirs(os.path.dirname(crawl_path), exist_ok=True)
+        pq.write_table(_synth.synth_crawl_urls(crawl_n, seed=42),
+                       crawl_path + ".tmp")
+        os.replace(crawl_path + ".tmp", crawl_path)
+    gen_s = time.time() - t0
+    t0 = time.time()
+    crawl = rio.read_parquet_clean(crawl_path).map_batches(
+        lambda b: U.canonical_column(b, "url", "canonical_url"),
+        batch_format="pyarrow")
+    D.keep_latest_dedup(crawl, "canonical_url", "warc_ts", "page_id").count()
+    queries["url_latest_dedup"] = round(time.time() - t0, 3)
+    extras["crawl_fixture_gen_sec"] = round(gen_s, 3)
+
     result = {
         "metric": "linkage_pages_sec",
         "value": queries["linkage_pages"],

@@ -36,6 +36,7 @@ def build_config(args, num_cpus: int):
         max_records=args.max_records,
         num_partitions=args.num_partitions or max(8, num_cpus),
         fuzzy_concurrency=max(2, num_cpus - 2),
+        progress=getattr(args, "progress", False),
     )
 
 
@@ -51,10 +52,13 @@ def main(argv=None) -> int:
     p.add_argument("--method", default="Comprehensive",
                    choices=["Comprehensive", "Exact Only", "Fuzzy Only",
                             "Hybrid (Exact + Fuzzy)"])
-    p.add_argument("--fuzzy-strategy", default="broadcast_dedup",
-                   choices=["broadcast_dedup", "broadcast", "shuffle"])
+    p.add_argument("--fuzzy-strategy", default="auto",
+                   choices=["auto", "broadcast_dedup", "broadcast", "shuffle"])
     p.add_argument("--max-records", type=int)
     p.add_argument("--num-partitions", type=int)
+    p.add_argument("--progress", action="store_true",
+                   help="spawn the live ProgressActor (state/progress.py); "
+                        "poll linkage.LAST_PROGRESS.snapshot.remote() mid-run")
     args = p.parse_args(argv)
     if bool(args.spr) == bool(args.pages):
         p.error("exactly one of --spr / --pages is required")

@@ -191,6 +191,59 @@ def exact_dedup_keep_longest(
     return partial.map_batches(_flt, batch_format="pyarrow")
 
 
+def keep_latest_dedup(
+    ds: ray.data.Dataset, key_col: str, ts_col: str, id_col: str,
+    winner_broadcast_limit: Optional[int] = None,
+) -> ray.data.Dataset:
+    """Keep the NEWEST row per key (max ``ts_col``; ties -> min ``id_col``) —
+    the Common-Crawl "latest snapshot wins" policy for re-crawled canonical
+    URLs (pair with ``functions.urls.canonicalize_url``).
+
+    Scale shape: per-batch partial keep-best (at most one row per key per
+    batch leaves the map stage), one ``groupby(key).max(ts)`` over the
+    partials, an equi-join back to keep only rows AT the per-key max
+    timestamp, then :func:`exact_dedup` (min-id, auto broadcast-vs-join
+    winner plan) breaks exact-timestamp ties. No driver-sized gathers beyond
+    exact_dedup's bounded winner broadcast.
+    """
+
+    def _partial(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values([key_col, ts_col, id_col],
+                            ascending=[True, False, True], kind="mergesort")
+        out = df.drop_duplicates(subset=[key_col], keep="first")
+        return pa.Table.from_pandas(
+            out, preserve_index=False).replace_schema_metadata(None)
+
+    partial = ds.map_batches(_partial, batch_format="pandas").materialize()
+    ts_type = partial.schema().base_schema.field(ts_col).type
+    maxts = partial.groupby(key_col).max(ts_col)
+    max_col = f"max({ts_col})"
+    # the aggregate emits pandas blocks (dict metadata, column-less empties);
+    # normalize before the join — same hazard ensure_arrow_schema documents
+    _schema = pa.schema([(key_col, partial.schema().base_schema.field(key_col).type),
+                         (max_col, ts_type)])
+    _empty = pa.table({f.name: pa.array([], f.type) for f in _schema})
+
+    def _norm(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return _empty
+        return b.select(_schema.names).cast(_schema).replace_schema_metadata(None)
+
+    at_max = partial.join(
+        maxts.map_batches(_norm, batch_format="pyarrow"),
+        join_type="inner", num_partitions=_winner_join_partitions(partial),
+        on=(key_col,))
+
+    def _flt_max(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(pc.cast(batch.column(ts_col), ts_type),
+                        batch.column(max_col))
+        return batch.filter(keep).drop_columns([max_col])
+
+    ties = at_max.map_batches(_flt_max, batch_format="pyarrow")
+    return exact_dedup(ties, key_col, id_col,
+                       winner_broadcast_limit=winner_broadcast_limit)
+
+
 def fingerprint_dedup_keep_longest(
     ds: ray.data.Dataset, text_col: str, id_col: str,
     winner_broadcast_limit: Optional[int] = None,

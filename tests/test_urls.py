@@ -68,6 +68,25 @@ def test_fixture_decorations_invert_and_are_deterministic():
     assert (U.canonicalize_series(canon) == canon).all()
 
 
+def test_keep_latest_dedup_ground_truth(ray_session):
+    t = synth_crawl_urls(2500, seed=13)
+    ds = ray.data.from_arrow(t).map_batches(
+        lambda b: U.canonical_column(b, "url", "canonical_url"),
+        batch_format="pyarrow")
+    df = t.to_pandas()
+    df["c"] = U.canonicalize_series(df["url"])
+    want = (df.sort_values(["c", "warc_ts", "page_id"],
+                           ascending=[True, False, True], kind="mergesort")
+            .drop_duplicates("c").sort_values("c"))
+    for lim in (None, 0):  # broadcast winner plan, then forced join plan
+        kept = D.keep_latest_dedup(
+            ds, "canonical_url", "warc_ts", "page_id",
+            winner_broadcast_limit=lim).to_pandas().sort_values("canonical_url")
+        assert len(kept) == len(want), lim
+        assert (kept["page_id"].to_numpy() == want["page_id"].to_numpy()).all()
+        assert (kept["warc_ts"].to_numpy() == want["warc_ts"].to_numpy()).all()
+
+
 def test_canonical_dedup_ground_truth(ray_session):
     t = synth_crawl_urls(3000, seed=42)
     ds = ray.data.from_arrow(t).map_batches(
