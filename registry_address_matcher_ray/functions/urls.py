@@ -41,6 +41,7 @@ from typing import Union
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _TRACK_NAMES = r"(?:utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid)"
 
@@ -99,6 +100,47 @@ def host_of(urls: pd.Series) -> pd.Series:
     return urls.str.extract(_HOST_RE, expand=False).fillna("")
 
 
+def canonicalize_arrow(arr: pa.Array) -> pa.Array:
+    """The identical chain through pyarrow's C++ RE2 kernels (hot path).
+
+    Every pattern is RE2-valid by construction (that is what makes the DuckDB
+    oracle exact), so the same strings drive ``pc.replace_substring_regex``;
+    rule 2's callback-free lowercase becomes extract + utf8_lower + concat.
+    Parity with the scalar/pandas/SQL forms is pinned in tests/test_urls.py.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    s = pc.fill_null(pc.cast(arr, pa.string()), "")
+    s = pc.replace_substring_regex(s, pattern=_FRAGMENT_RE.pattern, replacement="")
+    # rule 2: lowercase the authority prefix, keep the remainder untouched
+    auth = pc.extract_regex(s, pattern=r"^(?P<a>[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)")
+    auth_s = pc.fill_null(pc.struct_field(auth, "a"), "")
+    rest = pc.replace_substring_regex(
+        s, pattern=_AUTHORITY_RE.pattern, replacement="", max_replacements=1)
+    s = pc.binary_join_element_wise(pc.utf8_lower(auth_s), rest, "")
+    for pat, repl, n in (
+        (_WWW_RE, r"\1", 1),
+        (_DEFAULT_PORT_RE, r"\1\2", 1),
+        (_TRACK_AMP_RE, "", None),
+        (_TRACK_FIRST_RE, "?", 1),
+        (_TRACK_ONLY_RE, "", 1),
+        (_TRAILING_Q_RE, "", 1),
+        (_TRAILING_SLASH_RE, r"\1\3", 1),
+    ):
+        s = pc.replace_substring_regex(
+            s, pattern=pat.pattern, replacement=repl, max_replacements=n)
+    return s
+
+
+def host_of_arrow(canon: pa.Array) -> pa.Array:
+    """Arrow-kernel :func:`host_of` over already-canonical urls."""
+    if isinstance(canon, pa.ChunkedArray):
+        canon = canon.combine_chunks()
+    m = pc.extract_regex(
+        canon, pattern=r"^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?(?P<h>[^/?#:]*)")
+    return pc.fill_null(pc.struct_field(m, "h"), "")
+
+
 def canonical_column(
     batch: Union[pa.Table, pd.DataFrame], url_col: str = "url",
     out_col: str = "canonical_url", with_host: bool = False,
@@ -106,11 +148,10 @@ def canonical_column(
     """Batch kernel: append ``out_col`` = canonical form of ``url_col``."""
     tbl = batch if isinstance(batch, pa.Table) else pa.Table.from_pandas(
         batch, preserve_index=False)
-    urls = tbl.column(url_col).to_pandas()
-    canon = canonicalize_series(urls)
-    tbl = tbl.append_column(out_col, pa.array(canon, pa.string()))
+    canon = canonicalize_arrow(tbl.column(url_col))
+    tbl = tbl.append_column(out_col, canon)
     if with_host:
-        tbl = tbl.append_column("host", pa.array(host_of(canon), pa.string()))
+        tbl = tbl.append_column("host", host_of_arrow(canon))
     return tbl
 
 

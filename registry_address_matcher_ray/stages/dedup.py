@@ -38,8 +38,14 @@ WINNER_BROADCAST_LIMIT = 2_000_000
 
 
 def _winner_join_partitions(ds: ray.data.Dataset) -> int:
+    # ~128 MiB per hash-join partition: Ray's hash join spins one aggregator
+    # ACTOR per partition, so block-count-sized partitioning dominates wall
+    # time on small inputs (measured: 64 partitions 18.6 s vs 8 partitions
+    # ~2 s for a 40 MiB side) while too few would bottleneck the exchange at
+    # scale — the bytes rule scales the count with the data
     try:
-        return max(8, min(200, ds.num_blocks()))
+        est = ds.size_bytes() or 0
+        return max(4, min(512, -(-est // (128 << 20))))
     except Exception:
         return 32
 
@@ -191,30 +197,48 @@ def exact_dedup_keep_longest(
     return partial.map_batches(_flt, batch_format="pyarrow")
 
 
+#: keep_latest_dedup finishes driver-side below this partial size — the same
+#: bounded fast path the connected-components op uses for <=5M edges; above
+#: it the distributed (groupby + join + exact_dedup) plan runs
+KEEP_LATEST_LOCAL_BYTES = 256 << 20
+
+
 def keep_latest_dedup(
     ds: ray.data.Dataset, key_col: str, ts_col: str, id_col: str,
     winner_broadcast_limit: Optional[int] = None,
+    local_limit_bytes: Optional[int] = None,
 ) -> ray.data.Dataset:
     """Keep the NEWEST row per key (max ``ts_col``; ties -> min ``id_col``) —
     the Common-Crawl "latest snapshot wins" policy for re-crawled canonical
     URLs (pair with ``functions.urls.canonicalize_url``).
 
     Scale shape: per-batch partial keep-best (at most one row per key per
-    batch leaves the map stage), one ``groupby(key).max(ts)`` over the
-    partials, an equi-join back to keep only rows AT the per-key max
-    timestamp, then :func:`exact_dedup` (min-id, auto broadcast-vs-join
-    winner plan) breaks exact-timestamp ties. No driver-sized gathers beyond
-    exact_dedup's bounded winner broadcast.
+    batch leaves the map stage) collapses the input to O(keys x batches)
+    rows. A partial within ``local_limit_bytes`` finishes with one vectorized
+    driver-side pass (three Ray aggregates cost ~15 s of fixed shuffle-actor
+    time at small scale); above the bound the distributed plan runs: one
+    ``groupby(key).max(ts)``, an equi-join back to keep only rows AT the
+    per-key max timestamp, then :func:`exact_dedup` (min-id, auto
+    broadcast-vs-join winner plan) breaks exact-timestamp ties. No
+    driver-sized gathers beyond the bounded fast path / winner broadcast.
     """
+    local_bytes = (KEEP_LATEST_LOCAL_BYTES
+                   if local_limit_bytes is None else local_limit_bytes)
 
-    def _partial(df: pd.DataFrame) -> pa.Table:
+    def _best(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values([key_col, ts_col, id_col],
                             ascending=[True, False, True], kind="mergesort")
-        out = df.drop_duplicates(subset=[key_col], keep="first")
+        return df.drop_duplicates(subset=[key_col], keep="first")
+
+    def _partial(df: pd.DataFrame) -> pa.Table:
         return pa.Table.from_pandas(
-            out, preserve_index=False).replace_schema_metadata(None)
+            _best(df), preserve_index=False).replace_schema_metadata(None)
 
     partial = ds.map_batches(_partial, batch_format="pandas").materialize()
+    if (partial.size_bytes() or 0) <= local_bytes:
+        out = _best(partial.to_pandas())
+        return ray.data.from_arrow(pa.Table.from_pandas(
+            out, preserve_index=False).replace_schema_metadata(None))
     ts_type = partial.schema().base_schema.field(ts_col).type
     maxts = partial.groupby(key_col).max(ts_col)
     max_col = f"max({ts_col})"

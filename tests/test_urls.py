@@ -44,6 +44,15 @@ def test_scalar_matches_vectorized():
         assert U.canonicalize_url(raw) == v, raw
 
 
+def test_arrow_kernels_match_scalar():
+    arr = pa.array(TRICKY, pa.string())
+    got = U.canonicalize_arrow(arr).to_pylist()
+    want = [U.canonicalize_url(u) for u in TRICKY]
+    assert got == want
+    hosts = U.host_of_arrow(pa.array(want, pa.string())).to_pylist()
+    assert hosts == U.host_of(pd.Series(want)).tolist()
+
+
 def test_duckdb_chain_is_byte_identical():
     con = duckdb.connect()
     con.register("t", pd.DataFrame({"u": TRICKY}))
@@ -78,11 +87,14 @@ def test_keep_latest_dedup_ground_truth(ray_session):
     want = (df.sort_values(["c", "warc_ts", "page_id"],
                            ascending=[True, False, True], kind="mergesort")
             .drop_duplicates("c").sort_values("c"))
-    for lim in (None, 0):  # broadcast winner plan, then forced join plan
+    # (local fast path), (distributed + broadcast winners), (distributed +
+    # forced join winners)
+    for loc, win in ((None, None), (0, None), (0, 0)):
         kept = D.keep_latest_dedup(
             ds, "canonical_url", "warc_ts", "page_id",
-            winner_broadcast_limit=lim).to_pandas().sort_values("canonical_url")
-        assert len(kept) == len(want), lim
+            winner_broadcast_limit=win, local_limit_bytes=loc,
+        ).to_pandas().sort_values("canonical_url")
+        assert len(kept) == len(want), (loc, win)
         assert (kept["page_id"].to_numpy() == want["page_id"].to_numpy()).all()
         assert (kept["warc_ts"].to_numpy() == want["warc_ts"].to_numpy()).all()
 
