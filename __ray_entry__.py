@@ -835,6 +835,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             [("warc_ts", False), ("page_id", False)], 3,
             columns=["page_id", "warc_ts"])
 
+    def crawl_snapshot_diff(sf_dir):
+        # reconcile the fixture's first half (by warc_ts) against the second:
+        # canonical URLs added / removed / common between two crawl snapshots
+        import datetime
+
+        import pyarrow.compute as pc
+
+        cutoff = pa.scalar(datetime.datetime(2024, 4, 15), pa.timestamp("us"))
+        ds = _crawl_urls_ds(sf_dir)
+
+        def _half(old_side: bool):
+            def _f(b: pa.Table) -> pa.Table:
+                ts = pc.cast(b.column("warc_ts"), pa.timestamp("us"))
+                mask = (pc.less(ts, cutoff) if old_side
+                        else pc.greater_equal(ts, cutoff))
+                return b.filter(mask)
+            return _f
+
+        old = ds.map_batches(_half(True), batch_format="pyarrow")
+        new = ds.map_batches(_half(False), batch_format="pyarrow")
+        return D.snapshot_diff(old, new, "canonical_url")
+
     def hosts_page_stats(sf_dir):
         from ray.data.aggregate import Count
 
@@ -913,6 +935,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_url_canonical": pages_url_canonical,
         "pages_url_latest": pages_url_latest,
         "pages_per_host_cap": pages_per_host_cap,
+        "crawl_snapshot_diff": crawl_snapshot_diff,
         "hosts_page_stats": hosts_page_stats,
         "docs_unigram_logprob": docs_unigram_logprob,
         "docs_unigram_logprob_joinplan": docs_unigram_logprob_joinplan,
@@ -1744,6 +1767,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_unigram_logprob": _unigram_sql,
         "docs_unigram_logprob_joinplan": _unigram_sql,
+        "crawl_snapshot_diff": f"""
+            WITH c AS ({_crawl_full_sql}),
+            o AS (SELECT DISTINCT canonical_url FROM c
+                  WHERE warc_ts < TIMESTAMP '2024-04-15'),
+            n AS (SELECT DISTINCT canonical_url FROM c
+                  WHERE warc_ts >= TIMESTAMP '2024-04-15'),
+            u AS (SELECT canonical_url, 1 AS f_old, 0 AS f_new FROM o
+                  UNION ALL
+                  SELECT canonical_url, 0, 1 FROM n)
+            SELECT canonical_url,
+                   CASE WHEN max(f_old) = 1 AND max(f_new) = 1 THEN 'common'
+                        WHEN max(f_old) = 1 THEN 'removed'
+                        ELSE 'added' END AS status
+            FROM u GROUP BY canonical_url
+        """,
         "pages_url_dedup": f"""
             SELECT min(page_id) AS page_id, canonical_url
             FROM ({_crawl_canon_sql}) GROUP BY canonical_url

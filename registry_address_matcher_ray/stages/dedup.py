@@ -268,6 +268,53 @@ def keep_latest_dedup(
                        winner_broadcast_limit=winner_broadcast_limit)
 
 
+def snapshot_diff(
+    old: ray.data.Dataset, new: ray.data.Dataset, key_col: str,
+) -> ray.data.Dataset:
+    """Reconcile two crawl snapshots by key: ``added`` / ``removed`` /
+    ``common`` canonical URLs (pair with ``functions.urls.canonicalize_url``).
+
+    No join: each side reduces per batch to DISTINCT keys with presence
+    flags, the tagged union shuffles O(distinct keys x batches) tiny rows,
+    and one ``groupby(key).max(flags)`` settles presence (max, not sum — a
+    key seen in several batches of one side must not masquerade as present
+    in both). Output: ``(key_col, status)``.
+    """
+    from ray.data.aggregate import Max
+
+    def _tag(is_old: int, is_new: int):
+        def _f(b: pa.Table) -> pa.Table:
+            col = b.column(key_col)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            keys = pc.unique(col)
+            n = len(keys)
+            return pa.table({
+                key_col: keys,
+                "_old": pa.array(np.full(n, is_old, dtype=np.int64)),
+                "_new": pa.array(np.full(n, is_new, dtype=np.int64)),
+            })
+        return _f
+
+    u = (old.select_columns([key_col]).map_batches(_tag(1, 0), batch_format="pyarrow")
+         .union(new.select_columns([key_col]).map_batches(_tag(0, 1),
+                                                          batch_format="pyarrow")))
+    agg = u.groupby(key_col).aggregate(Max("_old", alias_name="_o"),
+                                       Max("_new", alias_name="_n"))
+
+    def _status(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0:
+            return pa.table({key_col: pa.array([], pa.string()),
+                             "status": pa.array([], pa.string())})
+        o = b.column("_o").to_numpy(zero_copy_only=False) > 0
+        n = b.column("_n").to_numpy(zero_copy_only=False) > 0
+        status = np.where(o & n, "common", np.where(o, "removed", "added"))
+        return pa.table({key_col: b.column(key_col),
+                         "status": pa.array(status, pa.string())})
+
+    return agg.map_batches(_status, batch_format="pyarrow")
+
+
 def fingerprint_dedup_keep_longest(
     ds: ray.data.Dataset, text_col: str, id_col: str,
     winner_broadcast_limit: Optional[int] = None,

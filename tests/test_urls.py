@@ -99,6 +99,27 @@ def test_keep_latest_dedup_ground_truth(ray_session):
         assert (kept["warc_ts"].to_numpy() == want["warc_ts"].to_numpy()).all()
 
 
+def test_snapshot_diff_ground_truth(ray_session):
+    t = synth_crawl_urls(2000, seed=21)
+    df = t.to_pandas()
+    df["c"] = U.canonicalize_series(df["url"])
+    cut = pd.Timestamp("2024-04-15")
+    old_keys = set(df.loc[df["warc_ts"] < cut, "c"])
+    new_keys = set(df.loc[df["warc_ts"] >= cut, "c"])
+    ds = ray.data.from_arrow(t).map_batches(
+        lambda b: U.canonical_column(b, "url", "canonical_url"),
+        batch_format="pyarrow").repartition(6)
+    old = ds.filter(lambda r: r["warc_ts"] < cut)
+    new = ds.filter(lambda r: r["warc_ts"] >= cut)
+    got = D.snapshot_diff(old, new, "canonical_url").to_pandas()
+    assert len(got) == len(old_keys | new_keys)
+    by = dict(zip(got["canonical_url"], got["status"]))
+    for k in old_keys | new_keys:
+        want = ("common" if k in old_keys and k in new_keys
+                else "removed" if k in old_keys else "added")
+        assert by[k] == want, k
+
+
 def test_canonical_dedup_ground_truth(ray_session):
     t = synth_crawl_urls(3000, seed=42)
     ds = ray.data.from_arrow(t).map_batches(
