@@ -354,6 +354,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         est = A.approx_distinct(_read(sf_dir, "events"), "user_id")
         return pd.DataFrame({"n_users_approx": [est]})
 
+    def events_value_quantiles_sketch(sf_dir):
+        """Deterministic bottom-k-hash quantile sketch (mergeable; no SQL
+        oracle — approximate by construction, rank-error bound and exact
+        partition-invariance pinned in pytest)."""
+        return A.approx_quantiles_bottomk(
+            _read(sf_dir, "events"), "value", "event_id")
+
     def orders_union_filters(sf_dir):
         import pyarrow.compute as pc
 
@@ -959,6 +966,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_late_flags": events_late_flags,
         "segments_without_top_orders": segments_without_top_orders,
         "events_users_approx": events_users_approx,
+        "events_value_quantiles_sketch": events_value_quantiles_sketch,
         "orders_union_filters": orders_union_filters,
         "distinct_returnflags": distinct_returnflags,
         "part_name_contains": part_name_contains,

@@ -43,17 +43,23 @@ LAST_PLAN: dict = {}
 LAST_PROGRESS = None
 
 
+def _fresh_progress(cfg: PipelineConfig) -> None:
+    """Spawn a fresh ProgressActor for this run (one per match_registries
+    call — counters never bleed across runs, even with a reused config)."""
+    global LAST_PROGRESS
+    if cfg.progress:
+        from ..state import progress as prog
+
+        LAST_PROGRESS = prog.start()
+
+
 def _maybe_track(ds: ray.data.Dataset, stage: str, cfg: PipelineConfig,
                  total_rows: Optional[int] = None) -> ray.data.Dataset:
     """Insert a live row counter at this pipeline point when cfg.progress."""
-    global LAST_PROGRESS
     if not cfg.progress:
         return ds
     from ..state import progress as prog
 
-    if LAST_PROGRESS is None or getattr(_maybe_track, "_run", None) is not cfg:
-        LAST_PROGRESS = prog.start()
-        _maybe_track._run = cfg
     if total_rows is not None:
         LAST_PROGRESS.set_total.remote(stage, total_rows)
     return prog.track(ds, stage, LAST_PROGRESS)
@@ -101,6 +107,7 @@ def match_registries(
         cad = preprocess(cad)
     if cfg.max_records is not None:
         spr = spr.limit(cfg.max_records)
+    _fresh_progress(cfg)
     spr = _maybe_track(spr, "probe_rows", cfg)
 
     strategy, cad = resolve_fuzzy_strategy(cad, cfg)

@@ -1219,6 +1219,55 @@ def unigram_logprob(
     return agg.map_batches(_fin, batch_format="pyarrow")
 
 
+def approx_quantiles_bottomk(
+    ds: ray.data.Dataset, val_col: str, id_col: str,
+    qs: Sequence[float] = (0.25, 0.5, 0.75), k: int = 4096,
+    ndigits: int = 6,
+) -> ray.data.Dataset:
+    """Approximate quantiles from a DETERMINISTIC bottom-k hash sketch.
+
+    The k rows with the smallest ``md5(id)`` form a uniform sample of the
+    population (the hash is a fixed random permutation of ids), so the
+    sample quantile estimates the population quantile with rank error
+    ~O(1/sqrt(k)). Unlike a reservoir, the sketch is deterministic and
+    MERGEABLE with an exact merge (union -> keep k smallest), so the result
+    is partition-invariant bit-for-bit: per-batch partials keep their local
+    bottom-k, one distributed ``sort(hash).limit(k)`` merges them, and the
+    driver touches only k rows. Exact-quantile ops exist alongside
+    (``exact_quantiles``); this is the sketch for 100-TB inputs where a full
+    sort per quantile query is not worth it. pytest pins the error bound and
+    the partition invariance (``tests/test_analytics_extra.py``).
+    """
+    import hashlib
+
+    import pandas as pd
+
+    def _partial(df: "pd.DataFrame") -> pa.Table:
+        h = [hashlib.md5(str(v).encode()).hexdigest()
+             for v in df[id_col].tolist()]
+        out = pd.DataFrame({"_h": h, "_v": df[val_col].astype("float64")})
+        out = out.sort_values("_h", kind="mergesort").head(k)
+        return pa.Table.from_pandas(
+            out, preserve_index=False).replace_schema_metadata(None)
+
+    sample = (ds.select_columns([id_col, val_col])
+              .map_batches(_partial, batch_format="pandas")
+              .sort("_h").limit(k))
+    vals = np.sort(np.concatenate(
+        [b.column("_v").to_numpy(zero_copy_only=False)
+         for b in sample.iter_batches(batch_format="pyarrow") if b.num_rows]
+        or [np.array([], dtype="float64")]))
+    cols: dict = {}
+    for q in qs:
+        if len(vals):
+            cols[f"q{int(round(q * 100)):02d}"] = [round(
+                float(np.quantile(vals, q, method="lower")), ndigits)]
+        else:
+            cols[f"q{int(round(q * 100)):02d}"] = [None]
+    cols["sample_n"] = [int(len(vals))]
+    return ray.data.from_arrow(pa.table(cols))
+
+
 def tumbling_window_agg(
     ds: ray.data.Dataset, ts_col: str, key_col: str, val_col: str,
     width_s: int = 900, ndigits: int = 6,

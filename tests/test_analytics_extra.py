@@ -556,3 +556,36 @@ def test_late_event_flags_small():
                               "u", "arr", "ts", ["id"])
            .to_pandas().sort_values("id").reset_index(drop=True))
     assert got["is_late"].tolist() == [False, True, False, False]
+
+
+def test_bottomk_quantile_sketch_error_and_partition_invariance(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray
+    import ray.data
+
+    from registry_address_matcher_ray.stages import analytics as A
+
+    rng = np.random.RandomState(3)
+    n = 20_000
+    df = pd.DataFrame({"event_id": np.arange(n, dtype="int64"),
+                       "value": rng.lognormal(0.0, 1.0, size=n)})
+    exact = {q: float(np.quantile(np.sort(df["value"].to_numpy()), q,
+                                  method="lower"))
+             for q in (0.25, 0.5, 0.75)}
+    outs = []
+    for parts in (3, 17):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        out = A.approx_quantiles_bottomk(
+            ds, "value", "event_id", k=2048).to_pandas()
+        outs.append(out)
+        assert out["sample_n"].iloc[0] == 2048
+        # rank error bound: estimated quantile must sit within +-3% of the
+        # population rank (k=2048 -> sigma ~ 1.1%)
+        vals = np.sort(df["value"].to_numpy())
+        for q in (0.25, 0.5, 0.75):
+            est = out[f"q{int(q*100):02d}"].iloc[0]
+            rank = np.searchsorted(vals, est) / n
+            assert abs(rank - q) < 0.03, (q, est, rank)
+    # deterministic merge: identical output regardless of partitioning
+    assert outs[0].equals(outs[1])
