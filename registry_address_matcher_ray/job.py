@@ -74,7 +74,10 @@ def main(argv=None) -> int:
     from .pipelines import linkage
     from .sources import io as rio
 
-    if args.pages:
+    if args.pages and args.ckpt:
+        out = linkage.run_pages_checkpointed(args.pages, args.cad, args.ckpt, cfg)
+        matches, clusters = out["matches"], out["clusters"]
+    elif args.pages:
         out = linkage.pages_to_match_clusters(
             rio.read_pages(args.pages),
             rio.read_registry(args.cad, "Cadastre"),

@@ -278,6 +278,62 @@ def run_linkage_checkpointed(
     }
 
 
+def run_pages_checkpointed(
+    pages_path: str,
+    cad_path: str,
+    ckpt_dir: str,
+    config: Optional[PipelineConfig] = None,
+) -> dict:
+    """Checkpoint-resumable pages flagship (the north-star pipeline):
+    extract -> parse -> normalize persists once, matching and clustering
+    resume independently — a failed 100 TB run re-reads finished stage
+    boundaries from parquet instead of re-extracting the crawl. Same
+    per-partition lineage manifests and stage metrics as
+    :func:`run_linkage_checkpointed`.
+    """
+    from dataclasses import asdict
+
+    from ..state.checkpoint import CheckpointManager
+    from ..state.metrics import RunMetrics
+
+    cfg = config or PipelineConfig()
+    mgr = CheckpointManager(ckpt_dir, run_config=asdict(cfg))
+    metrics = RunMetrics(run_id=os.path.basename(os.path.normpath(ckpt_dir)))
+
+    records = mgr.run_stage(
+        "extract_records",
+        lambda: preprocess(blocking.pages_to_registry_records(
+            blocking.extract_pages(rio.read_pages(pages_path)))),
+        inputs=[pages_path],
+    )
+    pre_cad = mgr.run_stage(
+        "preprocess_cad",
+        lambda: preprocess(rio.read_registry(cad_path, "Cadastre")),
+        inputs=[cad_path],
+    )
+    matches = mgr.run_stage(
+        "matches",
+        lambda: match_registries(
+            records.dataset, pre_cad.dataset, cfg, preprocessed=True),
+        upstream=["extract_records", "preprocess_cad"],
+    )
+    clusters = mgr.run_stage(
+        "clusters",
+        lambda: cluster_matches(matches.dataset, cfg),
+        upstream=["matches"],
+    )
+    for st in (records, pre_cad, matches, clusters):
+        metrics.record_stage(st.name, st.wall_s, st.rows, st.resumed)
+    metrics.write(os.path.join(ckpt_dir, "STAGE_METRICS.json"))
+    return {
+        "records": records.dataset,
+        "matches": matches.dataset,
+        "clusters": clusters.dataset,
+        "stages": {s.name: s for s in (records, pre_cad, matches, clusters)},
+        "metrics": metrics.to_dict(),
+    }
+
+
 def pages_to_match_clusters(
     pages: ray.data.Dataset,
     cad: ray.data.Dataset,

@@ -73,9 +73,14 @@ class CheckpointManager:
     invalidates exactly the downstream suffix of the DAG.
     """
 
+    #: config fields that do not change data semantics (pure observability)
+    #: and therefore must not invalidate finished stages
+    NON_SEMANTIC_CONFIG = ("progress",)
+
     def __init__(self, root: str, run_config: Optional[dict] = None):
         self.root = root
-        self.run_config = run_config or {}
+        self.run_config = {k: v for k, v in (run_config or {}).items()
+                           if k not in self.NON_SEMANTIC_CONFIG}
         os.makedirs(root, exist_ok=True)
         self.stages: dict[str, StageResult] = {}
 

@@ -108,3 +108,29 @@ def test_corrupt_partition_triggers_recompute(registry_paths, tmp_path, ray_sess
     r2 = run_linkage_checkpointed(spr, cad, ckpt)
     assert not r2["stages"]["matches"].resumed
     pd.testing.assert_frame_equal(_sorted_matches(r2["matches"]), m1)
+
+
+def test_pages_checkpoint_run_resume_identical(tmp_path, ray_session):
+    from registry_address_matcher_ray.pipelines.linkage import (
+        pages_to_match_clusters, run_pages_checkpointed)
+    import ray.data as rd
+
+    t = synth.synth_registries(250, seed=19)
+    pages = synth.synth_pages(t["registry_spr"], seed=19)
+    pages_p, cad_p = str(tmp_path / "pages.parquet"), str(tmp_path / "cad.parquet")
+    pq.write_table(pages, pages_p)
+    pq.write_table(t["registry_cad"], cad_p)
+    ckpt = str(tmp_path / "ckpt_pages")
+
+    r1 = run_pages_checkpointed(pages_p, cad_p, ckpt)
+    m1 = _sorted_matches(r1["matches"])
+    assert not any(s.resumed for s in r1["stages"].values())
+    # the checkpointed flagship matches the direct flagship exactly
+    direct = pages_to_match_clusters(
+        rd.read_parquet(pages_p), rd.read_parquet(cad_p))
+    pd.testing.assert_frame_equal(_sorted_matches(direct["matches"]), m1)
+
+    # full resume: the expensive extract stage (and all others) skip
+    r2 = run_pages_checkpointed(pages_p, cad_p, ckpt)
+    assert all(s.resumed for s in r2["stages"].values())
+    pd.testing.assert_frame_equal(_sorted_matches(r2["matches"]), m1)
