@@ -245,6 +245,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "documents"), "doc_id", "text",
             vocab_broadcast_limit=0)
 
+    def docs_bigram_logprob(sf_dir):
+        return A.bigram_logprob(_read(sf_dir, "documents"), "doc_id", "text")
+
+    def docs_bigram_logprob_joinplan(sf_dir):
+        return A.bigram_logprob(
+            _read(sf_dir, "documents"), "doc_id", "text",
+            vocab_broadcast_limit=0)
+
     def events_tumbling_15m(sf_dir):
         return A.tumbling_window_agg(
             _read(sf_dir, "events"), "ts", "event_type", "value", width_s=900)
@@ -946,6 +954,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hosts_page_stats": hosts_page_stats,
         "docs_unigram_logprob": docs_unigram_logprob,
         "docs_unigram_logprob_joinplan": docs_unigram_logprob_joinplan,
+        "docs_bigram_logprob": docs_bigram_logprob,
+        "docs_bigram_logprob_joinplan": docs_bigram_logprob_joinplan,
         "orders_prio_price_quantiles": orders_prio_price_quantiles,
         "events_type_counts": events_type_counts,
         "orders_price_histogram": orders_price_histogram,
@@ -1445,6 +1455,28 @@ def oracle_sql() -> dict[str, str]:
         FROM tok JOIN cnt ON cnt.token = tok.token CROSS JOIN tot
         GROUP BY tok.doc_id
     """
+    # bigram LM: MLE P(w2|w1) = c(bigram) / c(head-of-any-bigram)
+    _bigram_sql = """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '),
+                               t -> t <> '') AS ts
+            FROM documents),
+        bg AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(ts)),
+                          i -> ts[i] || ' ' || ts[i + 1])) AS bigram
+            FROM toks WHERE len(ts) >= 2),
+        cnt AS (SELECT bigram, count(*) AS c FROM bg GROUP BY 1),
+        hc AS (SELECT split_part(bigram, ' ', 1) AS head, sum(c) AS hcv
+               FROM cnt GROUP BY 1)
+        SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(avg(ln(CAST(cnt.c AS DOUBLE) / CAST(hc.hcv AS DOUBLE))),
+                     6) AS avg_logprob
+        FROM bg JOIN cnt ON cnt.bigram = bg.bigram
+                JOIN hc ON hc.head = split_part(bg.bigram, ' ', 1)
+        GROUP BY bg.doc_id
+    """
     return {
         "engine_variant_pairs": _engine_variant_sql(p["spr"], p["cad"]),
         # pages flagship: page-derived records play the SPR side of the same
@@ -1775,6 +1807,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_unigram_logprob": _unigram_sql,
         "docs_unigram_logprob_joinplan": _unigram_sql,
+        "docs_bigram_logprob": _bigram_sql,
+        "docs_bigram_logprob_joinplan": _bigram_sql,
         "crawl_snapshot_diff": f"""
             WITH c AS ({_crawl_full_sql}),
             o AS (SELECT DISTINCT canonical_url FROM c

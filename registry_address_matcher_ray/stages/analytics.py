@@ -1219,6 +1219,159 @@ def unigram_logprob(
     return agg.map_batches(_fin, batch_format="pyarrow")
 
 
+def bigram_logprob(
+    ds: ray.data.Dataset, id_col: str, text_col: str, ndigits: int = 6,
+    vocab_broadcast_limit: Optional[int] = None,
+) -> ray.data.Dataset:
+    """Per-document mean bigram conditional log-probability under the
+    corpus's own bigram LM: ``mean over i of ln(c(w_i, w_i+1) / c_head(w_i))``
+    where ``c_head(w)`` counts ``w`` as the FIRST element of any bigram — the
+    maximum-likelihood ``P(w2|w1)``, the next step up from
+    :func:`unigram_logprob` in a CCNet-style quality stack (garbled text has
+    plausible unigrams but implausible transitions).
+
+    Same tokenizer as the token ops (lowercase, single-space split, drop
+    empties); docs with <2 tokens are dropped. Same physical planning as
+    :func:`unigram_logprob`: pass A reduces per-batch bigram counts to an
+    O(bigram-vocab) table (head counts derive from it by one more tiny
+    groupby); within ``vocab_broadcast_limit`` both maps broadcast via
+    ``ray.put`` and per-doc means need NO shuffle, above it pass B becomes
+    explode -> equi-join on the bigram -> per-doc partials -> groupby(id).
+    Output: ``(id_col, n_bigrams, avg_logprob)``.
+    """
+    import pandas as pd
+
+    limit = VOCAB_BROADCAST_LIMIT if vocab_broadcast_limit is None else vocab_broadcast_limit
+
+    def _doc_bigrams(df: "pd.DataFrame"):
+        # vectorized adjacency: explode the filtered token stream, then a
+        # C-level per-doc shift(-1) pairs each token with its successor
+        s = df[text_col].fillna("").str.lower().str.split(" ").explode()
+        s = s[s != ""].dropna()
+        nxt = s.groupby(level=0).shift(-1)
+        m = nxt.notna()
+        return s[m].str.cat(nxt[m], sep=" ")
+
+    def _cnt(df: "pd.DataFrame") -> pa.Table:
+        vc = _doc_bigrams(df).value_counts()
+        return pa.table({"bigram": pa.array(vc.index, pa.string()),
+                         "_c": pa.array(vc.to_numpy(), pa.int64())})
+
+    counts = (
+        ds.select_columns([text_col])
+        .map_batches(_cnt, batch_format="pandas")
+        .groupby("bigram")
+        .aggregate(Sum("_c", alias_name="c"))
+        .materialize()
+    )
+
+    def _heads(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table({"head": pa.array([], pa.string()),
+                             "_hc": pa.array([], pa.int64())})
+        bg = batch.column("bigram").to_pandas()
+        return pa.Table.from_pandas(pd.DataFrame({
+            "head": bg.str.split(" ").str[0],
+            "_hc": batch.column("c").to_pandas(),
+        }), preserve_index=False).replace_schema_metadata(None)
+
+    head_counts = (counts.map_batches(_heads, batch_format="pyarrow")
+                   .groupby("head").aggregate(Sum("_hc", alias_name="hc"))
+                   .materialize())
+
+    if counts.count() <= limit:
+        cm = counts.to_pandas()
+        hm = head_counts.to_pandas()
+        ref = ray.put((dict(zip(cm["bigram"], cm["c"].astype("int64"))),
+                       dict(zip(hm["head"], hm["hc"].astype("int64")))))
+
+        def _score(df: "pd.DataFrame") -> pa.Table:
+            bmap, hmap = ray.get(ref)
+            bg = _doc_bigrams(df)
+            if not len(bg):
+                empty = pd.DataFrame({
+                    id_col: df[id_col].iloc[:0],
+                    "n_bigrams": pd.Series([], dtype="int64"),
+                    "avg_logprob": pd.Series([], dtype="float64")})
+                return pa.Table.from_pandas(
+                    empty, preserve_index=False).replace_schema_metadata(None)
+            heads = bg.str.split(" ").str[0]
+            lp = pd.Series(
+                np.log(bg.map(bmap).to_numpy(dtype=float)
+                       / heads.map(hmap).to_numpy(dtype=float)),
+                index=bg.index)
+            g = lp.groupby(level=0)
+            n = g.size().astype("int64")
+            out = pd.DataFrame({
+                id_col: df.loc[n.index, id_col],
+                "n_bigrams": n,
+                "avg_logprob": g.mean().round(ndigits),
+            })
+            return pa.Table.from_pandas(
+                out, preserve_index=False).replace_schema_metadata(None)
+
+        return ds.select_columns([id_col, text_col]).map_batches(
+            _score, batch_format="pandas")
+
+    # distributed plan: fold head counts INTO the vocab table first (one
+    # vocab-sized join, materialized so the executor never schedules two
+    # join pools at once — chained joins deadlock under tight CPU counts),
+    # then a SINGLE corpus-sized join pairs the bigram stream with (c, hc)
+    def _pairs(df: "pd.DataFrame") -> pa.Table:
+        bg = _doc_bigrams(df)
+        return pa.Table.from_pandas(
+            pd.DataFrame({id_col: df.loc[bg.index, id_col], "bigram": bg}),
+            preserve_index=False).replace_schema_metadata(None)
+
+    def _with_head(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "head": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        bgp = batch.column("bigram").to_pandas()
+        return pa.Table.from_pandas(pd.DataFrame({
+            "bigram": bgp, "head": bgp.str.split(" ").str[0],
+            "c": batch.column("c").to_pandas().astype("int64"),
+        }), preserve_index=False).replace_schema_metadata(None)
+
+    heads_a = ensure_arrow_schema(
+        head_counts, pa.schema([("head", pa.string()), ("hc", pa.int64())]))
+    counts_hc = (counts.map_batches(_with_head, batch_format="pyarrow")
+                 .join(heads_a, join_type="inner", num_partitions=4,
+                       on=("head",))
+                 .drop_columns(["head"]).materialize())
+    pairs = ds.select_columns([id_col, text_col]).map_batches(
+        _pairs, batch_format="pandas")
+    joined = pairs.join(counts_hc, join_type="inner", num_partitions=16,
+                        on=("bigram",))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        id_type = batch.schema.field(id_col).type
+        df = batch.to_pandas()
+        df["_lp"] = np.log(df["c"].to_numpy(dtype=float)
+                           / df["hc"].to_numpy(dtype=float))
+        g = df.groupby(id_col, observed=True)["_lp"].agg(["sum", "size"])
+        return pa.table({
+            id_col: pa.array(g.index.to_numpy(), id_type),
+            "_slp": pa.array(g["sum"].to_numpy(), pa.float64()),
+            "_n": pa.array(g["size"].to_numpy(dtype="int64"), pa.int64()),
+        })
+
+    agg = (joined.map_batches(_partial, batch_format="pyarrow")
+           .groupby(id_col)
+           .aggregate(Sum("_slp", alias_name="_slp"),
+                      Sum("_n", alias_name="n_bigrams")))
+
+    def _fin(batch: pa.Table) -> pa.Table:
+        n = pc.cast(batch.column("n_bigrams"), pa.int64())
+        avg = pc.round(pc.divide(batch.column("_slp"),
+                                 pc.cast(n, pa.float64())), ndigits=ndigits)
+        return pa.table({id_col: batch.column(id_col),
+                         "n_bigrams": n, "avg_logprob": avg})
+
+    return agg.map_batches(_fin, batch_format="pyarrow")
+
+
 def approx_quantiles_bottomk(
     ds: ray.data.Dataset, val_col: str, id_col: str,
     qs: Sequence[float] = (0.25, 0.5, 0.75), k: int = 4096,

@@ -55,3 +55,33 @@ def test_zero_token_docs_dropped(ray_session):
     got = A.unigram_logprob(ds, "doc_id", "text").to_pandas()
     assert 5 not in set(got["doc_id"]) and 6 not in set(got["doc_id"])
     assert len(got) == 398
+
+
+def test_bigram_plans_agree_and_short_docs_dropped(ray_session):
+    df = _docs()
+    df.loc[7, "text"] = "solo"  # one token -> no bigrams -> dropped
+    ds = ray.data.from_pandas(df).repartition(4)
+    outs = []
+    for lim in (None, 0):
+        got = (A.bigram_logprob(ds, "doc_id", "text", vocab_broadcast_limit=lim)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        outs.append(got)
+    a, b = outs
+    n_multi = int((df["text"].str.split().str.len() >= 2).sum())
+    assert len(a) == len(b) == n_multi  # docs with <2 tokens are dropped
+    assert not {5, 6, 7} & set(a["doc_id"])
+    assert (a["doc_id"].to_numpy() == b["doc_id"].to_numpy()).all()
+    assert (a["n_bigrams"].to_numpy() == b["n_bigrams"].to_numpy()).all()
+    assert np.allclose(a["avg_logprob"], b["avg_logprob"], atol=1e-6)
+    # pandas transcription of the MLE bigram model on a tiny case
+    tiny = pd.DataFrame({"doc_id": [0, 1], "text": ["a b a b", "a b"]})
+    got = (A.bigram_logprob(ray.data.from_pandas(tiny), "doc_id", "text")
+           .to_pandas().sort_values("doc_id"))
+    # corpus bigrams: doc0 -> (a b),(b a),(a b); doc1 -> (a b)
+    # c(a b)=3, c(b a)=1; head counts over bigrams: c_head(a)=3, c_head(b)=1
+    import math
+    p_ab = 3 / 3   # c(a b)/c_head(a)
+    p_ba = 1 / 1
+    want0 = round((math.log(p_ab) + math.log(p_ba) + math.log(p_ab)) / 3, 6)
+    want1 = round(math.log(p_ab), 6)
+    assert got["avg_logprob"].tolist() == [want0, want1]
