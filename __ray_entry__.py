@@ -72,6 +72,23 @@ def _crawl_urls_path(sf_dir: str) -> str:
     return path
 
 
+def _web_graph_path(sf_dir: str) -> str:
+    """Deterministic directed web graph (src, dst), cached (synth_web_graph)."""
+    from registry_address_matcher_ray.sources import synth
+
+    # +7 keeps n off 2^a*5^b so 1/n and 0.15/n never terminate in decimal:
+    # structurally-identical nodes would otherwise land EXACTLY on a
+    # round(.,6) boundary where the engine's and DuckDB's last-ulp summation
+    # differences flip the digit (observed at n=1000: 0.0002775 ties)
+    n = max(1_000, int(_sf_of(sf_dir) * 100_000)) + 7
+    path = f"/tmp/ram_ray_fixtures/web_graph_n{n}_seed42.parquet"
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        pq.write_table(synth.synth_web_graph(n, seed=42), path + ".tmp")
+        os.replace(path + ".tmp", path)
+    return path
+
+
 def _prep_registry_paths(sf_dir: str) -> dict:
     """Preprocessed (normalized + derived + ``_ord``) registries as parquet.
 
@@ -872,6 +889,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         new = ds.map_batches(_half(False), batch_format="pyarrow")
         return D.snapshot_diff(old, new, "canonical_url")
 
+    def web_pagerank(sf_dir):
+        from registry_address_matcher_ray.sources.io import read_parquet_clean
+
+        return cluster.pagerank(read_parquet_clean(_web_graph_path(sf_dir)))
+
+    def web_pagerank_dist(sf_dir):
+        # the distributed power iteration forced (local fast path disabled)
+        from registry_address_matcher_ray.sources.io import read_parquet_clean
+
+        return cluster.pagerank(
+            read_parquet_clean(_web_graph_path(sf_dir)), small_threshold=0)
+
     def hosts_page_stats(sf_dir):
         from ray.data.aggregate import Count
 
@@ -951,6 +980,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_url_latest": pages_url_latest,
         "pages_per_host_cap": pages_per_host_cap,
         "crawl_snapshot_diff": crawl_snapshot_diff,
+        "web_pagerank": web_pagerank,
+        "web_pagerank_dist": web_pagerank_dist,
         "hosts_page_stats": hosts_page_stats,
         "docs_unigram_logprob": docs_unigram_logprob,
         "docs_unigram_logprob_joinplan": docs_unigram_logprob_joinplan,
@@ -1455,6 +1486,31 @@ def oracle_sql() -> dict[str, str]:
         FROM tok JOIN cnt ON cnt.token = tok.token CROSS JOIN tot
         GROUP BY tok.doc_id
     """
+    # pagerank: unrolled power iteration (5 rounds, d=0.85); the fixture
+    # guarantees every node has an outlink, so no dangling-mass term
+    graph_path = _web_graph_path("/root/testdata/sf0.01")
+    _pr_iters, _pr_d = 5, 0.85
+    _pr = ["r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)"]
+    for _i in range(1, _pr_iters + 1):
+        _pr.append(f"""
+        it{_i} AS (
+            SELECT nodes.node,
+                   (1 - {_pr_d}) / nn.n + {_pr_d} * coalesce(s.s, 0) AS rank
+            FROM nodes CROSS JOIN nn
+            LEFT JOIN (SELECT e.dst AS node,
+                              sum(prev.rank / od.odeg) AS s
+                       FROM e JOIN {'r0' if _i == 1 else f'it{_i - 1}'} prev
+                              ON prev.node = e.src
+                              JOIN od ON od.src = e.src
+                       GROUP BY e.dst) s ON s.node = nodes.node)""")
+    _pagerank_sql = f"""
+        WITH e AS (SELECT src, dst FROM read_parquet('{graph_path}')),
+        nodes AS (SELECT DISTINCT src AS node FROM e),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        od AS (SELECT src, CAST(count(*) AS DOUBLE) AS odeg FROM e GROUP BY 1),
+        {', '.join(_pr)}
+        SELECT node, round(rank, 6) AS rank FROM it{_pr_iters}
+    """
     # bigram LM: MLE P(w2|w1) = c(bigram) / c(head-of-any-bigram)
     _bigram_sql = """
         WITH toks AS (
@@ -1809,6 +1865,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_unigram_logprob_joinplan": _unigram_sql,
         "docs_bigram_logprob": _bigram_sql,
         "docs_bigram_logprob_joinplan": _bigram_sql,
+        "web_pagerank": _pagerank_sql,
+        "web_pagerank_dist": _pagerank_sql,
         "crawl_snapshot_diff": f"""
             WITH c AS ({_crawl_full_sql}),
             o AS (SELECT DISTINCT canonical_url FROM c

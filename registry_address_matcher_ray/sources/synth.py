@@ -393,3 +393,26 @@ def synth_crawl_urls(n: int, seed: int = 42, dup_fraction: float = 0.35) -> pa.T
         "url": pa.array(urls, pa.string()),
         "warc_ts": pa.array(tss, pa.timestamp("us")),
     })
+
+
+def synth_web_graph(n_nodes: int, seed: int = 42, mean_degree: int = 4) -> pa.Table:
+    """Deterministic directed web graph ``(src, dst)`` for link analysis.
+
+    Power-law-flavored: preferential attachment toward low node ids (hubs),
+    EVERY node has >=1 outlink (no dangling mass — keeps PageRank semantics
+    identical between the engine and its unrolled-SQL oracle), self-loops
+    excluded, duplicate edges collapsed. Pure function of ``(n_nodes, seed)``.
+    """
+    rng = random.Random((seed, n_nodes, "web_graph").__repr__())
+    edges = set()
+    for src in range(n_nodes):
+        k = 1 + min(rng.randrange(mean_degree), rng.randrange(mean_degree))
+        for _ in range(k):
+            # quadratic skew toward low ids approximates a hub distribution
+            dst = min(rng.randrange(n_nodes), rng.randrange(n_nodes))
+            if dst == src:
+                dst = (dst + 1) % n_nodes
+            edges.add((src, dst))
+    srcs, dsts = zip(*sorted(edges))
+    return pa.table({"src": pa.array(srcs, pa.int64()),
+                     "dst": pa.array(dsts, pa.int64())})

@@ -313,3 +313,136 @@ def gap_chain_components(
         })
 
     return cc.map_batches(_back, batch_format="pyarrow")
+
+
+def pagerank(
+    edges: ray.data.Dataset,
+    n_iters: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    ndigits: int = 6,
+    small_threshold: int = 5_000_000,
+) -> ray.data.Dataset:
+    """PageRank over a directed edge list — the canonical iterative web-graph
+    computation (fixed ``n_iters`` power iterations, uniform init).
+
+    CONTRACT: every node referenced must have >=1 outlink (no dangling-mass
+    redistribution) — ``sources/synth.synth_web_graph`` guarantees it, and it
+    keeps the engine bit-comparable (at ``ndigits``) to the unrolled-SQL
+    oracle. ``rank_{t+1}(v) = (1-d)/N + d * sum over u->v of rank_t(u)/out(u)``.
+
+    Same two-path shape as :func:`connected_components`: edge sets under
+    ``small_threshold`` run a vectorized numpy power iteration driver-side;
+    larger graphs run the distributed loop — out-degrees folded into the edge
+    list ONCE (one corpus-sized join), then per iteration one join (ranks
+    onto edge sources), one ``groupby(dst).sum`` of contributions and one
+    left join back onto the node list (nodes without inlinks keep the
+    teleport term). Each round materializes, so the executor never schedules
+    two join pools at once (chained joins deadlock under tight CPU counts).
+    Output: ``(node, rank)``, rank rounded to ``ndigits``.
+    """
+    import numpy as np
+
+    n_edges = edges.count()
+    if n_edges <= small_threshold:
+        tbl = pa.concat_tables(
+            [b.select([src, dst]) for b in
+             edges.iter_batches(batch_format="pyarrow") if b.num_rows],
+        ) if n_edges else pa.table({src: pa.array([], pa.int64()),
+                                    dst: pa.array([], pa.int64())})
+        s = tbl.column(src).to_numpy(zero_copy_only=False)
+        d = tbl.column(dst).to_numpy(zero_copy_only=False)
+        nodes, inv = np.unique(np.concatenate([s, d]), return_inverse=True)
+        si, di = inv[: len(s)], inv[len(s):]
+        n = len(nodes)
+        if n == 0:
+            return ray.data.from_arrow(pa.table(
+                {"node": pa.array([], pa.int64()),
+                 "rank": pa.array([], pa.float64())}))
+        outdeg = np.bincount(si, minlength=n).astype(np.float64)
+        rank = np.full(n, 1.0 / n)
+        for _ in range(n_iters):
+            contrib = rank[si] / outdeg[si]
+            sums = np.zeros(n)
+            np.add.at(sums, di, contrib)
+            rank = (1.0 - damping) / n + damping * sums
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(nodes, pa.int64()),
+            "rank": pa.array(np.round(rank, ndigits), pa.float64()),
+        }))
+
+    # ---- distributed power iteration ----
+    from ray.data.aggregate import Count, Sum
+
+    proj = edges.map_batches(
+        lambda b: pa.table({"src": pc.cast(b.column(src), pa.int64()),
+                            "dst": pc.cast(b.column(dst), pa.int64())}),
+        batch_format="pyarrow").materialize()
+    nodes = (proj.map_batches(
+        lambda b: pa.table({"node": pc.unique(pa.concat_arrays(
+            [b.column("src").combine_chunks(),
+             b.column("dst").combine_chunks()]))}),
+        batch_format="pyarrow")
+        .groupby("node").aggregate(Count(alias_name="_c"))
+        .map_batches(lambda b: (pa.table({"node": pa.array([], pa.int64())})
+                                if b.num_columns == 0 or b.num_rows == 0 else
+                                pa.table({"node": pc.cast(b.column("node"),
+                                                          pa.int64())})),
+                     batch_format="pyarrow")
+        .materialize())
+    n = nodes.count()
+    outdeg = (proj.groupby("src").aggregate(Count(alias_name="odeg"))
+              .map_batches(lambda b: (pa.table(
+                  {"src": pa.array([], pa.int64()),
+                   "odeg": pa.array([], pa.int64())})
+                  if b.num_columns == 0 or b.num_rows == 0 else
+                  b.replace_schema_metadata(None)), batch_format="pyarrow"))
+    npart = max(4, min(64, -(-(proj.size_bytes() or 0) // (128 << 20))))
+    edges_deg = proj.join(outdeg, join_type="inner", num_partitions=npart,
+                          on=("src",)).materialize()
+
+    ranks = nodes.map_batches(
+        lambda b: b.append_column(
+            "rank", pa.array(np.full(b.num_rows, 1.0 / n), pa.float64())),
+        batch_format="pyarrow").materialize()
+
+    for _ in range(n_iters):
+        joined = edges_deg.join(
+            ranks, join_type="inner", num_partitions=npart,
+            on=("src",), right_on=("node",)).materialize()
+
+        def _contrib(b: pa.Table) -> pa.Table:
+            if b.num_columns == 0 or b.num_rows == 0:
+                return pa.table({"dst": pa.array([], pa.int64()),
+                                 "_c": pa.array([], pa.float64())})
+            c = pc.divide(b.column("rank"),
+                          pc.cast(b.column("odeg"), pa.float64()))
+            return pa.table({"dst": b.column("dst"), "_c": c})
+
+        sums = (joined.map_batches(_contrib, batch_format="pyarrow")
+                .groupby("dst").aggregate(Sum("_c", alias_name="_s"))
+                .map_batches(lambda b: (pa.table(
+                    {"dst": pa.array([], pa.int64()),
+                     "_s": pa.array([], pa.float64())})
+                    if b.num_columns == 0 or b.num_rows == 0 else
+                    b.replace_schema_metadata(None)), batch_format="pyarrow"))
+        stepped = nodes.join(sums, join_type="left_outer",
+                             num_partitions=npart,
+                             on=("node",), right_on=("dst",))
+
+        def _rank(b: pa.Table) -> pa.Table:
+            if b.num_columns == 0 or b.num_rows == 0:
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "rank": pa.array([], pa.float64())})
+            s_arr = pc.fill_null(b.column("_s"), 0.0)
+            r = pc.add(pc.multiply(s_arr, damping), (1.0 - damping) / n)
+            return pa.table({"node": b.column("node"), "rank": r})
+
+        ranks = stepped.map_batches(_rank, batch_format="pyarrow").materialize()
+
+    def _round(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column("node"),
+                         "rank": pc.round(b.column("rank"), ndigits=ndigits)})
+
+    return ranks.map_batches(_round, batch_format="pyarrow")

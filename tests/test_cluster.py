@@ -121,3 +121,23 @@ def test_gap_chain_components_matches_islands(small_threshold):
         }))
     exp = pd.concat(exp_parts).sort_values("node").reset_index(drop=True)
     pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
+
+
+def test_pagerank_plans_agree_and_props(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from registry_address_matcher_ray.sources.synth import synth_web_graph
+    from registry_address_matcher_ray.stages import cluster as C
+
+    ds = rd.from_arrow(synth_web_graph(1507, seed=5)).repartition(4)
+    a = C.pagerank(ds).to_pandas().sort_values("node").reset_index(drop=True)
+    b = C.pagerank(ds, small_threshold=0).to_pandas().sort_values(
+        "node").reset_index(drop=True)
+    assert len(a) == len(b) == 1507
+    assert (a["node"].values == b["node"].values).all()
+    assert np.allclose(a["rank"], b["rank"], atol=1e-6)
+    # probability mass is conserved (no dangling nodes by fixture contract)
+    assert abs(a["rank"].sum() - 1.0) < 1e-3
+    # the generator skews links toward low ids: hubs must out-rank the tail
+    assert a.loc[a["node"] < 50, "rank"].mean() > 1.5 * a["rank"].mean()
