@@ -1093,6 +1093,17 @@ def tfidf_top_terms(
 VOCAB_BROADCAST_LIMIT = 2_000_000
 
 
+def _join_partitions(ds: ray.data.Dataset) -> int:
+    """~128 MiB per hash-join partition (one aggregator actor each) — the
+    same bytes rule as ``dedup._winner_join_partitions``; block-count or
+    fixed sizing measured 4-9x slower on small inputs."""
+    try:
+        est = ds.size_bytes() or 0
+        return max(4, min(512, -(-est // (128 << 20))))
+    except Exception:
+        return 16
+
+
 def ensure_arrow_schema(ds: ray.data.Dataset, schema: pa.Schema) -> ray.data.Dataset:
     """Re-block to metadata-free Arrow with a stable schema.
 
@@ -1190,8 +1201,8 @@ def unigram_logprob(
         _pairs, batch_format="pandas")
     counts_arrow = ensure_arrow_schema(
         counts, pa.schema([("token", pa.string()), ("c", pa.int64())]))
-    joined = pairs.join(counts_arrow, join_type="inner", num_partitions=16,
-                        on=("token",))
+    joined = pairs.join(counts_arrow, join_type="inner",
+                        num_partitions=_join_partitions(counts), on=("token",))
 
     def _partial(batch: pa.Table) -> pa.Table:
         id_type = batch.schema.field(id_col).type
@@ -1342,7 +1353,8 @@ def bigram_logprob(
                  .drop_columns(["head"]).materialize())
     pairs = ds.select_columns([id_col, text_col]).map_batches(
         _pairs, batch_format="pandas")
-    joined = pairs.join(counts_hc, join_type="inner", num_partitions=16,
+    joined = pairs.join(counts_hc, join_type="inner",
+                        num_partitions=_join_partitions(counts_hc),
                         on=("bigram",))
 
     def _partial(batch: pa.Table) -> pa.Table:
