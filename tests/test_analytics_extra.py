@@ -589,3 +589,26 @@ def test_bottomk_quantile_sketch_error_and_partition_invariance(ray_session):
             assert abs(rank - q) < 0.03, (q, est, rank)
     # deterministic merge: identical output regardless of partitioning
     assert outs[0].equals(outs[1])
+
+
+def test_ensure_arrow_schema_normalizes_aggregate_blocks(ray_session):
+    import pyarrow as pa
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from registry_address_matcher_ray.stages import analytics as A
+
+    # 3 groups, many partitions -> the hash aggregate emits column-less
+    # empty pandas blocks that break a downstream join's key resolution
+    ds = ray.data.range(300).map_batches(
+        lambda b: pa.table({"k": pa.array(
+            [f"g{int(i) % 3}" for i in b.column("id").to_pylist()])}),
+        batch_format="pyarrow").repartition(16)
+    agg = ds.groupby("k").aggregate(Count(alias_name="n"))
+    fixed = A.ensure_arrow_schema(
+        agg, pa.schema([("k", pa.string()), ("n", pa.int64())]))
+    other = ray.data.from_items([{"k": f"g{i}"} for i in range(3)])
+    joined = other.join(fixed, join_type="inner", num_partitions=2, on=("k",))
+    out = joined.to_pandas().sort_values("k").reset_index(drop=True)
+    assert out["n"].tolist() == [100, 100, 100]
