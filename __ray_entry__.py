@@ -379,6 +379,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         est = A.approx_distinct(_read(sf_dir, "events"), "user_id")
         return pd.DataFrame({"n_users_approx": [est]})
 
+    def docs_streaming_dedup(sf_dir):
+        """First-arrival streaming dedup via the sharded mutable-index actor
+        service (no SQL oracle: the surviving duplicate is arrival-order-
+        dependent; the deterministic invariants are pinned in
+        tests/test_streaming.py — row count below equals distinct keys)."""
+        from registry_address_matcher_ray.stages import streaming as ST
+
+        return ST.streaming_dedup(
+            _read(sf_dir, "documents"), "text", num_shards=4
+        ).select_columns(["doc_id"])
+
     def events_value_quantiles_sketch(sf_dir):
         """Deterministic bottom-k-hash quantile sketch (mergeable; no SQL
         oracle — approximate by construction, rank-error bound and exact
@@ -1008,6 +1019,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segments_without_top_orders": segments_without_top_orders,
         "events_users_approx": events_users_approx,
         "events_value_quantiles_sketch": events_value_quantiles_sketch,
+        "docs_streaming_dedup": docs_streaming_dedup,
         "orders_union_filters": orders_union_filters,
         "distinct_returnflags": distinct_returnflags,
         "part_name_contains": part_name_contains,
