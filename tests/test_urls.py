@@ -135,3 +135,30 @@ def test_canonical_dedup_ground_truth(ray_session):
     # host extraction is total over the fixture (every url parses)
     hosts = U.host_of(df["canonical_url"])
     assert (hosts != "").all()
+
+
+def test_fuzzed_three_way_parity():
+    # adversarial generator: random fragments of URL-ish syntax, empty
+    # segments, repeated separators, mixed case, tracking-name prefixes
+    import random
+
+    rng = random.Random(99)
+    pool = ["http://", "HTTPS://", "ftp://", "www.", "WWW.", "EXAMPLE",
+            "site", ".com", ".ORG", ":80", ":443", ":8080", "/", "//",
+            "/a", "/B", "?", "&", "=", "#frag", "#", "utm_source=1",
+            "utm_=x", "utm=y", "fbclid=z", "gclid=", "msclkid=9&",
+            "q=2", "user@", "%7E", " ", "", "?&", "a?b", "."]
+    urls = ["".join(rng.choice(pool) for _ in range(rng.randrange(0, 9)))
+            for _ in range(2000)]
+    scalar = [U.canonicalize_url(u) for u in urls]
+    arrow = U.canonicalize_arrow(pa.array(urls, pa.string())).to_pylist()
+    assert arrow == scalar
+    vec = U.canonicalize_series(pd.Series(urls, dtype=object)).tolist()
+    assert vec == scalar
+    import duckdb
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"u": urls}))
+    sql = con.execute(
+        "SELECT " + U.sql_canonical("coalesce(u, '')") + " AS c FROM t"
+    ).fetchdf()["c"].tolist()
+    assert sql == scalar
