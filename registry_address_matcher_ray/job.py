@@ -74,6 +74,27 @@ def main(argv=None) -> int:
     from .pipelines import linkage
     from .sources import io as rio
 
+    if cfg.progress:
+        # live per-stage counters to stderr while the pipeline streams (the
+        # engine's form of the reference's per-chunk UI counters)
+        import threading
+        import time as _time
+
+        def _poll():
+            while True:
+                _time.sleep(5.0)
+                actor = linkage.LAST_PROGRESS
+                if actor is None:
+                    continue
+                try:
+                    snap = ray.get(actor.snapshot.remote(), timeout=4)
+                except Exception:
+                    return
+                print("[progress] " + json.dumps(snap), file=sys.stderr,
+                      flush=True)
+
+        threading.Thread(target=_poll, daemon=True).start()
+
     if args.pages and args.ckpt:
         out = linkage.run_pages_checkpointed(args.pages, args.cad, args.ckpt, cfg)
         matches, clusters = out["matches"], out["clusters"]
