@@ -788,6 +788,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["score"] = out["score"].round(4)
         return out.drop(columns=["query_idx"])
 
+    def embeddings_pq_knn(sf_dir):
+        """PQ-compressed ANN (rows-only: ADC scores are approximate by
+        construction; recall + determinism pinned in tests/test_similarity.py)."""
+        ds = _read(sf_dir, "embeddings")
+        q = _query_vec(ds)
+        out = S.knn_pq(ds, q[None, :], k=10, m_sub=16, nbits=8)
+        out["score"] = out["score"].round(4)
+        return out.drop(columns=["query_idx"])
+
     def embeddings_neardup(sf_dir):
         # driver embeddings are near-orthogonal (max offdiag cosine ~0.51); 0.45
         # keeps the operator's verify path non-degenerate at this sf
@@ -1033,6 +1042,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_simhash_dedup": docs_simhash_dedup,
         "docs_ngram_neardup_pairs": docs_ngram_neardup_pairs,
         "embeddings_lsh_knn": embeddings_lsh_knn,
+        "embeddings_pq_knn": embeddings_pq_knn,
         "embeddings_neardup": embeddings_neardup,
         "media_real_decode": media_real_decode,
         "media_image_features": media_image_features,

@@ -149,3 +149,27 @@ def test_knn_lsh_recall_vs_brute(clustered_embeddings, ray_session):
     for qi in range(len(queries)):
         l = lsh[lsh["query_idx"] == qi].sort_values("score", ascending=False)
         assert len(l) and l.iloc[0]["vec_id"] == qi
+
+
+def test_pq_knn_recall_and_partition_invariance(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from registry_address_matcher_ray.sources.io import read_parquet_clean
+    from registry_address_matcher_ray.stages import similarity as S
+
+    ds = read_parquet_clean("/root/testdata/sf0.001/embeddings.parquet")
+    rows = ds.take(5)
+    q = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    brute = S.knn_brute(ds, q, k=10)
+    pq = S.knn_pq(ds, q, k=10, m_sub=16, nbits=8)
+    # ADC never invents ids outside the corpus, exactly k rows per query
+    assert (pq.groupby("query_idx").size() == 10).all()
+    rec = np.mean([
+        len(set(brute[brute.query_idx == i].vec_id)
+            & set(pq[pq.query_idx == i].vec_id)) / 10
+        for i in range(5)])
+    assert rec >= 0.5, rec
+    # deterministic across partitionings (codebooks from the same sample)
+    pq2 = S.knn_pq(ds.repartition(9), q, k=10, m_sub=16, nbits=8)
+    assert pq.reset_index(drop=True).equals(pq2.reset_index(drop=True))
