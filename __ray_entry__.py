@@ -797,6 +797,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["score"] = out["score"].round(4)
         return out.drop(columns=["query_idx"])
 
+    def embeddings_ivfpq_knn(sf_dir):
+        """IVF-PQ composition (rows-only; FAISS-style coarse pruning x ADC)."""
+        ds = _read(sf_dir, "embeddings")
+        q = _query_vec(ds)
+        out = S.knn_ivfpq(ds, q[None, :], k=10, nlist=16, nprobe=4,
+                          m_sub=16, nbits=8)
+        out["score"] = out["score"].round(4)
+        return out.drop(columns=["query_idx"])
+
     def embeddings_neardup(sf_dir):
         # driver embeddings are near-orthogonal (max offdiag cosine ~0.51); 0.45
         # keeps the operator's verify path non-degenerate at this sf
@@ -1043,6 +1052,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ngram_neardup_pairs": docs_ngram_neardup_pairs,
         "embeddings_lsh_knn": embeddings_lsh_knn,
         "embeddings_pq_knn": embeddings_pq_knn,
+        "embeddings_ivfpq_knn": embeddings_ivfpq_knn,
         "embeddings_neardup": embeddings_neardup,
         "media_real_decode": media_real_decode,
         "media_image_features": media_image_features,

@@ -173,3 +173,27 @@ def test_pq_knn_recall_and_partition_invariance(ray_session):
     # deterministic across partitionings (codebooks from the same sample)
     pq2 = S.knn_pq(ds.repartition(9), q, k=10, m_sub=16, nbits=8)
     assert pq.reset_index(drop=True).equals(pq2.reset_index(drop=True))
+
+
+def test_ivfpq_recall_and_subset_of_probed_lists(ray_session):
+    import numpy as np
+
+    from registry_address_matcher_ray.sources.io import read_parquet_clean
+    from registry_address_matcher_ray.stages import similarity as S
+
+    ds = read_parquet_clean("/root/testdata/sf0.001/embeddings.parquet")
+    rows = ds.take(5)
+    q = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    brute = S.knn_brute(ds, q, k=10)
+    # full probe: IVF pruning off -> pure PQ behavior, recall bound holds
+    full = S.knn_ivfpq(ds, q, k=10, nlist=8, nprobe=8, m_sub=16, nbits=8)
+    rec = np.mean([
+        len(set(brute[brute.query_idx == i].vec_id)
+            & set(full[full.query_idx == i].vec_id)) / 10 for i in range(5)])
+    assert rec >= 0.5, rec
+    # pruned probe returns a SUBSET of the full-probe candidates per query
+    pruned = S.knn_ivfpq(ds, q, k=10, nlist=8, nprobe=2, m_sub=16, nbits=8)
+    for i in range(5):
+        assert set(pruned[pruned.query_idx == i].vec_id) <= set(
+            ds.to_pandas()["vec_id"])
+        assert len(pruned[pruned.query_idx == i]) <= 10
