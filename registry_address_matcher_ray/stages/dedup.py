@@ -226,6 +226,9 @@ def keep_latest_dedup(
                    if local_limit_bytes is None else local_limit_bytes)
 
     def _best(df: pd.DataFrame) -> pd.DataFrame:
+        # NULL timestamps never win and an all-NULL key yields no row —
+        # matching SQL's NULL-ignoring max() + inner-join-on-ts semantics
+        df = df.dropna(subset=[ts_col])
         df = df.sort_values([key_col, ts_col, id_col],
                             ascending=[True, False, True], kind="mergesort")
         return df.drop_duplicates(subset=[key_col], keep="first")

@@ -162,3 +162,16 @@ def test_fuzzed_three_way_parity():
         "SELECT " + U.sql_canonical("coalesce(u, '')") + " AS c FROM t"
     ).fetchdf()["c"].tolist()
     assert sql == scalar
+
+
+def test_keep_latest_null_ts_never_wins(ray_session):
+    df = pd.DataFrame({
+        "key": ["a", "a", "b", "b", "c"],
+        "ts": pd.to_datetime(["2024-01-01", None, None, "2024-02-01", None]),
+        "row_id": [0, 1, 2, 3, 4],
+    })
+    out = D.keep_latest_dedup(
+        ray.data.from_pandas(df), "key", "ts", "row_id").to_pandas()
+    # 'c' has only NULL timestamps -> no row (SQL NULL-ignoring semantics)
+    assert sorted(out["key"]) == ["a", "b"]
+    assert set(out["row_id"]) == {0, 3}
