@@ -390,6 +390,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "documents"), "text", num_shards=4
         ).select_columns(["doc_id"])
 
+    def docs_streaming_dedup_count(sf_dir):
+        """The streaming dedup's DETERMINISTIC invariant, oracle-checked:
+        survivor count == exact distinct-key count (which survivor is
+        arrival-order-dependent; how many never is)."""
+        from registry_address_matcher_ray.stages import streaming as ST
+
+        n = ST.streaming_dedup(
+            _read(sf_dir, "documents"), "text", num_shards=4).count()
+        return pd.DataFrame({"n_unique": pd.Series([n], dtype="int64")})
+
     def events_value_quantiles_sketch(sf_dir):
         """Deterministic bottom-k-hash quantile sketch (mergeable; no SQL
         oracle — approximate by construction, rank-error bound and exact
@@ -1038,6 +1048,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_users_approx": events_users_approx,
         "events_value_quantiles_sketch": events_value_quantiles_sketch,
         "docs_streaming_dedup": docs_streaming_dedup,
+        "docs_streaming_dedup_count": docs_streaming_dedup_count,
         "orders_union_filters": orders_union_filters,
         "distinct_returnflags": distinct_returnflags,
         "part_name_contains": part_name_contains,
@@ -1875,6 +1886,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_exact_dedup": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "docs_streaming_dedup_count": """
+            SELECT CAST(count(DISTINCT text) AS BIGINT) AS n_unique
+            FROM documents
         """,
         "pages_url_canonical": _crawl_canon_sql,
         "pages_url_latest": f"""
