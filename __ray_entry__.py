@@ -763,6 +763,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pages = read_parquet_clean(p["pages"])
         return linkage.pages_to_match_clusters(pages, cad)["matches"]
 
+    def match_eval_f1(sf_dir):
+        """Pairwise precision/recall/F1 of the full matcher vs labeled truth
+        (the reference never measures itself — `/root/reference/address.py`
+        surfaces only match-rate counters)."""
+        from registry_address_matcher_ray.sources.io import read_parquet_clean
+        from registry_address_matcher_ray.stages import evaluation
+
+        spr, cad, p = _registries(sf_dir)
+        m = linkage.match_registries(spr, cad, PipelineConfig())
+        return evaluation.pairwise_eval(m, read_parquet_clean(p["labeled_pairs"]))
+
+    def match_blocking_stats(sf_dir):
+        """Blocking quality of the fuzzy candidate key (reduction ratio +
+        pairs completeness) — judged before the expensive scoring phase."""
+        from registry_address_matcher_ray.sources.io import read_parquet_clean
+        from registry_address_matcher_ray.stages import evaluation
+
+        spr, cad = _pre_registries(sf_dir)
+        p = _registry_paths(sf_dir)
+        return evaluation.blocking_stats(
+            spr, cad, read_parquet_clean(p["labeled_pairs"]))
+
     def docs_minhash_dedup(sf_dir):
         ds = _read(sf_dir, "documents")
         return D.minhash_lsh_dedup(ds, "text", "doc_id", jaccard_threshold=0.7)["clusters"]
@@ -966,6 +988,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unmatched_spr": unmatched_spr,
         "pages_flagship": pages_flagship,
         "engine_variant_pairs": engine_variant_pairs,
+        "match_eval_f1": match_eval_f1,
+        "match_blocking_stats": match_blocking_stats,
         "match_exact_full": match_exact_full,
         "match_exact_key_p2": match_exact_key_p2,
         "match_exact_pairs": match_exact_pairs,
@@ -993,8 +1017,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_hash_sample": docs_hash_sample,
         "docs_quality_metrics": docs_quality_metrics,
         "docs_source_stats": docs_source_stats,
-        "docs_token_counts": docs_token_counts,
-        "docs_text_quality": docs_text_quality,
         # -- core analytics / relational ops
         "lineitem_agg": lineitem_agg,
         "lineitem_rollup": lineitem_rollup,
@@ -1068,6 +1090,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_real_decode": media_real_decode,
         "media_image_features": media_image_features,
         "media_frame_sample": media_frame_sample,
+        "docs_token_counts": docs_token_counts,
+        "docs_text_quality": docs_text_quality,
     }
 
 
@@ -1588,6 +1612,68 @@ def oracle_sql() -> dict[str, str]:
         "match_pairs": match_sql,
         # all fuzzy physical plans are row-identical; same oracle
         "match_pairs_shuffle_plan": match_sql,
+        # pairwise P/R/F1 of the full matcher vs the labeled fixture; the
+        # predicted set is the SAME verified match-CTE chain, so the oracle
+        # checks the metric arithmetic, not a re-derivation of the matcher
+        "match_eval_f1": f"""
+            WITH RECURSIVE {_match_ctes(p["spr"], p["cad"])},
+            m AS (SELECT * FROM exact UNION ALL SELECT * FROM fuzzy),
+            pred AS (SELECT "ADDRESS_ID_SPR" AS spr_id,
+                            "ADDRESS_ID_CAD" AS cad_id FROM m),
+            truthp AS (SELECT spr_id, cad_id
+                       FROM read_parquet('{raw["labeled_pairs"]}') WHERE label),
+            c AS (SELECT (SELECT count(*) FROM pred) AS np,
+                         (SELECT count(*) FROM truthp) AS nt,
+                         (SELECT count(*) FROM pred
+                          JOIN truthp USING (spr_id, cad_id)) AS tp)
+            SELECT CAST(tp AS BIGINT) AS tp,
+                   CAST(np - tp AS BIGINT) AS fp,
+                   CAST(nt - tp AS BIGINT) AS fn,
+                   round(CAST(tp AS DOUBLE) / greatest(1, np), 6) AS "precision",
+                   round(CAST(tp AS DOUBLE) / greatest(1, nt), 6) AS recall,
+                   round(2.0 * (CAST(tp AS DOUBLE) / greatest(1, np))
+                             * (CAST(tp AS DOUBLE) / greatest(1, nt))
+                         / greatest(1e-9, CAST(tp AS DOUBLE) / greatest(1, np)
+                                        + CAST(tp AS DOUBLE) / greatest(1, nt)),
+                         6) AS f1
+            FROM c
+        """,
+        # fuzzy-block quality: candidate volume via per-key count products
+        # (matcher skips empty HOUSE_NORM, stages/matching.py:370-377)
+        "match_blocking_stats": f"""
+            WITH sb AS (SELECT ADDRESS_ID AS sid, coalesce(HOUSE_NORM,'') AS hn,
+                               coalesce(BUILDING_NORM,'') AS bn
+                        FROM read_parquet('{p["spr"]}')
+                        WHERE coalesce(HOUSE_NORM,'') <> ''),
+            cb AS (SELECT ADDRESS_ID AS cid, coalesce(HOUSE_NORM,'') AS hn,
+                          coalesce(BUILDING_NORM,'') AS bn
+                   FROM read_parquet('{p["cad"]}')
+                   WHERE coalesce(HOUSE_NORM,'') <> ''),
+            bs AS (SELECT hn, bn, count(*) AS ns FROM sb GROUP BY 1, 2),
+            bc AS (SELECT hn, bn, count(*) AS nc FROM cb GROUP BY 1, 2),
+            cand AS (SELECT coalesce(sum(ns * nc), 0) AS cp
+                     FROM bs JOIN bc USING (hn, bn)),
+            tr AS (SELECT spr_id, cad_id
+                   FROM read_parquet('{raw["labeled_pairs"]}') WHERE label),
+            co AS (SELECT count(*) AS cbt FROM tr
+                   JOIN sb ON sb.sid = tr.spr_id
+                   JOIN cb ON cb.cid = tr.cad_id
+                          AND cb.hn = sb.hn AND cb.bn = sb.bn),
+            tot AS (SELECT
+                (SELECT count(*) FROM read_parquet('{p["spr"]}')) AS n_spr,
+                (SELECT count(*) FROM read_parquet('{p["cad"]}')) AS n_cad,
+                (SELECT count(*) FROM tr) AS n_true)
+            SELECT CAST(n_spr AS BIGINT) AS n_spr,
+                   CAST(n_cad AS BIGINT) AS n_cad,
+                   CAST(n_true AS BIGINT) AS n_true_pairs,
+                   CAST(cp AS BIGINT) AS candidate_pairs,
+                   CAST(cbt AS BIGINT) AS co_blocked_true,
+                   round(1.0 - CAST(cp AS DOUBLE)
+                             / greatest(1, n_spr * n_cad), 6) AS reduction_ratio,
+                   round(CAST(cbt AS DOUBLE) / greatest(1, n_true), 6)
+                       AS pairs_completeness
+            FROM cand, co, tot
+        """,
         "unmatched_spr": f"""
             WITH RECURSIVE {_match_ctes(p["spr"], p["cad"])},
             m AS (SELECT * FROM exact UNION ALL SELECT * FROM fuzzy)

@@ -1,0 +1,178 @@
+"""Entity-resolution evaluation operators.
+
+The reference evaluates its matcher by eyeballing match-rate scalars in the
+UI (`/root/reference/address.py:538-569` progress counters; no labeled
+evaluation exists). A production linkage engine needs measurable quality:
+pairwise precision/recall/F1 against a labeled pair set, and blocking-stage
+quality (reduction ratio, pairs completeness) so a blocking-key change can be
+judged before the expensive scoring phase.
+
+Everything here is metadata-scale output (one metrics row) computed from
+distributed counts and hash joins — no pair list ever reaches the driver:
+
+- :func:`pairwise_eval` — TP/FP/FN + precision/recall/F1 of a match-pair
+  Dataset against a labeled truth Dataset. One multi-key hash join for TP,
+  two streaming counts for the marginals.
+- :func:`blocking_stats` — candidate-pair volume of the fuzzy blocking key
+  ``(HOUSE_NORM, BUILDING_NORM)`` (Σ block cross-products via per-key count
+  aggregates joined key-to-key — the shuffle moves O(distinct keys) rows),
+  reduction ratio vs the full cross product, and pairs completeness (the
+  fraction of true pairs the blocking co-locates, via two id→key joins).
+
+Both have exact DuckDB oracles in ``__ray_entry__.py`` (``match_eval_f1``,
+``match_blocking_stats``).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+__all__ = ["pairwise_eval", "blocking_stats"]
+
+
+def _pair_ids(matches: ray.data.Dataset) -> ray.data.Dataset:
+    def _proj(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "spr_id": b.column("ADDRESS_ID_SPR"),
+            "cad_id": b.column("ADDRESS_ID_CAD"),
+        })
+
+    return matches.map_batches(_proj, batch_format="pyarrow")
+
+
+def pairwise_eval(
+    matches: ray.data.Dataset,
+    labeled: ray.data.Dataset,
+    round_to: int = 6,
+) -> pd.DataFrame:
+    """Pairwise precision/recall/F1 of ``matches`` vs ``labeled``.
+
+    ``matches`` is the engine's match output (one row per matched spr record,
+    D2-deduped, so (ADDRESS_ID_SPR, ADDRESS_ID_CAD) is already pair-unique);
+    ``labeled`` carries ``(spr_id, cad_id, label)`` with one row per labeled
+    pair. TP is a distributed two-key hash join count; FP/FN fall out of the
+    marginal counts, so the driver only ever sees three integers.
+    """
+    pred = _pair_ids(matches)
+
+    def _truth(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.fill_null(b.column("label"), False))
+        return pa.table({"t_spr": b.column("spr_id"), "t_cad": b.column("cad_id")})
+
+    truth = labeled.map_batches(_truth, batch_format="pyarrow")
+    n_pred = pred.count()
+    n_true = truth.count()
+    if n_pred == 0 or n_true == 0:
+        # skip the shuffle; an all-empty side also trips Ray's hash-shuffle
+        # finalize (ray-data-gotchas: empty agg blocks)
+        tp = 0
+    else:
+        tp = pred.join(
+            truth, join_type="inner", num_partitions=8,
+            on=("spr_id", "cad_id"), right_on=("t_spr", "t_cad"),
+        ).count()
+    fp, fn = n_pred - tp, n_true - tp
+    precision = tp / max(1, tp + fp)
+    recall = tp / max(1, tp + fn)
+    f1 = 2 * precision * recall / max(1e-9, precision + recall)
+    return pd.DataFrame([{
+        "tp": pd.Series([tp], dtype="int64")[0],
+        "fp": fp, "fn": fn,
+        "precision": round(precision, round_to),
+        "recall": round(recall, round_to),
+        "f1": round(f1, round_to),
+    }]).astype({"tp": "int64", "fp": "int64", "fn": "int64"})
+
+
+def _house_blocks(reg: ray.data.Dataset, id_out: str) -> ray.data.Dataset:
+    """Project a preprocessed registry to its fuzzy-block key, skipping the
+    rows the matcher's house index skips (empty HOUSE_NORM,
+    ``stages/matching.py:370-377``)."""
+
+    def _proj(b: pa.Table) -> pa.Table:
+        h = pc.fill_null(b.column("HOUSE_NORM"), "")
+        bld = pc.fill_null(b.column("BUILDING_NORM"), "")
+        keep = pc.not_equal(h, "")
+        return pa.table({
+            id_out: b.column("ADDRESS_ID").filter(keep),
+            "hn": h.filter(keep),
+            "bn": bld.filter(keep),
+        })
+
+    return reg.map_batches(_proj, batch_format="pyarrow")
+
+
+def _block_counts(blocks: ray.data.Dataset, out: str) -> ray.data.Dataset:
+    return blocks.groupby(["hn", "bn"]).count().map_batches(
+        lambda b: b.rename_columns(["hn", "bn", out]), batch_format="pyarrow")
+
+
+def blocking_stats(
+    spr: ray.data.Dataset,
+    cad: ray.data.Dataset,
+    labeled: ray.data.Dataset,
+    round_to: int = 6,
+) -> pd.DataFrame:
+    """Quality of the fuzzy candidate blocking ``(HOUSE_NORM, BUILDING_NORM)``.
+
+    - ``candidate_pairs``: Σ over co-present blocks of |spr block| × |cad
+      block| — the exact pair volume the scoring phase would see. Computed as
+      two per-key count aggregates joined on the key: the shuffle is
+      O(distinct block keys), never O(pairs).
+    - ``reduction_ratio``: 1 − candidates / (n_spr × n_cad), the classic
+      blocking-efficiency measure.
+    - ``pairs_completeness``: fraction of labeled TRUE pairs whose two sides
+      land in the same block (two id→key equi-joins, then a streaming count).
+    """
+    spr_b = _house_blocks(spr, "sid")
+    cad_b = _house_blocks(cad, "cid")
+    n_spr, n_cad = spr.count(), cad.count()
+
+    per_block = _block_counts(spr_b, "ns").join(
+        _block_counts(cad_b, "nc"), join_type="inner", num_partitions=8,
+        on=("hn", "bn"),
+    )
+
+    def _prod(b: pa.Table) -> pa.Table:
+        return pa.table({"pairs": pc.multiply(
+            pc.cast(b.column("ns"), pa.int64()), pc.cast(b.column("nc"), pa.int64()))})
+
+    candidates = int(per_block.map_batches(_prod, batch_format="pyarrow")
+                     .sum("pairs") or 0)
+
+    def _truth(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.fill_null(b.column("label"), False))
+        return pa.table({"spr_id": b.column("spr_id"), "cad_id": b.column("cad_id")})
+
+    truth = labeled.map_batches(_truth, batch_format="pyarrow")
+    n_true = truth.count()
+    co = 0 if n_true == 0 else (
+        truth
+        .join(spr_b, join_type="inner", num_partitions=8,
+              on=("spr_id",), right_on=("sid",))
+        .join(cad_b.map_batches(
+            lambda b: b.rename_columns(["cid", "chn", "cbn"]),
+            batch_format="pyarrow"),
+              join_type="inner", num_partitions=8,
+              on=("cad_id",), right_on=("cid",))
+        .map_batches(
+            lambda b: b.filter(pc.and_(
+                pc.equal(b.column("hn"), b.column("chn")),
+                pc.equal(b.column("bn"), b.column("cbn")))),
+            batch_format="pyarrow")
+        .count()
+    )
+    total = n_spr * n_cad
+    return pd.DataFrame([{
+        "n_spr": n_spr, "n_cad": n_cad,
+        "n_true_pairs": n_true,
+        "candidate_pairs": candidates,
+        "co_blocked_true": co,
+        "reduction_ratio": round(1.0 - candidates / max(1, total), round_to),
+        "pairs_completeness": round(co / max(1, n_true), round_to),
+    }]).astype({c: "int64" for c in
+                ("n_spr", "n_cad", "n_true_pairs", "candidate_pairs",
+                 "co_blocked_true")})
