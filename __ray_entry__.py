@@ -481,9 +481,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
         return D.line_dedup(ds, "text", "doc_id")
 
+    def docs_substring_dup(sf_dir):
+        """Lee et al. ExactSubstr stats at k=8 tokens (stages/dedup.py)."""
+        ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+        return D.substring_dup_stats(ds, "text", "doc_id", k=8)
+
     def docs_gopher_quality(sf_dir):
         ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
         return A.gopher_quality(ds, "text", "doc_id")
+
+    def docs_quality_classifier(sf_dir):
+        """Linear quality-model inference (broadcast weights)."""
+        ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+        return A.quality_classifier(ds, "text", "doc_id")
 
     def docs_pii_redact(sf_dir):
         ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
@@ -813,6 +823,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.sort_values(["score", "vec_id"],
                                ascending=[False, True]).reset_index(drop=True)
 
+    def embeddings_semdedup(sf_dir):
+        """SemDeDup within given clusters (exact rule, full SQL oracle)."""
+        ds = _read(sf_dir, "embeddings")
+        return S.semantic_dedup(ds, cluster_col="label", threshold=0.35)
+
+    def embeddings_semdedup_ivf(sf_dir):
+        """SemDeDup with k-means coarse clustering — the unlabeled-corpus
+        scale path (rows-only: cluster assignment is sample-trained;
+        invariants pinned in tests/test_similarity.py)."""
+        ds = _read(sf_dir, "embeddings")
+        return S.semantic_dedup(ds, cluster_col=None, threshold=0.35, nlist=10)
+
     def embeddings_lsh_knn(sf_dir):
         ds = _read(sf_dir, "embeddings")
         q = _query_vec(ds)
@@ -1001,20 +1023,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprint_dedup": docs_fingerprint_dedup,
         "docs_keep_longest_dedup": docs_keep_longest_dedup,
         "docs_line_dedup": docs_line_dedup,
+        "docs_substring_dup": docs_substring_dup,
         "docs_ngram_jaccard_matrix": docs_ngram_jaccard_matrix,
         "embeddings_knn": embeddings_knn,
         "embeddings_ivf_knn": embeddings_ivf_knn,
+        "embeddings_semdedup": embeddings_semdedup,
         "docs_text_stats": docs_text_stats,
         "docs_chain_clusters": docs_chain_clusters,
         "docs_gopher_quality": docs_gopher_quality,
+        "docs_quality_classifier": docs_quality_classifier,
         "docs_pii_redact": docs_pii_redact,
         "docs_repetition_stats": docs_repetition_stats,
         "docs_tfidf_top3": docs_tfidf_top3,
-        "docs_top_tokens": docs_top_tokens,
         "docs_token_docfreq": docs_token_docfreq,
         "docs_lang_counts": docs_lang_counts,
         "docs_split_assign": docs_split_assign,
-        "docs_hash_sample": docs_hash_sample,
         "docs_quality_metrics": docs_quality_metrics,
         "docs_source_stats": docs_source_stats,
         # -- core analytics / relational ops
@@ -1025,7 +1048,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_topk": lineitem_topk,
         "lineitem_weighted_discount": lineitem_weighted_discount,
         "orders_price_quantiles": orders_price_quantiles,
-        "orders_price_quantiles_cont": orders_price_quantiles_cont,
         "orders_price_stats": orders_price_stats,
         "orders_running_price": orders_running_price,
         "events_sessionized": events_sessionized,
@@ -1092,6 +1114,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frame_sample": media_frame_sample,
         "docs_token_counts": docs_token_counts,
         "docs_text_quality": docs_text_quality,
+        "orders_price_quantiles_cont": orders_price_quantiles_cont,
+        "docs_top_tokens": docs_top_tokens,
+        "docs_hash_sample": docs_hash_sample,
+        "embeddings_semdedup_ivf": embeddings_semdedup_ivf,
     }
 
 
@@ -2099,6 +2125,41 @@ def oracle_sql() -> dict[str, str]:
             WHERE w.w IS NULL OR l.doc_id * 4294967296 + l.line_no = w.w
             GROUP BY l.doc_id
         """,
+        # ExactSubstr (k=8): shingle text grouping replaces the engine's
+        # 128-bit rolling-hash keys; list slicing ts[p:p+7] is 8 tokens
+        # (DuckDB slices are 1-based inclusive)
+        "docs_substring_dup": """
+            WITH tok AS (
+                SELECT doc_id, string_split(coalesce(lower(text), ''), ' ') AS ts
+                FROM documents
+            ), sh AS (
+                SELECT doc_id, ts,
+                       unnest(generate_series(1, len(ts) - 7)) AS pos
+                FROM tok
+            ), sh2 AS (
+                SELECT doc_id, pos, array_to_string(ts[pos:pos+7], ' ') AS s
+                FROM sh
+            ), dup AS (
+                SELECT s FROM sh2 GROUP BY s HAVING count(*) >= 2
+            ), occ AS (
+                SELECT sh2.doc_id, sh2.pos FROM sh2 JOIN dup USING (s)
+            ), cov AS (
+                SELECT doc_id, count(DISTINCT j) AS dup_tokens
+                FROM (SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS j
+                      FROM occ)
+                GROUP BY doc_id
+            ), nds AS (
+                SELECT doc_id, count(*) AS n_dup_shingles FROM occ GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(len(t.ts) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(n.n_dup_shingles, 0) AS BIGINT) AS n_dup_shingles,
+                   CAST(coalesce(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+                   round(coalesce(c.dup_tokens, 0)
+                         / CAST(greatest(1, len(t.ts)) AS DOUBLE), 6)
+                       AS dup_token_fraction
+            FROM tok t LEFT JOIN nds n USING (doc_id) LEFT JOIN cov c USING (doc_id)
+        """,
         # gopher_signals transcription (functions/textfns.py): integer-ratio
         # doubles reproduce bit-identically under SQL division
         "docs_gopher_quality": r"""
@@ -2182,6 +2243,44 @@ def oracle_sql() -> dict[str, str]:
         "docs_lang_counts": """
             SELECT lang, count(*) AS cnt FROM documents GROUP BY lang
         """,
+        # linear quality model: same features as quality_features()
+        # (functions/textfns.py); keep/drop decided on z >= 0 both sides so
+        # the label can't diverge on a rounded score boundary
+        "docs_quality_classifier": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_extract_all(text, '\S+') AS toks,
+                       length(text) AS n,
+                       length(regexp_replace(text, '[^A-Za-zԱ-և]', '', 'g'))
+                           AS alpha
+                FROM documents
+            ), f AS (
+                SELECT doc_id,
+                       len(toks) AS ntok,
+                       CASE WHEN len(toks) = 0 THEN 0.0
+                            ELSE list_sum(list_transform(toks, x -> length(x)))
+                                 * 1.0 / len(toks) END AS mtl,
+                       CASE WHEN len(toks) = 0 THEN 0.0
+                            ELSE len(list_filter(toks, x -> lower(x) IN
+                                ('the','a','an','and','or','of','to','in','is',
+                                 'are','was','were','be','been','it','this',
+                                 'that','for','on','with','as','at','by','from')))
+                                 * 1.0 / len(toks) END AS stopr,
+                       CASE WHEN n = 0 THEN 0.0
+                            ELSE alpha * 1.0 / n END AS alphar
+                FROM t
+            ), z AS (
+                SELECT doc_id,
+                       -3.8 + 0.4 * ln(1 + ntok) + 0.1 * mtl
+                            + 2.0 * stopr + 2.0 * alphar AS z
+                FROM f
+            )
+            SELECT doc_id,
+                   round(1.0 / (1.0 + exp(-z)), 6) AS quality_score,
+                   CASE WHEN z >= 0.0 THEN 'keep' ELSE 'drop' END
+                       AS quality_label
+            FROM z
+        """,
         "docs_ngram_jaccard_matrix": r"""
             WITH canon AS (
                 SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
@@ -2223,6 +2322,17 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) DESC,
                      b.vec_id
             LIMIT 10
+        """,
+        # SemDeDup keep rule: drop iff an earlier-id same-cluster vector is
+        # within the cosine threshold (stages/similarity.py semantic_dedup)
+        "embeddings_semdedup": """
+            SELECT a.vec_id, a.label AS cluster
+            FROM embeddings a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM embeddings b
+                WHERE b.label = a.label AND b.vec_id < a.vec_id
+                  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+            )
         """,
         "events_orders_range_count": """
             SELECT e.event_id,

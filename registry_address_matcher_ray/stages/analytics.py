@@ -2141,3 +2141,46 @@ def late_event_flags(
 
     return (ds.select_columns(cols)
             .groupby(key_col).map_groups(_flags, batch_format="pandas"))
+
+
+def quality_classifier(
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    weights: Sequence[float] = (-3.8, 0.4, 0.1, 2.0, 2.0),
+    ndigits: int = 6,
+) -> ray.data.Dataset:
+    """Linear quality-model inference over text features — the CCNet/Gopher
+    style learned-filter stage with a deterministic stand-in model (swap
+    ``weights`` for trained coefficients; the plumbing is the operator).
+
+    ``z = w0 + w1*ln(1 + n_tokens) + w2*avg_token_len + w3*stopword_ratio +
+    w4*alpha_ratio`` over :func:`functions.textfns.quality_features`;
+    ``quality_score = sigmoid(z)``; ``quality_label = keep iff z >= 0``
+    (exactly score >= 0.5, decided on z so the SQL oracle can't diverge on a
+    rounded boundary). Weights ride to every task via ``ray.put`` once —
+    the broadcast-small-side pattern a real model's weight matrix needs.
+    """
+    from ..functions import textfns
+
+    w_ref = ray.put(np.asarray(weights, dtype=np.float64))
+
+    def _score(batch: pa.Table) -> pa.Table:
+        w = ray.get(w_ref)
+        texts = batch.column(text_col).to_pylist()
+        feats = np.empty((len(texts), 4), dtype=np.float64)
+        for i, t in enumerate(texts):
+            q = textfns.quality_features(t)
+            feats[i] = (q["n_tokens"], q["avg_token_len"],
+                        q["stopword_ratio"], q["alpha_ratio"])
+        z = (w[0] + w[1] * np.log1p(feats[:, 0]) + w[2] * feats[:, 1]
+             + w[3] * feats[:, 2] + w[4] * feats[:, 3])
+        score = np.round(1.0 / (1.0 + np.exp(-z)), ndigits)
+        label = np.where(z >= 0.0, "keep", "drop")
+        return pa.table({
+            id_col: batch.column(id_col),
+            "quality_score": pa.array(score, pa.float64()),
+            "quality_label": pa.array(label.tolist(), pa.string()),
+        })
+
+    return ds.map_batches(_score, batch_format="pyarrow")

@@ -771,3 +771,191 @@ def line_dedup(
         })
 
     return kept.groupby(id_col).map_groups(_rebuild, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplication (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better" — the ExactSubstr criterion, expressed as a
+# shingle-hash pipeline instead of a distributed suffix array)
+# ---------------------------------------------------------------------------
+
+#: two independent odd multipliers -> two 64-bit polynomial rolling-hash
+#: lanes = a 128-bit shingle key; odd => invertible mod 2^64, so the
+#: prefix-sum window trick below stays exact under uint64 wraparound
+_RH_A1 = 0x9E3779B97F4A7C15
+_RH_A2 = 0xC2B2AE3D27D4EB4F
+_RH_INV1 = pow(_RH_A1, -1, 1 << 64)
+_RH_INV2 = pow(_RH_A2, -1, 1 << 64)
+
+
+def _rolling_windows(h: np.ndarray, k: int, a: int, inv_a: int) -> np.ndarray:
+    """All k-window polynomial hashes of ``h`` (uint64, mod 2^64), O(n).
+
+    ``w[i] = sum_j h[i+j] * a^j`` computed as ``(p[i+k] - p[i]) * a^-i`` over
+    the prefix sums ``p`` of ``h * a^pos`` — everything vectorized numpy
+    uint64 wraparound arithmetic, no Python loop.
+    """
+    n = len(h)
+    a64, inv64 = np.uint64(a), np.uint64(inv_a)
+    pows = np.ones(n, dtype=np.uint64)
+    np.cumprod(np.full(n, a64, dtype=np.uint64), out=pows)
+    pows = np.concatenate(([np.uint64(1)], pows[:-1]))
+    inv_pows = np.ones(n - k + 1, dtype=np.uint64)
+    if n - k + 1 > 1:
+        np.cumprod(np.full(n - k + 1, inv64, dtype=np.uint64), out=inv_pows)
+        inv_pows = np.concatenate(([np.uint64(1)], inv_pows[:-1]))
+    prefix = np.zeros(n + 1, dtype=np.uint64)
+    np.cumsum(h * pows, out=prefix[1:])
+    return (prefix[k:] - prefix[: n - k + 1]) * inv_pows
+
+
+def substring_dup_stats(
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    num_partitions: Optional[int] = None,
+) -> ray.data.Dataset:
+    """Per-document exact-substring duplication stats at window ``k`` tokens.
+
+    A k-token shingle is *duplicated* if its exact text occurs >= 2 times
+    anywhere in the corpus (including inside the same document — Lee et al.'s
+    ExactSubstr counts within-doc repeats). Output per doc: ``n_tokens``,
+    ``n_dup_shingles`` (duplicated window starts), ``dup_tokens`` (tokens
+    covered by the union of duplicated windows) and ``dup_token_fraction``.
+
+    Scale shape: the volume stage emits one 24-byte row per token position
+    (id, pos, two uint64 hash lanes — never shingle text); duplicate keys
+    come from one ``groupby(d1, d2).count()``; occurrences are recovered by
+    an equi-join on the 128-bit key (never a broadcast); window-union
+    coverage runs per doc over *duplicated* occurrences only. Tokenization is
+    ``lower().split(" ")`` (empties kept) so the DuckDB oracle's
+    ``string_split(lower(text), ' ')`` sees identical positions. 128-bit
+    keys make a hash collision (a false duplicate) astronomically unlikely;
+    the oracle groups by shingle text and agrees on every tested corpus.
+    """
+
+    def _tok(t) -> List[str]:
+        return ("" if t is None else t).lower().split(" ")
+
+    def _token_hashes(ts: List[str], cache: dict) -> Tuple[np.ndarray, np.ndarray]:
+        import hashlib
+
+        for t in ts:
+            if t not in cache:
+                d = hashlib.blake2b(t.encode(), digest_size=16).digest()
+                cache[t] = (int.from_bytes(d[:8], "little"),
+                            int.from_bytes(d[8:], "little"))
+        h = np.array([cache[t] for t in ts], dtype=np.uint64)
+        return h[:, 0], h[:, 1]
+
+    def _shingles(b: pa.Table) -> pa.Table:
+        cache: dict = {}
+        ids_out, pos_out, d1_out, d2_out = [], [], [], []
+        for rid, txt in zip(b.column(id_col).to_pylist(),
+                            b.column(text_col).to_pylist()):
+            ts = _tok(txt)
+            n = len(ts)
+            if n < k:
+                continue
+            h1, h2 = _token_hashes(ts, cache)
+            # int64 view of the uint64 lanes: bit-identical keys, and
+            # Ray's hash shuffle handles int64 natively (uint64 falls back
+            # to pickled-object blocks, which breaks the Arrow join)
+            d1_out.append(_rolling_windows(h1, k, _RH_A1, _RH_INV1).view(np.int64))
+            d2_out.append(_rolling_windows(h2, k, _RH_A2, _RH_INV2).view(np.int64))
+            pos_out.append(np.arange(n - k + 1, dtype=np.int64))
+            ids_out.append(np.full(n - k + 1, rid))
+        if not ids_out:
+            return pa.table({
+                id_col: pa.array([], b.schema.field(id_col).type),
+                "pos": pa.array([], pa.int64()),
+                "d1": pa.array([], pa.int64()),
+                "d2": pa.array([], pa.int64()),
+            })
+        return pa.table({
+            id_col: pa.array(np.concatenate(ids_out)).cast(
+                b.schema.field(id_col).type),
+            "pos": pa.array(np.concatenate(pos_out), pa.int64()),
+            "d1": pa.array(np.concatenate(d1_out), pa.int64()),
+            "d2": pa.array(np.concatenate(d2_out), pa.int64()),
+        })
+
+    def _base(b: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: b.column(id_col),
+            "n_tokens": pa.array(
+                [len(_tok(t)) for t in b.column(text_col).to_pylist()],
+                pa.int64()),
+        })
+
+    base = ds.map_batches(_base, batch_format="pyarrow")
+    sh = ds.map_batches(_shingles, batch_format="pyarrow").materialize()
+    if num_partitions is None:
+        # hash-shuffle actor count dominates wall time on small inputs
+        # (see _winner_join_partitions); size by the shingle-table bytes
+        num_partitions = _winner_join_partitions(sh)
+
+    dup_keys = (
+        sh.groupby(["d1", "d2"]).count()
+        .map_batches(lambda b: b.rename_columns(["d1", "d2", "cnt"]),
+                     batch_format="pyarrow")
+        .filter(expr="cnt >= 2")
+        .map_batches(lambda b: b.select(["d1", "d2"]), batch_format="pyarrow")
+        .materialize()
+    )
+
+    if dup_keys.count() == 0:
+        def _zeros(b: pa.Table) -> pa.Table:
+            z = pa.array(np.zeros(b.num_rows, dtype=np.int64))
+            return b.append_column("n_dup_shingles", z).append_column(
+                "dup_tokens", z).append_column(
+                "dup_token_fraction", pa.array(np.zeros(b.num_rows)))
+        return base.map_batches(_zeros, batch_format="pyarrow")
+
+    occ = sh.join(dup_keys, join_type="inner", num_partitions=num_partitions,
+                  on=("d1", "d2"))
+
+    def _coverage(df: pd.DataFrame) -> pd.DataFrame:
+        starts = np.sort(df["pos"].to_numpy())
+        gaps = np.diff(starts)
+        covered = int(np.minimum(gaps, k).sum()) + k
+        return pd.DataFrame({
+            id_col: [df[id_col].iloc[0]],
+            "n_dup_shingles": pd.array([len(starts)], dtype="int64"),
+            "dup_tokens": pd.array([covered], dtype="int64"),
+        })
+
+    from .analytics import ensure_arrow_schema
+
+    # map_groups emits column-less ARROW blocks for empty hash partitions;
+    # map_batches (and hence ensure_arrow_schema) never sees 0-column blocks,
+    # so a downstream join's key FieldRef crashes on them. repartition()
+    # concatenates them away — a cheap split/merge pass over the small
+    # (docs-with-dups × 3 ints) table, not an all-to-all.
+    # id type from the Arrow shingle stage (ds itself may be pandas-blocked)
+    per_doc = ensure_arrow_schema(
+        occ.groupby(id_col).map_groups(_coverage, batch_format="pandas"),
+        pa.schema([(id_col, sh.schema().base_schema.field(id_col).type),
+                   ("n_dup_shingles", pa.int64()),
+                   ("dup_tokens", pa.int64())])).repartition(num_partitions)
+
+    joined = base.join(per_doc, join_type="left_outer",
+                       num_partitions=num_partitions, on=(id_col,))
+
+    def _finish(b: pa.Table) -> pa.Table:
+        nds = pc.fill_null(b.column("n_dup_shingles"), 0)
+        cov = pc.fill_null(b.column("dup_tokens"), 0)
+        ntok = b.column("n_tokens")
+        frac = pc.round(pc.divide(
+            pc.cast(cov, pa.float64()),
+            pc.cast(pc.max_element_wise(ntok, 1), pa.float64())), 6)
+        return pa.table({
+            id_col: b.column(id_col),
+            "n_tokens": ntok,
+            "n_dup_shingles": pc.cast(nds, pa.int64()),
+            "dup_tokens": pc.cast(cov, pa.int64()),
+            "dup_token_fraction": frac,
+        })
+
+    return joined.map_batches(_finish, batch_format="pyarrow")

@@ -527,3 +527,74 @@ def knn_ivfpq(
         .head(k)
         .reset_index(drop=True)
     )
+
+
+def semantic_dedup(
+    ds: ray.data.Dataset,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cluster_col: Optional[str] = None,
+    threshold: float = 0.95,
+    nlist: int = 16,
+    train_sample: int = 10_000,
+    seed: int = 7,
+    chunk: int = 1024,
+) -> ray.data.Dataset:
+    """SemDeDup (Abbas et al. 2023): within-cluster semantic pruning.
+
+    A vector is DROPPED iff some other vector in the same cluster has cosine
+    similarity >= ``threshold`` and a smaller id — a deterministic, order-free
+    restatement of the paper's keep-one-per-near-dup-group rule (the paper
+    keeps the member farthest from the centroid; min-id is the engine's
+    canonical tie-break everywhere else, and it makes the operator exactly
+    SQL-checkable). Returns the KEPT rows as ``(id_col, cluster)``.
+
+    Clustering: pass ``cluster_col`` to prune inside existing groups (exact,
+    oracle-checkable), or leave ``None`` to cluster by the same bounded-sample
+    spherical k-means coarse quantizer the IVF index uses (the scale path for
+    unlabeled corpora). Per-cluster work is O(|cluster|^2) multiply-adds but
+    O(chunk x |cluster|) memory — the SemDeDup premise is that k-means keeps
+    clusters small relative to the corpus (n/nlist on average).
+    """
+    if cluster_col is None:
+        sample_rows = ds.select_columns([vec_col]).limit(train_sample).take_all()
+        sample = np.asarray([r[vec_col] for r in sample_rows], dtype=np.float64)
+        centers_ref = ray.put(_kmeans_fit(sample, nlist, seed=seed))
+
+        def _assign(batch: pa.Table) -> pa.Table:
+            cen = ray.get(centers_ref)
+            m = _normalize_rows(_batch_matrix(batch, vec_col))
+            assign = (np.argmax(m @ cen.T, axis=1) if m.shape[0]
+                      else np.array([], dtype=np.int64))
+            return pa.table({
+                id_col: batch.column(id_col),
+                vec_col: batch.column(vec_col),
+                "cluster": pa.array(assign.astype(np.int64), pa.int64()),
+            })
+
+        clustered = ds.map_batches(_assign, batch_format="pyarrow")
+    else:
+        def _project(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                id_col: batch.column(id_col),
+                vec_col: batch.column(vec_col),
+                "cluster": batch.column(cluster_col),
+            })
+
+        clustered = ds.map_batches(_project, batch_format="pyarrow")
+
+    def _prune(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        m = _normalize_rows(np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in df[vec_col]]))
+        n = m.shape[0]
+        keep = np.ones(n, dtype=bool)
+        for s in range(1, n, chunk):
+            e = min(n, s + chunk)
+            sims = m[s:e] @ m[:e].T
+            earlier = np.arange(e)[None, :] < np.arange(s, e)[:, None]
+            keep[s:e] = ~np.logical_and(sims >= threshold, earlier).any(axis=1)
+        return pd.DataFrame({id_col: df[id_col][keep],
+                             "cluster": df["cluster"][keep]})
+
+    return clustered.groupby("cluster").map_groups(_prune, batch_format="pandas")

@@ -612,3 +612,31 @@ def test_ensure_arrow_schema_normalizes_aggregate_blocks(ray_session):
     joined = other.join(fixed, join_type="inner", num_partitions=2, on=("k",))
     out = joined.to_pandas().sort_values("k").reset_index(drop=True)
     assert out["n"].tolist() == [100, 100, 100]
+
+
+def test_quality_classifier_matches_rowwise(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from registry_address_matcher_ray.functions import textfns
+    from registry_address_matcher_ray.stages import analytics as A
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": ["the quick brown fox and the lazy dog on a log in the fog "
+                 "with a cat as it sat by that mat for fun " * 4,
+                 "x", "", "aaaa bbbb cccc dddd 1234 !!!"],
+    })
+    out = (A.quality_classifier(ray.data.from_arrow(t), "text", "doc_id")
+           .to_pandas().set_index("doc_id"))
+    w = (-3.8, 0.4, 0.1, 2.0, 2.0)
+    for row in t.to_pylist():
+        q = textfns.quality_features(row["text"])
+        z = (w[0] + w[1] * np.log1p(q["n_tokens"]) + w[2] * q["avg_token_len"]
+             + w[3] * q["stopword_ratio"] + w[4] * q["alpha_ratio"])
+        got = out.loc[row["doc_id"]]
+        assert got["quality_score"] == round(1 / (1 + np.exp(-z)), 6)
+        assert got["quality_label"] == ("keep" if z >= 0 else "drop")
+    # stopword-rich long doc keeps, empty/garbage drops
+    assert out.loc[1, "quality_label"] == "keep"
+    assert out.loc[3, "quality_label"] == "drop"

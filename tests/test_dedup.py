@@ -228,3 +228,63 @@ def test_keep_longest_join_fallback(docs, ray_session):
         ds, "text", "doc_id", winner_broadcast_limit=0).to_pandas()
     assert sorted(jn["doc_id"]) == bc
     assert sorted(jn.columns) == ["doc_id", "text"]
+
+
+# ---------------------------------------------------------------------------
+# exact-substring duplication stats (Lee et al. ExactSubstr)
+# ---------------------------------------------------------------------------
+
+def _brute_substring_stats(texts: dict, k: int) -> dict:
+    import collections
+
+    counts = collections.Counter()
+    toks = {d: (t or "").lower().split(" ") for d, t in texts.items()}
+    for ts in toks.values():
+        for i in range(len(ts) - k + 1):
+            counts[" ".join(ts[i:i + k])] += 1
+    out = {}
+    for d, ts in toks.items():
+        starts = [i for i in range(len(ts) - k + 1)
+                  if counts[" ".join(ts[i:i + k])] >= 2]
+        cov = set()
+        for i in starts:
+            cov.update(range(i, i + k))
+        out[d] = (len(ts), len(starts), len(cov))
+    return out
+
+
+def test_substring_dup_stats_brute_parity(docs, ray_session):
+    k = 5
+    ds = ray.data.from_pandas(docs[["doc_id", "text"]]).repartition(6)
+    got = D.substring_dup_stats(ds, "text", "doc_id", k=k).to_pandas()
+    want = _brute_substring_stats(
+        dict(zip(docs.doc_id, docs.text)), k)
+    assert len(got) == len(want)
+    for row in got.itertuples():
+        n, nds, cov = want[row.doc_id]
+        assert (row.n_tokens, row.n_dup_shingles, row.dup_tokens) == (n, nds, cov), row
+        assert row.dup_token_fraction == round(cov / max(1, n), 6)
+    # the planted dup groups must actually produce duplicated spans
+    assert got.n_dup_shingles.sum() > 0
+
+
+def test_substring_dup_stats_all_unique(ray_session):
+    t = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": ["alpha beta gamma delta epsilon zeta",
+                 "one two three four five six seven"],
+    })
+    got = D.substring_dup_stats(
+        ray.data.from_arrow(t), "text", "doc_id", k=3).to_pandas()
+    assert (got.n_dup_shingles == 0).all() and (got.dup_tokens == 0).all()
+    assert (got.dup_token_fraction == 0.0).all()
+
+
+def test_substring_dup_stats_partition_invariance(docs, ray_session):
+    outs = []
+    for nb in (2, 9):
+        ds = ray.data.from_pandas(docs[["doc_id", "text"]]).repartition(nb)
+        outs.append(
+            D.substring_dup_stats(ds, "text", "doc_id", k=5)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])

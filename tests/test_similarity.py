@@ -197,3 +197,61 @@ def test_ivfpq_recall_and_subset_of_probed_lists(ray_session):
         assert set(pruned[pruned.query_idx == i].vec_id) <= set(
             ds.to_pandas()["vec_id"])
         assert len(pruned[pruned.query_idx == i]) <= 10
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (within-cluster semantic pruning)
+# ---------------------------------------------------------------------------
+
+def _brute_semdedup(m: np.ndarray, clusters: np.ndarray, thr: float) -> set:
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    kept = set()
+    for i in range(len(m)):
+        earlier = [j for j in range(i)
+                   if clusters[j] == clusters[i] and float(mn[i] @ mn[j]) >= thr]
+        if not earlier:
+            kept.add(i)
+    return kept
+
+
+def test_semantic_dedup_label_matches_brute(clustered_embeddings):
+    m = clustered_embeddings
+    # cluster label = true generator cluster for the planted points, unique
+    # ids for the loners (no pruning possible among them)
+    clusters = np.concatenate([np.repeat(np.arange(50), 6),
+                               np.arange(1000, 1100)])
+    t = _emb_table(m).append_column("label", pa.array(clusters, pa.int64()))
+    ds = ray.data.from_arrow(t).repartition(7)
+    kept = S.semantic_dedup(ds, cluster_col="label", threshold=0.9).to_pandas()
+    want = _brute_semdedup(m, clusters, 0.9)
+    assert set(kept.vec_id) == want
+    # tight planted clusters must actually prune to ~1 survivor each
+    planted_kept = [i for i in want if i < 300]
+    assert len(planted_kept) < 150
+
+
+def test_semantic_dedup_kmeans_path_deterministic(clustered_embeddings):
+    m = clustered_embeddings
+    ds = ray.data.from_arrow(_emb_table(m))
+    a = S.semantic_dedup(ds, cluster_col=None, threshold=0.9, nlist=32)
+    b = S.semantic_dedup(ds.repartition(9), cluster_col=None,
+                         threshold=0.9, nlist=32)
+    ka = sorted(a.to_pandas().vec_id)
+    kb = sorted(b.to_pandas().vec_id)
+    assert ka == kb  # sample-trained but seeded + order-stable
+    assert 0 < len(ka) < len(m)  # prunes the planted near-dups, keeps loners
+
+
+def test_semantic_dedup_kmeans_drops_have_near_neighbor(clustered_embeddings):
+    """Every dropped vector must have an earlier >=thr neighbor SOMEWHERE
+    (cluster assignment can only make pruning more conservative)."""
+    m = clustered_embeddings
+    thr = 0.9
+    ds = ray.data.from_arrow(_emb_table(m))
+    kept = set(S.semantic_dedup(ds, cluster_col=None, threshold=thr,
+                                nlist=32).to_pandas().vec_id)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sim = mn @ mn.T
+    for i in range(len(m)):
+        if i not in kept:
+            assert (sim[i, :i] >= thr).any(), i
