@@ -795,6 +795,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return evaluation.blocking_stats(
             spr, cad, read_parquet_clean(p["labeled_pairs"]))
 
+    def match_incremental(sf_dir):
+        """Delta linkage: an 'old batch' (md5(id) split) is matched first;
+        the full registry then goes through match_incremental, which
+        re-scores only the residue. Per-probe independence makes the union
+        row-identical to the full-batch match — the same verified oracle."""
+        import pyarrow.compute as _ipc
+
+        spr, cad, _ = _registries(sf_dir)
+
+        def _old_half(b: pa.Table) -> pa.Table:
+            import hashlib as _h
+
+            keep = [_h.md5(str(v).encode()).hexdigest() < "8"
+                    for v in b.column("ADDRESS_ID").to_pylist()]
+            return b.filter(pa.array(keep, pa.bool_()))
+
+        prior = linkage.match_registries(
+            spr.map_batches(_old_half, batch_format="pyarrow"), cad,
+            PipelineConfig()).materialize()
+        return linkage.match_incremental(spr, cad, prior, PipelineConfig())
+
     def docs_minhash_dedup(sf_dir):
         ds = _read(sf_dir, "documents")
         return D.minhash_lsh_dedup(ds, "text", "doc_id", jaccard_threshold=0.7)["clusters"]
@@ -1012,6 +1033,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "engine_variant_pairs": engine_variant_pairs,
         "match_eval_f1": match_eval_f1,
         "match_blocking_stats": match_blocking_stats,
+        "match_incremental": match_incremental,
         "match_exact_full": match_exact_full,
         "match_exact_key_p2": match_exact_key_p2,
         "match_exact_pairs": match_exact_pairs,
@@ -1039,7 +1061,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_counts": docs_lang_counts,
         "docs_split_assign": docs_split_assign,
         "docs_quality_metrics": docs_quality_metrics,
-        "docs_source_stats": docs_source_stats,
         # -- core analytics / relational ops
         "lineitem_agg": lineitem_agg,
         "lineitem_rollup": lineitem_rollup,
@@ -1117,6 +1138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_price_quantiles_cont": orders_price_quantiles_cont,
         "docs_top_tokens": docs_top_tokens,
         "docs_hash_sample": docs_hash_sample,
+        "docs_source_stats": docs_source_stats,
         "embeddings_semdedup_ivf": embeddings_semdedup_ivf,
     }
 
@@ -1638,6 +1660,9 @@ def oracle_sql() -> dict[str, str]:
         "match_pairs": match_sql,
         # all fuzzy physical plans are row-identical; same oracle
         "match_pairs_shuffle_plan": match_sql,
+        # incremental = prior ∪ match(residue) is row-identical to the full
+        # batch (per-probe independence, unchanged cadastre); same oracle
+        "match_incremental": match_sql,
         # pairwise P/R/F1 of the full matcher vs the labeled fixture; the
         # predicted set is the SAME verified match-CTE chain, so the oracle
         # checks the metric arithmetic, not a re-derivation of the matcher

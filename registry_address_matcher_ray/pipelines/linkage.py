@@ -183,6 +183,30 @@ def match_registries(
     return _maybe_track(out, "match_rows", cfg)
 
 
+def match_incremental(
+    spr: ray.data.Dataset,
+    cad: ray.data.Dataset,
+    prior_matches: ray.data.Dataset,
+    config: Optional[PipelineConfig] = None,
+) -> ray.data.Dataset:
+    """Incremental linkage: match only probe records absent from a prior
+    match set, then union with it — the "new crawl snapshot arrived" path,
+    so a 100-TB re-run prices in only the delta.
+
+    Every phase of the matcher decides each probe row independently against
+    the full cadastre (exact joins are per-row, extractOne is per-probe, the
+    D2 pair-dedup is per-spr), so prior ∪ match(residue) is row-identical to
+    a full-batch re-match as long as the cadastre side is unchanged — the
+    property the oracle checks. The residue is one id anti-join
+    (O(prior) semi-join filter), never a re-score of matched rows.
+    """
+    from ..stages.analytics import unmatched_records
+
+    residue = unmatched_records(spr, prior_matches)
+    fresh = match_registries(residue, cad, config)
+    return prior_matches.union(fresh)
+
+
 def cluster_matches(
     matches: ray.data.Dataset, config: Optional[PipelineConfig] = None
 ) -> ray.data.Dataset:

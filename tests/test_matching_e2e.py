@@ -161,3 +161,31 @@ def test_shuffle_salting_hot_block(fixtures_small):
             assert np.allclose(a.astype(float), b.astype(float)), c
         else:
             assert (a.astype(str) == b.astype(str)).all(), c
+
+
+def test_match_incremental_equals_full_batch(fixtures_small, ray_session):
+    """prior ∪ match(residue) must be row-identical to the full-batch match
+    when the cadastre is unchanged (per-probe independence)."""
+    t = fixtures_small
+    spr = ray.data.from_arrow(t["registry_spr"])
+    cad = ray.data.from_arrow(t["registry_cad"])
+    full = linkage.match_registries(spr, cad, PipelineConfig()).to_pandas()
+
+    ids = sorted(t["registry_spr"].column("ADDRESS_ID").to_pylist())
+    old_ids = set(ids[: len(ids) // 2])
+
+    def _old(b):
+        import pyarrow as pa
+        keep = [v in old_ids for v in b.column("ADDRESS_ID").to_pylist()]
+        return b.filter(pa.array(keep, pa.bool_()))
+
+    prior = linkage.match_registries(
+        spr.map_batches(_old, batch_format="pyarrow"), cad,
+        PipelineConfig()).materialize()
+    assert 0 < prior.count() < len(full)
+    inc = linkage.match_incremental(spr, cad, prior, PipelineConfig()).to_pandas()
+    k = ["ADDRESS_ID_SPR", "ADDRESS_ID_CAD"]
+    pd.testing.assert_frame_equal(
+        full.sort_values(k).reset_index(drop=True)[sorted(full.columns)],
+        inc.sort_values(k).reset_index(drop=True)[sorted(full.columns)],
+    )
