@@ -495,6 +495,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
         return A.quality_classifier(ds, "text", "doc_id")
 
+    def docs_hash_embed_sparse(sf_dir):
+        """Feature-hashing embedder, sparse SQL-checkable form."""
+        ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+        return S.hash_embed_sparse(ds, "text", "doc_id", dim=64)
+
+    def docs_embed_semdedup(sf_dir):
+        """Composition: hash-embed docs, then SemDeDup over the k-means
+        coarse clusters (rows-only: sample-trained clustering)."""
+        ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+        emb = S.hash_embed(ds, "text", "doc_id", dim=64)
+        return S.semantic_dedup(emb, vec_col="embedding", id_col="doc_id",
+                                cluster_col=None, threshold=0.9, nlist=10)
+
     def docs_pii_redact(sf_dir):
         ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
         return A.pii_redact(ds, "text", "doc_id")
@@ -1054,8 +1067,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_chain_clusters": docs_chain_clusters,
         "docs_gopher_quality": docs_gopher_quality,
         "docs_quality_classifier": docs_quality_classifier,
+        "docs_hash_embed_sparse": docs_hash_embed_sparse,
         "docs_pii_redact": docs_pii_redact,
-        "docs_repetition_stats": docs_repetition_stats,
         "docs_tfidf_top3": docs_tfidf_top3,
         "docs_token_docfreq": docs_token_docfreq,
         "docs_lang_counts": docs_lang_counts,
@@ -1139,6 +1152,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_top_tokens": docs_top_tokens,
         "docs_hash_sample": docs_hash_sample,
         "docs_source_stats": docs_source_stats,
+        "docs_repetition_stats": docs_repetition_stats,
+        "docs_embed_semdedup": docs_embed_semdedup,
         "embeddings_semdedup_ivf": embeddings_semdedup_ivf,
     }
 
@@ -2267,6 +2282,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_lang_counts": """
             SELECT lang, count(*) AS cnt FROM documents GROUP BY lang
+        """,
+        # hashing-trick embedder: DuckDB md5_number_lower = LAST 8 digest
+        # bytes little-endian (verified), md5_number_upper = first 8 — the
+        # Python side replicates both exactly
+        "docs_hash_embed_sparse": """
+            WITH tok AS (
+                SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+                FROM documents
+            ), b AS (
+                SELECT doc_id,
+                       CAST(md5_number_lower(token) % 64 AS BIGINT) AS bucket,
+                       CASE WHEN md5_number_upper(token) % 2 = 0
+                            THEN 1.0 ELSE -1.0 END AS sgn
+                FROM tok WHERE token <> ''
+            ), s AS (
+                SELECT doc_id, bucket, sum(sgn) AS v
+                FROM b GROUP BY doc_id, bucket
+            ), n AS (
+                SELECT doc_id, sqrt(sum(v * v)) AS nrm FROM s GROUP BY doc_id
+            )
+            SELECT s.doc_id, s.bucket, round(s.v / n.nrm, 6) AS weight
+            FROM s JOIN n USING (doc_id)
+            WHERE s.v <> 0 AND n.nrm > 0
         """,
         # linear quality model: same features as quality_features()
         # (functions/textfns.py); keep/drop decided on z >= 0 both sides so

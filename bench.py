@@ -212,6 +212,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         )["clusters"].count()
         queries["minhash_dedup"] = round(time.time() - t0, 3)
 
+        # round-3: ExactSubstr volume stage (one shingle row per token)
+        t0 = time.time()
+        D.substring_dup_stats(
+            rio.read_parquet_clean(docs_path, columns=["doc_id", "text"]),
+            "text", "doc_id", k=8).count()
+        queries["substring_dedup"] = round(time.time() - t0, 3)
+
     if os.path.exists(emb_path):
         t0 = time.time()
         ds = rio.read_parquet_clean(emb_path)

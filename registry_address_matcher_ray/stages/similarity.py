@@ -598,3 +598,98 @@ def semantic_dedup(
                              "cluster": df["cluster"][keep]})
 
     return clustered.groupby("cluster").map_groups(_prune, batch_format="pandas")
+
+
+def _hash_buckets(tokens, dim: int, cache: dict):
+    """token -> (bucket, sign) via md5, matching DuckDB's md5_number_lower
+    (LAST 8 digest bytes, little-endian) and md5_number_upper (first 8, LE)
+    so the SQL oracle reproduces the trick bit-for-bit."""
+    import hashlib
+
+    for t in tokens:
+        if t not in cache:
+            d = hashlib.md5(t.encode()).digest()
+            bucket = int.from_bytes(d[8:], "little") % dim
+            sign = 1.0 if int.from_bytes(d[:8], "little") % 2 == 0 else -1.0
+            cache[t] = (bucket, sign)
+    return cache
+
+
+def hash_embed(
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    dim: int = 64,
+    out_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Feature-hashing document embedder (the hashing trick, Weinberger et
+    al. 2009): signed token counts folded into ``dim`` buckets, L2-normalized
+    — a deterministic, vocabulary-free stand-in for a learned encoder with
+    the production plumbing (stateless ``map_batches``, fixed-width
+    ``list<double>`` output ready for :func:`knn_brute` /
+    :func:`semantic_dedup`). Docs whose counts fully cancel (or with no
+    tokens) embed as the zero vector and are dropped.
+
+    Tokenization is ``lower().split(" ")`` with empties removed, matching
+    the sparse form's SQL oracle (``hash_embed_sparse``).
+    """
+
+    def _embed(batch: pa.Table) -> pa.Table:
+        cache: dict = {}
+        ids_out, vecs = [], []
+        for rid, txt in zip(batch.column(id_col).to_pylist(),
+                            batch.column(text_col).to_pylist()):
+            toks = [t for t in ("" if txt is None else txt).lower().split(" ") if t]
+            _hash_buckets(toks, dim, cache)
+            v = np.zeros(dim, dtype=np.float64)
+            for t in toks:
+                b, s = cache[t]
+                v[b] += s
+            nrm = float(np.linalg.norm(v))
+            if nrm > 0.0:
+                ids_out.append(rid)
+                vecs.append((v / nrm).tolist())
+        return pa.table({
+            id_col: pa.array(ids_out, batch.schema.field(id_col).type),
+            out_col: pa.array(vecs, pa.list_(pa.float64())),
+        })
+
+    return ds.map_batches(_embed, batch_format="pyarrow")
+
+
+def hash_embed_sparse(
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    dim: int = 64,
+    ndigits: int = 6,
+) -> ray.data.Dataset:
+    """Sparse (doc, bucket, weight) rows of :func:`hash_embed` — the
+    SQL-checkable form (DuckDB ``md5_number_lower/upper`` reproduce the
+    bucket and sign exactly). Zero-weight buckets are omitted."""
+
+    def _embed(batch: pa.Table) -> pa.Table:
+        cache: dict = {}
+        ids_out, buckets_out, w_out = [], [], []
+        for rid, txt in zip(batch.column(id_col).to_pylist(),
+                            batch.column(text_col).to_pylist()):
+            toks = [t for t in ("" if txt is None else txt).lower().split(" ") if t]
+            _hash_buckets(toks, dim, cache)
+            v = np.zeros(dim, dtype=np.float64)
+            for t in toks:
+                b, s = cache[t]
+                v[b] += s
+            nrm = float(np.linalg.norm(v))
+            if nrm <= 0.0:
+                continue
+            nz = np.nonzero(v)[0]
+            ids_out.extend([rid] * len(nz))
+            buckets_out.extend(nz.tolist())
+            w_out.extend(np.round(v[nz] / nrm, ndigits).tolist())
+        return pa.table({
+            id_col: pa.array(ids_out, batch.schema.field(id_col).type),
+            "bucket": pa.array(buckets_out, pa.int64()),
+            "weight": pa.array(w_out, pa.float64()),
+        })
+
+    return ds.map_batches(_embed, batch_format="pyarrow")

@@ -255,3 +255,44 @@ def test_semantic_dedup_kmeans_drops_have_near_neighbor(clustered_embeddings):
     for i in range(len(m)):
         if i not in kept:
             assert (sim[i, :i] >= thr).any(), i
+
+
+# ---------------------------------------------------------------------------
+# feature-hashing embedder
+# ---------------------------------------------------------------------------
+
+def test_hash_embed_unit_norm_and_dup_identity(ray_session):
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": ["the cat sat on the mat",
+                 "the cat sat on the mat",          # exact dup of 1
+                 "a completely different document about rockets",
+                 ""],                                # no tokens -> dropped
+    })
+    out = (S.hash_embed(ray.data.from_arrow(t), "text", "doc_id", dim=32)
+           .to_pandas().set_index("doc_id"))
+    assert set(out.index) == {1, 2, 3}  # empty doc dropped
+    v1 = np.asarray(out.loc[1, "embedding"])
+    v2 = np.asarray(out.loc[2, "embedding"])
+    v3 = np.asarray(out.loc[3, "embedding"])
+    assert np.allclose(np.linalg.norm(v1), 1.0)
+    assert np.array_equal(v1, v2)            # identical text, identical vector
+    assert abs(float(v1 @ v3)) < 0.9         # unrelated text, far apart
+
+
+def test_hash_embed_sparse_matches_dense(ray_session):
+    t = pa.table({
+        "doc_id": pa.array([7, 8], pa.int64()),
+        "text": ["alpha beta beta gamma gamma gamma",
+                 "delta epsilon zeta eta theta iota kappa"],
+    })
+    ds = ray.data.from_arrow(t)
+    dense = (S.hash_embed(ds, "text", "doc_id", dim=16)
+             .to_pandas().set_index("doc_id"))
+    sparse = S.hash_embed_sparse(ds, "text", "doc_id", dim=16).to_pandas()
+    for did in (7, 8):
+        v = np.asarray(dense.loc[did, "embedding"])
+        rows = sparse[sparse.doc_id == did]
+        assert set(rows.bucket) == set(np.nonzero(v)[0])
+        for r in rows.itertuples():
+            assert r.weight == round(float(v[r.bucket]), 6)
