@@ -808,6 +808,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return evaluation.blocking_stats(
             spr, cad, read_parquet_clean(p["labeled_pairs"]))
 
+    def match_review_queue(sf_dir):
+        """Active-learning feed: fuzzy winners in the uncertainty band
+        [threshold, threshold+10) — the lowest-confidence accepted matches a
+        labeling UI surfaces first (the reference has no such op; its UI
+        shows all matches unranked)."""
+        import pyarrow.compute as _pc2
+
+        spr, cad, _ = _registries(sf_dir)
+        m = linkage.match_registries(spr, cad, PipelineConfig())
+
+        def _band(b: pa.Table) -> pa.Table:
+            fuzzy = _pc2.starts_with(b.column("MATCH_TYPE"), "FUZZY")
+            band = _pc2.less(b.column("MATCH_SCORE"), 95.0)
+            return b.filter(_pc2.and_(fuzzy, band))
+
+        return m.map_batches(_band, batch_format="pyarrow")
+
     def match_incremental(sf_dir):
         """Delta linkage: an 'old batch' (md5(id) split) is matched first;
         the full registry then goes through match_incremental, which
@@ -1047,6 +1064,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_eval_f1": match_eval_f1,
         "match_blocking_stats": match_blocking_stats,
         "match_incremental": match_incremental,
+        "match_review_queue": match_review_queue,
         "match_exact_full": match_exact_full,
         "match_exact_key_p2": match_exact_key_p2,
         "match_exact_pairs": match_exact_pairs,
@@ -1080,7 +1098,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_nation_revenue": lineitem_nation_revenue,
         "lineitem_ntile4": lineitem_ntile4,
         "lineitem_topk": lineitem_topk,
-        "lineitem_weighted_discount": lineitem_weighted_discount,
         "orders_price_quantiles": orders_price_quantiles,
         "orders_price_stats": orders_price_stats,
         "orders_running_price": orders_running_price,
@@ -1153,6 +1170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_hash_sample": docs_hash_sample,
         "docs_source_stats": docs_source_stats,
         "docs_repetition_stats": docs_repetition_stats,
+        "lineitem_weighted_discount": lineitem_weighted_discount,
         "docs_embed_semdedup": docs_embed_semdedup,
         "embeddings_semdedup_ivf": embeddings_semdedup_ivf,
     }
@@ -1678,6 +1696,10 @@ def oracle_sql() -> dict[str, str]:
         # incremental = prior ∪ match(residue) is row-identical to the full
         # batch (per-probe independence, unchanged cadastre); same oracle
         "match_incremental": match_sql,
+        "match_review_queue": f"""
+            SELECT * FROM ({match_sql})
+            WHERE "MATCH_TYPE" LIKE 'FUZZY%' AND "MATCH_SCORE" < 95.0
+        """,
         # pairwise P/R/F1 of the full matcher vs the labeled fixture; the
         # predicted set is the SAME verified match-CTE chain, so the oracle
         # checks the metric arithmetic, not a re-derivation of the matcher
