@@ -486,6 +486,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
         return D.substring_dup_stats(ds, "text", "doc_id", k=8)
 
+    def docs_substring_rewrite(sf_dir):
+        """ExactSubstr removal: duplicated k-token spans dropped, first
+        occurrence kept (stages/dedup.py substring_dedup_rewrite)."""
+        ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+        return D.substring_dedup_rewrite(ds, "text", "doc_id", k=8)
+
     def docs_gopher_quality(sf_dir):
         ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
         return A.gopher_quality(ds, "text", "doc_id")
@@ -1077,6 +1083,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_keep_longest_dedup": docs_keep_longest_dedup,
         "docs_line_dedup": docs_line_dedup,
         "docs_substring_dup": docs_substring_dup,
+        "docs_substring_rewrite": docs_substring_rewrite,
         "docs_ngram_jaccard_matrix": docs_ngram_jaccard_matrix,
         "embeddings_knn": embeddings_knn,
         "embeddings_ivf_knn": embeddings_ivf_knn,
@@ -1102,7 +1109,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_price_stats": orders_price_stats,
         "orders_running_price": orders_running_price,
         "events_sessionized": events_sessionized,
-        "events_tumbling_15m": events_tumbling_15m,
         "events_asof_orders": events_asof_orders,
         "events_orders_range_count": events_orders_range_count,
         "customer_order_counts": customer_order_counts,
@@ -1171,6 +1177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_source_stats": docs_source_stats,
         "docs_repetition_stats": docs_repetition_stats,
         "lineitem_weighted_discount": lineitem_weighted_discount,
+        "events_tumbling_15m": events_tumbling_15m,
         "docs_embed_semdedup": docs_embed_semdedup,
         "embeddings_semdedup_ivf": embeddings_semdedup_ivf,
     }
@@ -2221,6 +2228,46 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(greatest(1, len(t.ts)) AS DOUBLE), 6)
                        AS dup_token_fraction
             FROM tok t LEFT JOIN nds n USING (doc_id) LEFT JOIN cov c USING (doc_id)
+        """,
+        # ExactSubstr REMOVAL: case-sensitive tokens; winner = global min
+        # (doc_id, pos) per duplicated shingle; losers delete their k tokens
+        "docs_substring_rewrite": """
+            WITH tok AS (
+                SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ts
+                FROM documents
+            ), sh AS (
+                SELECT doc_id, ts,
+                       unnest(generate_series(1, len(ts) - 7)) AS pos
+                FROM tok
+            ), sh2 AS (
+                SELECT doc_id, pos, array_to_string(ts[pos:pos+7], ' ') AS s
+                FROM sh
+            ), dup AS (
+                SELECT s FROM sh2 GROUP BY s HAVING count(*) >= 2
+            ), occ AS (
+                SELECT sh2.doc_id, sh2.pos, sh2.s FROM sh2 JOIN dup USING (s)
+            ), win AS (
+                SELECT s, min(doc_id * 4294967296 + pos) AS w FROM occ GROUP BY s
+            ), loser AS (
+                SELECT o.doc_id, o.pos FROM occ o JOIN win ON win.s = o.s
+                WHERE o.doc_id * 4294967296 + o.pos <> win.w
+            ), cov AS (
+                SELECT DISTINCT doc_id, j FROM (
+                    SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS j
+                    FROM loser)
+            ), toks AS (
+                SELECT doc_id, unnest(ts) AS tokv,
+                       generate_subscripts(ts, 1) AS j
+                FROM tok
+            ), kept AS (
+                SELECT t.doc_id, t.tokv, t.j FROM toks t
+                LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.j = t.j
+                WHERE c.j IS NULL
+            )
+            SELECT tok.doc_id, coalesce(k2.text, '') AS text
+            FROM tok LEFT JOIN (
+                SELECT doc_id, string_agg(tokv, ' ' ORDER BY j) AS text
+                FROM kept GROUP BY doc_id) k2 USING (doc_id)
         """,
         # gopher_signals transcription (functions/textfns.py): integer-ratio
         # doubles reproduce bit-identically under SQL division

@@ -809,6 +809,59 @@ def _rolling_windows(h: np.ndarray, k: int, a: int, inv_a: int) -> np.ndarray:
     return (prefix[k:] - prefix[: n - k + 1]) * inv_pows
 
 
+def _tok_split(t, lowercase: bool) -> List[str]:
+    t = "" if t is None else t
+    return (t.lower() if lowercase else t).split(" ")
+
+
+def _token_hashes(ts: List[str], cache: dict) -> Tuple[np.ndarray, np.ndarray]:
+    import hashlib
+
+    for t in ts:
+        if t not in cache:
+            d = hashlib.blake2b(t.encode(), digest_size=16).digest()
+            cache[t] = (int.from_bytes(d[:8], "little"),
+                        int.from_bytes(d[8:], "little"))
+    h = np.array([cache[t] for t in ts], dtype=np.uint64)
+    return h[:, 0], h[:, 1]
+
+
+def _shingle_batch(b: pa.Table, text_col: str, id_col: str, k: int,
+                   lowercase: bool) -> pa.Table:
+    """One (id, pos, d1, d2) row per k-token window of every doc in the batch
+    — the shared volume stage of the ExactSubstr family (stats + rewrite)."""
+    cache: dict = {}
+    ids_out, pos_out, d1_out, d2_out = [], [], [], []
+    for rid, txt in zip(b.column(id_col).to_pylist(),
+                        b.column(text_col).to_pylist()):
+        ts = _tok_split(txt, lowercase)
+        n = len(ts)
+        if n < k:
+            continue
+        h1, h2 = _token_hashes(ts, cache)
+        # int64 view of the uint64 lanes: bit-identical keys, and
+        # Ray's hash shuffle handles int64 natively (uint64 falls back
+        # to pickled-object blocks, which breaks the Arrow join)
+        d1_out.append(_rolling_windows(h1, k, _RH_A1, _RH_INV1).view(np.int64))
+        d2_out.append(_rolling_windows(h2, k, _RH_A2, _RH_INV2).view(np.int64))
+        pos_out.append(np.arange(n - k + 1, dtype=np.int64))
+        ids_out.append(np.full(n - k + 1, rid))
+    if not ids_out:
+        return pa.table({
+            id_col: pa.array([], b.schema.field(id_col).type),
+            "pos": pa.array([], pa.int64()),
+            "d1": pa.array([], pa.int64()),
+            "d2": pa.array([], pa.int64()),
+        })
+    return pa.table({
+        id_col: pa.array(np.concatenate(ids_out)).cast(
+            b.schema.field(id_col).type),
+        "pos": pa.array(np.concatenate(pos_out), pa.int64()),
+        "d1": pa.array(np.concatenate(d1_out), pa.int64()),
+        "d2": pa.array(np.concatenate(d2_out), pa.int64()),
+    })
+
+
 def substring_dup_stats(
     ds: ray.data.Dataset,
     text_col: str,
@@ -836,50 +889,10 @@ def substring_dup_stats(
     """
 
     def _tok(t) -> List[str]:
-        return ("" if t is None else t).lower().split(" ")
-
-    def _token_hashes(ts: List[str], cache: dict) -> Tuple[np.ndarray, np.ndarray]:
-        import hashlib
-
-        for t in ts:
-            if t not in cache:
-                d = hashlib.blake2b(t.encode(), digest_size=16).digest()
-                cache[t] = (int.from_bytes(d[:8], "little"),
-                            int.from_bytes(d[8:], "little"))
-        h = np.array([cache[t] for t in ts], dtype=np.uint64)
-        return h[:, 0], h[:, 1]
+        return _tok_split(t, lowercase=True)
 
     def _shingles(b: pa.Table) -> pa.Table:
-        cache: dict = {}
-        ids_out, pos_out, d1_out, d2_out = [], [], [], []
-        for rid, txt in zip(b.column(id_col).to_pylist(),
-                            b.column(text_col).to_pylist()):
-            ts = _tok(txt)
-            n = len(ts)
-            if n < k:
-                continue
-            h1, h2 = _token_hashes(ts, cache)
-            # int64 view of the uint64 lanes: bit-identical keys, and
-            # Ray's hash shuffle handles int64 natively (uint64 falls back
-            # to pickled-object blocks, which breaks the Arrow join)
-            d1_out.append(_rolling_windows(h1, k, _RH_A1, _RH_INV1).view(np.int64))
-            d2_out.append(_rolling_windows(h2, k, _RH_A2, _RH_INV2).view(np.int64))
-            pos_out.append(np.arange(n - k + 1, dtype=np.int64))
-            ids_out.append(np.full(n - k + 1, rid))
-        if not ids_out:
-            return pa.table({
-                id_col: pa.array([], b.schema.field(id_col).type),
-                "pos": pa.array([], pa.int64()),
-                "d1": pa.array([], pa.int64()),
-                "d2": pa.array([], pa.int64()),
-            })
-        return pa.table({
-            id_col: pa.array(np.concatenate(ids_out)).cast(
-                b.schema.field(id_col).type),
-            "pos": pa.array(np.concatenate(pos_out), pa.int64()),
-            "d1": pa.array(np.concatenate(d1_out), pa.int64()),
-            "d2": pa.array(np.concatenate(d2_out), pa.int64()),
-        })
+        return _shingle_batch(b, text_col, id_col, k, lowercase=True)
 
     def _base(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -959,3 +972,126 @@ def substring_dup_stats(
         })
 
     return joined.map_batches(_finish, batch_format="pyarrow")
+
+
+def substring_dedup_rewrite(
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    num_partitions: Optional[int] = None,
+) -> ray.data.Dataset:
+    """Rewrite docs with duplicated k-token spans REMOVED, first occurrence
+    kept — the removal half of Lee et al.'s ExactSubstr (the stats half is
+    :func:`substring_dup_stats`).
+
+    Rule (deterministic, SQL-checkable): for every shingle text occurring
+    >= 2 times corpus-wide, the globally-first occurrence (min
+    ``(doc_id, pos)``) is the winner; every other occurrence marks its k
+    tokens for deletion. A doc's output text is its surviving tokens joined
+    by a single space (possibly ``""``). Tokenization is case-SENSITIVE
+    ``split(" ")`` so the rewrite preserves the original token bytes.
+
+    Scale shape: same ids-only shingle volume stage and 128-bit-key shuffle
+    as the stats op; the winner per duplicate group is one
+    ``groupby.min`` over a packed ``doc_id * 2^32 + pos`` int64 (requires
+    integer ids < 2^31, asserted); loser spans join back on the key; token
+    deletion runs per doc over its loser spans only.
+    """
+
+    def _shingles(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col)
+        if b.num_rows:
+            mx = pc.max(pc.cast(ids, pa.int64())).as_py()
+            assert mx is None or 0 <= mx < (1 << 31), "doc id must fit in int32"
+        return _shingle_batch(b, text_col, id_col, k, lowercase=False)
+
+    sh = ds.map_batches(_shingles, batch_format="pyarrow").materialize()
+    if num_partitions is None:
+        num_partitions = _winner_join_partitions(sh)
+
+    dup_keys = (
+        sh.groupby(["d1", "d2"]).count()
+        .map_batches(lambda b: b.rename_columns(["d1", "d2", "cnt"]),
+                     batch_format="pyarrow")
+        .filter(expr="cnt >= 2")
+        .map_batches(lambda b: b.select(["d1", "d2"]), batch_format="pyarrow")
+        .materialize()
+    )
+
+    if dup_keys.count() == 0:
+        def _ident(b: pa.Table) -> pa.Table:
+            return pa.table({id_col: b.column(id_col),
+                             text_col: pc.fill_null(
+                                 pc.cast(b.column(text_col), pa.string()), "")})
+        return ds.map_batches(_ident, batch_format="pyarrow")
+
+    def _pack(b: pa.Table) -> pa.Table:
+        packed = pc.add(
+            pc.multiply(pc.cast(b.column(id_col), pa.int64()), 1 << 32),
+            b.column("pos"))
+        return b.append_column("_packed", packed)
+
+    occ = (sh.join(dup_keys, join_type="inner", num_partitions=num_partitions,
+                   on=("d1", "d2"))
+           .map_batches(_pack, batch_format="pyarrow").materialize())
+
+    from .analytics import ensure_arrow_schema
+
+    # hash aggregates emit column-less blocks for empty partitions; pin the
+    # schema and repartition them away before the join (ray-data-gotchas)
+    winners = ensure_arrow_schema(
+        occ.map_batches(lambda b: b.select(["d1", "d2", "_packed"]),
+                        batch_format="pyarrow")
+        .groupby(["d1", "d2"]).min("_packed")
+        .map_batches(lambda b: b.rename_columns(["d1", "d2", "_w"]),
+                     batch_format="pyarrow"),
+        pa.schema([("d1", pa.int64()), ("d2", pa.int64()),
+                   ("_w", pa.int64())])).repartition(num_partitions)
+
+    losers = (occ.join(winners, join_type="inner",
+                       num_partitions=num_partitions, on=("d1", "d2"))
+              .map_batches(
+                  lambda b: b.filter(pc.not_equal(b.column("_packed"),
+                                                  b.column("_w")))
+                             .select([id_col, "pos"]),
+                  batch_format="pyarrow"))
+
+    def _spans(df: pd.DataFrame) -> pd.DataFrame:
+        # comma-joined string: Acero joins reject list-typed payload columns
+        starts = ",".join(map(str, np.sort(df["pos"].to_numpy()).tolist()))
+        return pd.DataFrame({
+            id_col: [df[id_col].iloc[0]],
+            "_starts": [starts],
+        })
+
+    per_doc = ensure_arrow_schema(
+        losers.groupby(id_col).map_groups(_spans, batch_format="pandas"),
+        pa.schema([(id_col, sh.schema().base_schema.field(id_col).type),
+                   ("_starts", pa.string())])).repartition(num_partitions)
+
+    joined = ds.map_batches(
+        lambda b: pa.table({id_col: b.column(id_col),
+                            text_col: pc.fill_null(
+                                pc.cast(b.column(text_col), pa.string()), "")}),
+        batch_format="pyarrow",
+    ).join(per_doc, join_type="left_outer", num_partitions=num_partitions,
+           on=(id_col,))
+
+    def _rewrite(b: pa.Table) -> pa.Table:
+        texts = b.column(text_col).to_pylist()
+        starts_col = b.column("_starts").to_pylist()
+        out = []
+        for txt, starts in zip(texts, starts_col):
+            if not starts:
+                out.append(txt)
+                continue
+            ts = txt.split(" ")
+            drop = np.zeros(len(ts), dtype=bool)
+            for st in map(int, starts.split(",")):
+                drop[st:st + k] = True
+            out.append(" ".join(t for t, d in zip(ts, drop) if not d))
+        return pa.table({id_col: b.column(id_col),
+                         text_col: pa.array(out, pa.string())})
+
+    return joined.map_batches(_rewrite, batch_format="pyarrow")

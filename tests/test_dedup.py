@@ -288,3 +288,59 @@ def test_substring_dup_stats_partition_invariance(docs, ray_session):
             D.substring_dup_stats(ds, "text", "doc_id", k=5)
             .to_pandas().sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def _brute_substring_rewrite(texts: dict, k: int) -> dict:
+    import collections
+
+    cnt = collections.Counter()
+    occs = []
+    toks = {d: (t or "").split(" ") for d, t in texts.items()}
+    for d in sorted(toks):
+        ts = toks[d]
+        for i in range(len(ts) - k + 1):
+            s = " ".join(ts[i:i + k])
+            cnt[s] += 1
+            occs.append((d, i, s))
+    winner = {}
+    for d, i, s in occs:
+        if cnt[s] >= 2 and s not in winner:
+            winner[s] = (d, i)
+    out = {}
+    for d in sorted(toks):
+        ts = toks[d]
+        drop = [False] * len(ts)
+        for dd, i, s in occs:
+            if dd == d and cnt[s] >= 2 and winner[s] != (dd, i):
+                for j in range(i, min(len(ts), i + k)):
+                    drop[j] = True
+        out[d] = " ".join(t for t, x in zip(ts, drop) if not x)
+    return out
+
+
+def test_substring_rewrite_brute_parity(docs, ray_session):
+    k = 5
+    ds = ray.data.from_pandas(docs[["doc_id", "text"]]).repartition(6)
+    got = (D.substring_dedup_rewrite(ds, "text", "doc_id", k=k)
+           .to_pandas().set_index("doc_id")["text"].to_dict())
+    want = _brute_substring_rewrite(dict(zip(docs.doc_id, docs.text)), k)
+    assert got == want
+    # the planted exact copies must have lost their duplicated spans while
+    # their originals (lower doc_id -> winners) kept the text
+    originals = docs[docs.dup_group >= 0].groupby("dup_group").doc_id.min()
+    copies = docs[docs.dup_group >= 0].groupby("dup_group").doc_id.max()
+    assert all(got[o] == docs.set_index("doc_id").text[o] for o in originals)
+    assert all(len(got[c]) < len(docs.set_index("doc_id").text[c]) for c in copies)
+
+
+def test_substring_rewrite_all_unique_is_identity(ray_session):
+    t = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": ["alpha beta gamma delta epsilon zeta",
+                 "one two three four five six seven"],
+    })
+    got = (D.substring_dedup_rewrite(ray.data.from_arrow(t), "text",
+                                     "doc_id", k=3)
+           .to_pandas().set_index("doc_id")["text"].to_dict())
+    assert got == {1: "alpha beta gamma delta epsilon zeta",
+                   2: "one two three four five six seven"}
