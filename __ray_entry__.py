@@ -148,6 +148,10 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from registry_address_matcher_ray.stages import analytics as A
+
+    def sampling_mod():
+        from registry_address_matcher_ray.stages import sampling
+        return sampling
     from registry_address_matcher_ray.stages import dedup as D
     from registry_address_matcher_ray.stages import similarity as S
     from registry_address_matcher_ray.stages import matching, cluster
@@ -628,6 +632,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from registry_address_matcher_ray.stages import sampling
         return sampling.hash_split(_read(sf_dir, "documents"), "doc_id")
 
+    def docs_chunks(sf_dir):
+        """Fixed-token training chunks with overlap (stages/sampling.py)."""
+        ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+        return sampling_mod().chunk_documents(ds, "text", "doc_id",
+                                              chunk_tokens=40, overlap=8)
+
+    def docs_source_mix(sf_dir):
+        """Weighted source mixing: keep 25%/50%/0% of three sources, all of
+        the rest (deterministic md5 thresholds)."""
+        ds = _read(sf_dir, "documents")
+        return sampling_mod().source_mix(
+            ds, "source", "doc_id",
+            weights={"src0": 0.25, "src1": 0.5, "src2": 0.0})
+
+    def docs_token_shards(sf_dir):
+        """Token-budget sharding via the distributed prefix scan."""
+        ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+        return sampling_mod().token_shards(ds, "text", "doc_id", budget=5000)
+
     def docs_hash_sample(sf_dir):
         """~10% deterministic stratified sample (md5 hex threshold)."""
         from registry_address_matcher_ray.stages import sampling
@@ -1098,20 +1121,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_token_docfreq": docs_token_docfreq,
         "docs_lang_counts": docs_lang_counts,
         "docs_split_assign": docs_split_assign,
+        "docs_chunks": docs_chunks,
+        "docs_source_mix": docs_source_mix,
+        "docs_token_shards": docs_token_shards,
         "docs_quality_metrics": docs_quality_metrics,
         # -- core analytics / relational ops
         "lineitem_agg": lineitem_agg,
         "lineitem_rollup": lineitem_rollup,
         "lineitem_nation_revenue": lineitem_nation_revenue,
         "lineitem_ntile4": lineitem_ntile4,
-        "lineitem_topk": lineitem_topk,
         "orders_price_quantiles": orders_price_quantiles,
         "orders_price_stats": orders_price_stats,
         "orders_running_price": orders_running_price,
         "events_sessionized": events_sessionized,
-        "events_asof_orders": events_asof_orders,
         "events_orders_range_count": events_orders_range_count,
-        "customer_order_counts": customer_order_counts,
         # crawl-URL family representative (canonical-URL dedup — the web-scale
         # pre-pass of the north-star pipeline)
         "pages_url_dedup": pages_url_dedup,
@@ -1178,6 +1201,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_repetition_stats": docs_repetition_stats,
         "lineitem_weighted_discount": lineitem_weighted_discount,
         "events_tumbling_15m": events_tumbling_15m,
+        "lineitem_topk": lineitem_topk,
+        "events_asof_orders": events_asof_orders,
+        "customer_order_counts": customer_order_counts,
         "docs_embed_semdedup": docs_embed_semdedup,
         "embeddings_semdedup_ivf": embeddings_semdedup_ivf,
     }
@@ -2374,6 +2400,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.doc_id, s.bucket, round(s.v / n.nrm, 6) AS weight
             FROM s JOIN n USING (doc_id)
             WHERE s.v <> 0 AND n.nrm > 0
+        """,
+        # fixed-token chunking: step = 40-8 = 32; chunk count
+        # m = 1 + ceil(max(0, n-40)/32); DuckDB list slices are 1-based incl.
+        "docs_chunks": """
+            WITH tok AS (
+                SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ts
+                FROM documents
+            ), m AS (
+                SELECT doc_id, ts, len(ts) AS n,
+                       1 + CAST(ceil(greatest(0, len(ts) - 40) / 32.0)
+                                AS BIGINT) AS m
+                FROM tok
+            ), c AS (
+                SELECT doc_id, ts, n,
+                       unnest(generate_series(0, m - 1)) AS i
+                FROM m
+            )
+            SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+                   array_to_string(ts[i*32 + 1 : least(n, i*32 + 40)], ' ')
+                       AS text,
+                   CAST(least(n, i*32 + 40) - i*32 AS BIGINT) AS n_tokens
+            FROM c
+        """,
+        # weighted source mixing: md5 hex-prefix thresholds per source
+        # (0.25 -> 0x4000, 0.5 -> 0x8000, 0.0 -> none, default keep all)
+        "docs_source_mix": """
+            SELECT * FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+                  CASE source WHEN 'src0' THEN '4000'
+                              WHEN 'src1' THEN '8000'
+                              WHEN 'src2' THEN '0000'
+                              ELSE 'zzzz' END
+        """,
+        # token-budget shards: exclusive running token count / 5000
+        "docs_token_shards": """
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len(string_split(coalesce(text, ''), ' '))
+                            AS BIGINT) AS n_tokens
+                FROM documents
+            ), r AS (
+                SELECT doc_id, n_tokens,
+                       sum(n_tokens) OVER (ORDER BY doc_id) AS run
+                FROM t
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(floor((run - n_tokens) * 1.0 / 5000) AS BIGINT)
+                       AS shard
+            FROM r
         """,
         # linear quality model: same features as quality_features()
         # (functions/textfns.py); keep/drop decided on z >= 0 both sides so

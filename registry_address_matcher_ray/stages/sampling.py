@@ -116,3 +116,123 @@ def per_key_topn(
     proj = ds.select_columns(cols) if cols else ds
     partial = proj.map_batches(_local_topn, batch_format="pandas")
     return partial.groupby(key_col).map_groups(_local_topn, batch_format="pandas")
+
+
+def chunk_documents(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 40,
+    overlap: int = 8,
+) -> "ray.data.Dataset":
+    """Split docs into fixed-token training chunks with overlap — the
+    standard LM-corpus prep step (context-window packing input). Chunk
+    starts step by ``chunk_tokens - overlap``; the final chunk is the first
+    one reaching the doc's end (no trailing fragment that would duplicate
+    only overlap tokens). Every doc yields >= 1 chunk; tokenization is
+    case-sensitive ``split(" ")`` so chunks keep original bytes and the
+    DuckDB oracle slices the same positions.
+
+    Output: ``(id_col, chunk_id, text, n_tokens)``. Stateless per-row
+    flat-map — no shuffle at any scale.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    step = chunk_tokens - overlap
+    assert step > 0, "overlap must be smaller than chunk_tokens"
+
+    def _chunks(batch: pa.Table) -> pa.Table:
+        ids_out, cid_out, txt_out, n_out = [], [], [], []
+        for rid, txt in zip(batch.column(id_col).to_pylist(),
+                            batch.column(text_col).to_pylist()):
+            ts = ("" if txt is None else txt).split(" ")
+            n = len(ts)
+            m = 1 + int(np.ceil(max(0, n - chunk_tokens) / step))
+            for i in range(m):
+                s = i * step
+                piece = ts[s:s + chunk_tokens]
+                ids_out.append(rid)
+                cid_out.append(i)
+                txt_out.append(" ".join(piece))
+                n_out.append(len(piece))
+        return pa.table({
+            id_col: pa.array(ids_out, batch.schema.field(id_col).type),
+            "chunk_id": pa.array(cid_out, pa.int64()),
+            "text": pa.array(txt_out, pa.string()),
+            "n_tokens": pa.array(n_out, pa.int64()),
+        })
+
+    return ds.map_batches(_chunks, batch_format="pyarrow")
+
+
+def source_mix(
+    ds: "ray.data.Dataset",
+    source_col: str,
+    id_col: str,
+    weights: dict,
+    default_weight: float = 1.0,
+) -> "ray.data.Dataset":
+    """Weighted data mixing: keep ~``weights[source]`` of each source's rows
+    (1.0 = all), decided per row by the same deterministic md5(id) hex
+    threshold :func:`hash_split` uses — shuffle-free, stratification exact in
+    expectation within every source, identical output at any parallelism.
+    Oracle: ``substr(md5(CAST(id AS VARCHAR)), 1, 4) < printf('%04x', w*65536)``.
+    """
+    import pyarrow as pa
+
+    bounds = {s: format(min(65536, int(w * 65536)), "04x")
+              for s, w in weights.items()}
+    if int(default_weight * 65536) >= 65536:
+        default_bound = "zzzz"  # above any hex digest prefix -> keep all
+    else:
+        default_bound = format(int(default_weight * 65536), "04x")
+
+    def _flt(batch: pa.Table) -> pa.Table:
+        hx = _md5_prefix4(batch.column(id_col).to_pylist())
+        srcs = batch.column(source_col).to_pylist()
+        keep = [h < bounds.get(s, default_bound) for h, s in zip(hx, srcs)]
+        return batch.filter(pa.array(keep, pa.bool_()))
+
+    return ds.map_batches(_flt, batch_format="pyarrow")
+
+
+def token_shards(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    budget: int = 10_000,
+) -> "ray.data.Dataset":
+    """Assign each doc to a token-budget shard: shard = floor(exclusive
+    running token count / budget) under ``ORDER BY id`` — how a corpus is
+    cut into ~equal-token output files for training. Rides the distributed
+    prefix scan (:func:`analytics.global_running_sum`): one sort + an
+    O(#blocks) metadata pass, no row ever reaches the driver.
+
+    Output: ``(id_col, n_tokens, shard)``.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .analytics import global_running_sum
+
+    def _ntok(batch: pa.Table) -> pa.Table:
+        n = [len(("" if t is None else t).split(" "))
+             for t in batch.column(text_col).to_pylist()]
+        return pa.table({id_col: batch.column(id_col),
+                         "n_tokens": pa.array(n, pa.int64())})
+
+    counted = ds.map_batches(_ntok, batch_format="pyarrow")
+    running = global_running_sum(counted, [id_col], "n_tokens",
+                                 out_col="_run", scale=1)
+
+    def _shard(batch: pa.Table) -> pa.Table:
+        run = pc.cast(batch.column("_run"), pa.int64())
+        excl = pc.subtract(run, batch.column("n_tokens"))
+        shard = pc.cast(pc.floor(pc.divide(
+            pc.cast(excl, pa.float64()), float(budget))), pa.int64())
+        return pa.table({id_col: batch.column(id_col),
+                         "n_tokens": batch.column("n_tokens"),
+                         "shard": shard})
+
+    return running.map_batches(_shard, batch_format="pyarrow")

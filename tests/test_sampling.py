@@ -67,3 +67,69 @@ def test_per_key_topn_matches_pandas():
         .sort_values(["k", "id"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got[["k", "v", "id"]], exp[["k", "v", "id"]])
+
+
+def test_chunk_documents_covers_and_overlaps(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from registry_address_matcher_ray.stages import sampling
+
+    words = " ".join(f"w{i}" for i in range(100))
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": [words, "short doc"]})
+    out = (sampling.chunk_documents(ray.data.from_arrow(t), "text", "doc_id",
+                                    chunk_tokens=40, overlap=8)
+           .to_pandas().sort_values(["doc_id", "chunk_id"]))
+    d1 = out[out.doc_id == 1]
+    # starts step by 32; 100 tokens -> m = 1 + ceil(60/32) = 3 chunks
+    assert list(d1.chunk_id) == [0, 1, 2]
+    assert list(d1.n_tokens) == [40, 40, 36]
+    toks = words.split(" ")
+    assert d1.iloc[0].text == " ".join(toks[0:40])
+    assert d1.iloc[1].text == " ".join(toks[32:72])
+    assert d1.iloc[2].text == " ".join(toks[64:100])
+    d2 = out[out.doc_id == 2]
+    assert len(d2) == 1 and d2.iloc[0].text == "short doc"
+
+
+def test_source_mix_rates_and_determinism(ray_session):
+    import hashlib
+    import pandas as pd
+    import ray.data
+    from registry_address_matcher_ray.stages import sampling
+
+    df = pd.DataFrame({
+        "doc_id": range(2000),
+        "source": ["a" if i % 2 == 0 else "b" for i in range(2000)],
+    })
+    ds = ray.data.from_pandas(df).repartition(5)
+    kept = sampling.source_mix(ds, "source", "doc_id",
+                               weights={"a": 0.25}).to_pandas()
+    # b untouched, a ~25% (exact: per-row md5 predicate)
+    assert (kept[kept.source == "b"].shape[0]) == 1000
+    expect_a = sum(1 for i in range(0, 2000, 2)
+                   if hashlib.md5(str(i).encode()).hexdigest()[:4] < "4000")
+    assert kept[kept.source == "a"].shape[0] == expect_a
+    assert 0.15 < expect_a / 1000 < 0.35
+
+
+def test_token_shards_budget_and_order(ray_session):
+    import pandas as pd
+    import ray.data
+    from registry_address_matcher_ray.stages import sampling
+
+    df = pd.DataFrame({
+        "doc_id": range(100),
+        "text": [" ".join(["t"] * (7 + i % 13)) for i in range(100)],
+    })
+    out = (sampling.token_shards(ray.data.from_pandas(df).repartition(7),
+                                 "text", "doc_id", budget=50)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # shards non-decreasing in doc order, start at 0
+    assert out.shard.iloc[0] == 0
+    assert (out.shard.diff().fillna(0) >= 0).all()
+    # exclusive-prefix rule: doc assigned to the shard its first token is in
+    run = 0
+    for r in out.itertuples():
+        assert r.shard == run // 50, r
+        run += r.n_tokens
