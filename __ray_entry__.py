@@ -496,6 +496,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
         return D.substring_dedup_rewrite(ds, "text", "doc_id", k=8)
 
+    def _bench_slice(ds):
+        """The md5-'test' slice of documents (hash_split's rest bucket) as a
+        stand-in benchmark set for decontamination queries."""
+        import hashlib as _hl
+
+        def _f(b):
+            import pyarrow as _pa
+            keep = [_hl.md5(str(v).encode()).hexdigest()[:4] >= "e666"
+                    for v in b.column("doc_id").to_pylist()]
+            return b.filter(_pa.array(keep))
+
+        return ds.map_batches(_f, batch_format="pyarrow")
+
+    def docs_decontaminate_stats(sf_dir):
+        """GPT-3/Pile-style benchmark decontamination stats at k=8 tokens
+        (stages/dedup.py contamination_stats): per-doc count of 8-gram
+        shingles shared with the benchmark slice (md5 test split)."""
+        ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+        return D.contamination_stats(ds, _bench_slice(ds), "text", "doc_id",
+                                     k=8)
+
+    def docs_decontaminated(sf_dir):
+        """Surviving corpus ids after decontamination against the md5-test
+        benchmark slice (stages/dedup.py decontaminate)."""
+        ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+        return (D.decontaminate(ds, _bench_slice(ds), "text", "doc_id", k=8)
+                .select_columns(["doc_id"]))
+
     def docs_gopher_quality(sf_dir):
         ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
         return A.gopher_quality(ds, "text", "doc_id")
@@ -1102,11 +1130,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spr_token_block_sizes": spr_token_block_sizes,
         # -- §2.13 training-data family, one per sub-family
         "docs_exact_dedup": docs_exact_dedup,
-        "docs_fingerprint_dedup": docs_fingerprint_dedup,
         "docs_keep_longest_dedup": docs_keep_longest_dedup,
         "docs_line_dedup": docs_line_dedup,
         "docs_substring_dup": docs_substring_dup,
         "docs_substring_rewrite": docs_substring_rewrite,
+        "docs_decontaminate_stats": docs_decontaminate_stats,
+        "docs_decontaminated": docs_decontaminated,
         "docs_ngram_jaccard_matrix": docs_ngram_jaccard_matrix,
         "embeddings_knn": embeddings_knn,
         "embeddings_ivf_knn": embeddings_ivf_knn,
@@ -1118,7 +1147,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_hash_embed_sparse": docs_hash_embed_sparse,
         "docs_pii_redact": docs_pii_redact,
         "docs_tfidf_top3": docs_tfidf_top3,
-        "docs_token_docfreq": docs_token_docfreq,
         "docs_lang_counts": docs_lang_counts,
         "docs_split_assign": docs_split_assign,
         "docs_chunks": docs_chunks,
@@ -1143,6 +1171,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_url_latest": pages_url_latest,
         "pages_per_host_cap": pages_per_host_cap,
         "crawl_snapshot_diff": crawl_snapshot_diff,
+        # same-family variants demoted below the driver's 50-query window
+        "docs_fingerprint_dedup": docs_fingerprint_dedup,
+        "docs_token_docfreq": docs_token_docfreq,
         "web_pagerank": web_pagerank,
         "web_pagerank_dist": web_pagerank_dist,
         "hosts_page_stats": hosts_page_stats,
@@ -2294,6 +2325,61 @@ def oracle_sql() -> dict[str, str]:
             FROM tok LEFT JOIN (
                 SELECT doc_id, string_agg(tokv, ' ' ORDER BY j) AS text
                 FROM kept GROUP BY doc_id) k2 USING (doc_id)
+        """,
+        # benchmark decontamination: the engine matches on 128-bit rolling
+        # hashes of lowercased 8-gram shingles; the oracle groups by shingle
+        # TEXT — agreement proves the hash layer collision-free on the corpus
+        "docs_decontaminate_stats": """
+            WITH bench AS (
+                SELECT text FROM documents
+                WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) >= 'e666'
+            ), btok AS (
+                SELECT string_split(coalesce(lower(text), ''), ' ') AS ts
+                FROM bench
+            ), bsh AS (
+                SELECT DISTINCT array_to_string(ts[pos:pos+7], ' ') AS s
+                FROM (SELECT ts, unnest(generate_series(1, len(ts) - 7)) AS pos
+                      FROM btok)
+            ), tok AS (
+                SELECT doc_id, string_split(coalesce(lower(text), ''), ' ') AS ts
+                FROM documents
+            ), csh AS (
+                SELECT doc_id, array_to_string(ts[pos:pos+7], ' ') AS s
+                FROM (SELECT doc_id, ts,
+                             unnest(generate_series(1, len(ts) - 7)) AS pos
+                      FROM tok)
+            ), hits AS (
+                SELECT doc_id, count(*) AS n_hit
+                FROM csh JOIN bsh USING (s) GROUP BY doc_id
+            )
+            SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit_shingles,
+                   coalesce(h.n_hit, 0) > 0 AS contaminated
+            FROM tok t LEFT JOIN hits h USING (doc_id)
+        """,
+        "docs_decontaminated": """
+            WITH bench AS (
+                SELECT text FROM documents
+                WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) >= 'e666'
+            ), btok AS (
+                SELECT string_split(coalesce(lower(text), ''), ' ') AS ts
+                FROM bench
+            ), bsh AS (
+                SELECT DISTINCT array_to_string(ts[pos:pos+7], ' ') AS s
+                FROM (SELECT ts, unnest(generate_series(1, len(ts) - 7)) AS pos
+                      FROM btok)
+            ), tok AS (
+                SELECT doc_id, string_split(coalesce(lower(text), ''), ' ') AS ts
+                FROM documents
+            ), csh AS (
+                SELECT doc_id, array_to_string(ts[pos:pos+7], ' ') AS s
+                FROM (SELECT doc_id, ts,
+                             unnest(generate_series(1, len(ts) - 7)) AS pos
+                      FROM tok)
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT DISTINCT doc_id
+                                 FROM csh JOIN bsh USING (s))
         """,
         # gopher_signals transcription (functions/textfns.py): integer-ratio
         # doubles reproduce bit-identically under SQL division

@@ -1095,3 +1095,218 @@ def substring_dedup_rewrite(
                          text_col: pa.array(out, pa.string())})
 
     return joined.map_batches(_rewrite, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (GPT-3 appendix C / The Pile style): flag or drop
+# corpus documents that share any exact k-token shingle with a benchmark set.
+# Not in the reference (it has no corpus ops at all); standard LM-corpus
+# hygiene. Reuses the ExactSubstr two-lane rolling-hash volume machinery.
+# ---------------------------------------------------------------------------
+
+#: auto-plan cutover: above this many distinct benchmark shingles the
+#: driver-gathered broadcast set would not hold and the shuffle join runs
+BENCH_BROADCAST_LIMIT = 5_000_000
+
+
+def _pair_membership(qd1: np.ndarray, qd2: np.ndarray,
+                     bd1: np.ndarray, bd2: np.ndarray) -> np.ndarray:
+    """Exact vectorized membership of (qd1, qd2) pairs in the lexsorted
+    benchmark pair table (bd1, bd2) — both int64 views of the uint64 hash
+    lanes, compared with one consistent ordering on both sides.
+
+    searchsorted on lane 1 finds the d1-run; run-length-1 (the overwhelming
+    case: 128-bit keys rarely share a lane value) resolves with one gather;
+    longer runs binary-search lane 2 inside the run. No Python set, no
+    per-row hashing.
+    """
+    if len(bd1) == 0 or len(qd1) == 0:
+        return np.zeros(len(qd1), dtype=bool)
+    lo = np.searchsorted(bd1, qd1, side="left")
+    hi = np.searchsorted(bd1, qd1, side="right")
+    out = np.zeros(len(qd1), dtype=bool)
+    width = hi - lo
+    single = width == 1
+    if single.any():
+        out[single] = bd2[lo[single]] == qd2[single]
+    for i in np.nonzero(width > 1)[0]:
+        s, e = int(lo[i]), int(hi[i])
+        j = int(np.searchsorted(bd2[s:e], qd2[i]))
+        out[i] = j < e - s and bd2[s + j] == qd2[i]
+    return out
+
+
+def _bench_shingle_keys(benchmark: ray.data.Dataset, text_col: str,
+                        id_col: str, k: int) -> ray.data.Dataset:
+    """Distinct (d1, d2) 128-bit shingle keys of the benchmark set."""
+    from .analytics import ensure_arrow_schema
+
+    sh = benchmark.map_batches(
+        lambda b: _shingle_batch(b, text_col, id_col, k, lowercase=True),
+        batch_format="pyarrow")
+    keys = (
+        sh.groupby(["d1", "d2"]).count()
+        .map_batches(lambda b: b.select(["d1", "d2"])
+                     if b.num_columns else b, batch_format="pyarrow")
+    )
+    # an empty benchmark aggregates to column-less blocks; pin the schema so
+    # both the broadcast gather and the join key FieldRefs stay valid
+    return ensure_arrow_schema(
+        keys, pa.schema([("d1", pa.int64()), ("d2", pa.int64())]))
+
+
+def contamination_stats(
+    ds: ray.data.Dataset,
+    benchmark: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    bench_text_col: Optional[str] = None,
+    bench_id_col: Optional[str] = None,
+    plan: str = "auto",
+    broadcast_max_keys: int = BENCH_BROADCAST_LIMIT,
+    num_partitions: Optional[int] = None,
+) -> ray.data.Dataset:
+    """Per-document benchmark-overlap stats at window ``k`` tokens.
+
+    A corpus document is *contaminated* if any exact k-token shingle of its
+    lowercased text occurs anywhere in ``benchmark``. Output per corpus doc:
+    ``n_tokens``, ``n_hit_shingles`` (count of its window starts whose
+    shingle appears in the benchmark) and ``contaminated``.
+
+    Physical plans:
+
+    - ``broadcast`` (default when the benchmark's distinct-shingle count fits
+      ``broadcast_max_keys``): the benchmark's distinct 128-bit keys are
+      lexsorted once, ``ray.put`` once (two zero-copy int64 numpy lanes), and
+      every corpus batch resolves membership with vectorized searchsorted —
+      ONE streaming pass over the corpus, zero shuffles.
+    - ``join`` (the scale path): corpus shingles melt to (id, d1, d2) rows
+      and inner-join the benchmark key table on the 128-bit key — ids-only
+      exchange, never shingle text — then ``groupby(id).count()`` and a
+      left join back onto per-doc token counts.
+
+    Tokenization is ``lower().split(" ")`` (empties kept), identical to
+    ``substring_dup_stats``, so the DuckDB oracle's
+    ``string_split(lower(text), ' ')`` sees the same positions.
+    """
+    bench_text_col = bench_text_col or text_col
+    bench_id_col = bench_id_col or id_col
+    bkeys = _bench_shingle_keys(benchmark, bench_text_col, bench_id_col, k)
+
+    # one count of the SMALL side settles both the auto plan choice and the
+    # empty-benchmark degenerate case (whose aggregate emits column-less
+    # blocks that no downstream key reference survives)
+    bkeys = bkeys.materialize()
+    n_keys = bkeys.count()
+    if plan == "auto":
+        plan = "broadcast" if n_keys <= broadcast_max_keys else "join"
+
+    def _base(b: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: b.column(id_col),
+            "n_tokens": pa.array(
+                [len(_tok_split(t, True))
+                 for t in b.column(text_col).to_pylist()], pa.int64()),
+        })
+
+    if n_keys == 0:
+        def _clean(b: pa.Table) -> pa.Table:
+            base = _base(b)
+            z = pa.array(np.zeros(b.num_rows, dtype=np.int64))
+            return base.append_column("n_hit_shingles", z).append_column(
+                "contaminated", pa.array(np.zeros(b.num_rows, dtype=bool)))
+        return ds.map_batches(_clean, batch_format="pyarrow")
+
+    if plan == "broadcast":
+        kdf = bkeys.to_pandas()
+        bd1 = kdf["d1"].to_numpy(dtype=np.int64, copy=True)
+        bd2 = kdf["d2"].to_numpy(dtype=np.int64, copy=True)
+        order = np.lexsort((bd2, bd1))
+        ref = ray.put((np.ascontiguousarray(bd1[order]),
+                       np.ascontiguousarray(bd2[order])))
+
+        def _flag(b: pa.Table) -> pa.Table:
+            bd1s, bd2s = ray.get(ref)
+            cache: dict = {}
+            nhits = np.zeros(b.num_rows, dtype=np.int64)
+            ntoks = np.zeros(b.num_rows, dtype=np.int64)
+            for i, txt in enumerate(b.column(text_col).to_pylist()):
+                ts = _tok_split(txt, True)
+                ntoks[i] = len(ts)
+                if len(ts) < k:
+                    continue
+                h1, h2 = _token_hashes(ts, cache)
+                w1 = _rolling_windows(h1, k, _RH_A1, _RH_INV1).view(np.int64)
+                w2 = _rolling_windows(h2, k, _RH_A2, _RH_INV2).view(np.int64)
+                nhits[i] = int(_pair_membership(w1, w2, bd1s, bd2s).sum())
+            return pa.table({
+                id_col: b.column(id_col),
+                "n_tokens": pa.array(ntoks),
+                "n_hit_shingles": pa.array(nhits),
+                "contaminated": pa.array(nhits > 0),
+            })
+
+        return ds.map_batches(_flag, batch_format="pyarrow")
+
+    if plan != "join":
+        raise ValueError(f"unknown plan {plan!r}")
+
+    sh = ds.map_batches(
+        lambda b: _shingle_batch(b, text_col, id_col, k, lowercase=True),
+        batch_format="pyarrow").materialize()
+    if num_partitions is None:
+        num_partitions = _winner_join_partitions(sh)
+    hits = (
+        sh.join(bkeys, join_type="inner", num_partitions=num_partitions,
+                on=("d1", "d2"))
+        .groupby(id_col).count()
+        .map_batches(lambda b: b.rename_columns([id_col, "n_hit_shingles"]),
+                     batch_format="pyarrow")
+    )
+    from .analytics import ensure_arrow_schema
+
+    id_type = sh.schema().base_schema.field(id_col).type
+    hits = ensure_arrow_schema(
+        hits, pa.schema([(id_col, id_type), ("n_hit_shingles", pa.int64())]))
+    base = ds.map_batches(_base, batch_format="pyarrow")
+    joined = base.join(hits, join_type="left_outer",
+                       num_partitions=num_partitions, on=(id_col,))
+
+    def _finish(b: pa.Table) -> pa.Table:
+        nh = pc.cast(pc.fill_null(b.column("n_hit_shingles"), 0), pa.int64())
+        return pa.table({
+            id_col: b.column(id_col),
+            "n_tokens": b.column("n_tokens"),
+            "n_hit_shingles": nh,
+            "contaminated": pc.greater(nh, 0),
+        })
+
+    return joined.map_batches(_finish, batch_format="pyarrow")
+
+
+def decontaminate(
+    ds: ray.data.Dataset,
+    benchmark: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    **kwargs,
+) -> ray.data.Dataset:
+    """The surviving corpus: documents sharing NO exact k-token shingle with
+    the benchmark set, original columns preserved. Stats plan selection and
+    scale shape as in :func:`contamination_stats`."""
+    stats = contamination_stats(ds, benchmark, text_col, id_col, k=k, **kwargs)
+    keep = stats.filter(expr="contaminated == False").select_columns([id_col])
+    n_parts = _winner_join_partitions(keep)
+    from .analytics import ensure_arrow_schema
+
+    keep = ensure_arrow_schema(
+        keep, pa.schema([(id_col, stats.schema().base_schema
+                          .field(id_col).type)]))
+    # parquet-read corpora carry pandas schema metadata that Ray's hash
+    # shuffle can't hash — strip it before the join
+    clean = ds.map_batches(lambda b: b.replace_schema_metadata(None),
+                           batch_format="pyarrow")
+    return clean.join(keep, join_type="inner", num_partitions=n_parts,
+                      on=(id_col,))

@@ -344,3 +344,89 @@ def test_substring_rewrite_all_unique_is_identity(ray_session):
            .to_pandas().set_index("doc_id")["text"].to_dict())
     assert got == {1: "alpha beta gamma delta epsilon zeta",
                    2: "one two three four five six seven"}
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def _brute_contamination(corpus: dict, bench_texts: list, k: int) -> dict:
+    """Per-doc hit counts by literal shingle-text comparison."""
+    bset = set()
+    for t in bench_texts:
+        ts = (t or "").lower().split(" ")
+        for i in range(len(ts) - k + 1):
+            bset.add(" ".join(ts[i:i + k]))
+    out = {}
+    for rid, t in corpus.items():
+        ts = (t or "").lower().split(" ")
+        out[rid] = sum(1 for i in range(len(ts) - k + 1)
+                       if " ".join(ts[i:i + k]) in bset)
+    return out
+
+
+def test_contamination_stats_brute_parity(docs, ray_session):
+    ds = ray.data.from_pandas(docs[["doc_id", "text"]]).repartition(6)
+    bench_ids = set(docs["doc_id"][docs["doc_id"] % 7 == 0])
+    bench_df = docs[docs["doc_id"].isin(bench_ids)][["doc_id", "text"]]
+    bench = ray.data.from_pandas(bench_df).repartition(3)
+    got = (D.contamination_stats(ds, bench, "text", "doc_id", k=8,
+                                 plan="broadcast")
+           .to_pandas().set_index("doc_id").sort_index())
+    want = _brute_contamination(
+        dict(zip(docs["doc_id"], docs["text"])), list(bench_df["text"]), 8)
+    assert {int(i): int(v) for i, v in got["n_hit_shingles"].items()} == want
+    assert (got["contaminated"] == (got["n_hit_shingles"] > 0)).all()
+    # every benchmark member with >= k tokens flags itself
+    assert got.loc[sorted(bench_ids), "contaminated"].all()
+
+
+def test_contamination_plans_identical(docs, ray_session):
+    ds = ray.data.from_pandas(docs[["doc_id", "text"]]).repartition(5)
+    bench = ray.data.from_pandas(
+        docs[docs["doc_id"] % 11 == 0][["doc_id", "text"]])
+    a = (D.contamination_stats(ds, bench, "text", "doc_id", k=8,
+                               plan="broadcast")
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (D.contamination_stats(ds, bench, "text", "doc_id", k=8, plan="join")
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    # auto resolves to one of the two and agrees
+    c = (D.contamination_stats(ds, bench, "text", "doc_id", k=8, plan="auto")
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, c)
+
+
+def test_decontaminate_drops_exactly_flagged(docs, ray_session):
+    ds = ray.data.from_pandas(docs[["doc_id", "text"]]).repartition(4)
+    bench = ray.data.from_pandas(
+        docs[docs["doc_id"] % 13 == 0][["doc_id", "text"]])
+    stats = D.contamination_stats(ds, bench, "text", "doc_id", k=8).to_pandas()
+    clean = set(stats["doc_id"][~stats["contaminated"]])
+    kept = D.decontaminate(ds, bench, "text", "doc_id", k=8).to_pandas()
+    assert set(kept["doc_id"]) == clean
+    assert set(kept.columns) == {"doc_id", "text"}
+
+
+def test_contamination_short_and_empty_edge_cases(ray_session):
+    corpus = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["one two", "a b c d e f g h i", None],
+    })
+    bench = pd.DataFrame({"doc_id": [9], "text": ["a b c d e f g h extra"]})
+    got = (D.contamination_stats(
+        ray.data.from_pandas(corpus), ray.data.from_pandas(bench),
+        "text", "doc_id", k=8)
+        .to_pandas().set_index("doc_id").sort_index())
+    # doc 1 is shorter than k, doc 3 is NULL -> never contaminated
+    assert not got.loc[1, "contaminated"] and not got.loc[3, "contaminated"]
+    # doc 2 shares exactly one 8-gram window: "a b c d e f g h"
+    assert got.loc[2, "contaminated"] and got.loc[2, "n_hit_shingles"] == 1
+    # empty benchmark -> nothing contaminated, both plans
+    empty = ray.data.from_pandas(pd.DataFrame({"doc_id": [], "text": []}))
+    for plan in ("broadcast", "join"):
+        g2 = (D.contamination_stats(
+            ray.data.from_pandas(corpus), empty, "text", "doc_id",
+            k=8, plan=plan).to_pandas())
+        assert not g2["contaminated"].any()
