@@ -633,6 +633,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """Session windows over events (30-min inactivity gap)."""
         return A.sessionize(_read(sf_dir, "events"), "user_id", "ts", "event_id")
 
+    def events_heavy_hitters(sf_dir):
+        """Exact top-20 users by event count via Misra-Gries mergeable
+        summaries + verified recount (stages/analytics.py heavy_hitters)."""
+        ev = _read(sf_dir, "events").select_columns(["user_id"])
+        return A.heavy_hitters(ev, "user_id", k=20)
+
     def events_running_sum(sf_dir):
         def _cum(g: pd.DataFrame) -> pd.DataFrame:
             g = g.sort_values(["ts", "event_id"], kind="mergesort")
@@ -1201,6 +1207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_late_flags": events_late_flags,
         "segments_without_top_orders": segments_without_top_orders,
         "events_users_approx": events_users_approx,
+        "events_heavy_hitters": events_heavy_hitters,
         "events_value_quantiles_sketch": events_value_quantiles_sketch,
         "docs_streaming_dedup": docs_streaming_dedup,
         "docs_streaming_dedup_count": docs_streaming_dedup_count,
@@ -1899,6 +1906,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_type_counts": """
             SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type
+        """,
+        # heavy_hitters is EXACT (MG candidates + verified recount, full-
+        # groupby fallback when the certificate fails), so plain top-k SQL
+        # with the same (cnt desc, value asc) tie-break is the oracle
+        "events_heavy_hitters": """
+            SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+            FROM events WHERE user_id IS NOT NULL
+            GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 20
         """,
         "orders_price_histogram": """
             SELECT CAST(least(greatest(floor((o_totalprice - 0.0) / 25000.0), 0), 19) AS BIGINT) AS bin,

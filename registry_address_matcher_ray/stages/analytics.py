@@ -2184,3 +2184,172 @@ def quality_classifier(
         })
 
     return ds.map_batches(_score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Exact heavy hitters: Misra-Gries mergeable summaries + verified recount.
+# Not in the reference; standard frequent-items machinery (Misra & Gries 1982;
+# merge rule from Agarwal et al., "Mergeable Summaries", PODS 2012).
+# ---------------------------------------------------------------------------
+
+
+def heavy_hitters(
+    ds: ray.data.Dataset,
+    col: str,
+    k: int = 10,
+    capacity_mult: int = 8,
+) -> ray.data.Dataset:
+    """EXACT global top-``k`` values of ``col`` by count, cheap at scale.
+
+    Shape: every batch compresses its exact value counts to a Misra-Gries
+    summary of capacity ``m = capacity_mult * k`` (subtract the (m+1)-th
+    largest count from all, keep positive remainders — at most m rows and
+    one error-bound sentinel leave each batch, regardless of cardinality).
+    Partials merge with ONE small ``groupby(col).sum()`` over <= m rows per
+    batch; the top-m merged estimates are recounted EXACTLY with a second
+    streaming pass (broadcast candidate filter + per-batch partial counts —
+    no full-cardinality shuffle ever happens).
+
+    The MG guarantee (estimate >= true - E, never overstating, with E the
+    summed per-batch/merge subtractions) certifies the result: if the k-th
+    recounted candidate count >= (m-th merged estimate) + E, no value outside
+    the candidate set can reach the top k. When the certificate fails (flat
+    distributions), fall back to the exact full ``groupby`` — the result is
+    exact either way; only the cost differs. Ties break (count desc, value
+    asc), matching ``ORDER BY cnt DESC, value LIMIT k``.
+    """
+    m = capacity_mult * k
+
+    # null-drop projection first: pandas-origin blocks holding only None
+    # carry Arrow type `null`; after the drop they are 0-row blocks that
+    # every later stage skips (groupby/filter tolerate the mixed schema)
+    ds = ds.map_batches(
+        lambda b: pa.table(
+            {col: pc.drop_null(b.column(col)).combine_chunks()}
+        ).replace_schema_metadata(None),
+        batch_format="pyarrow")
+
+    def _mg_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({col: b.column(col),
+                             "w": pa.array([], pa.int64()),
+                             "is_err": pa.array([], pa.bool_())})
+        vc = b.column(col).value_counts()
+        vals = vc.field("values")
+        cnts = vc.field("counts").to_numpy(zero_copy_only=False)
+        if len(cnts) > m:
+            order = np.argsort(-cnts, kind="stable")
+            sub = int(cnts[order[m]])
+            keep = order[:m]
+            w = cnts[keep] - sub
+            pos = w > 0
+            vals = vals.take(pa.array(keep[pos]))
+            w = w[pos]
+        else:
+            sub = 0
+            w = cnts
+        t = pa.table({col: vals, "w": pa.array(w, pa.int64()),
+                      "is_err": pa.array(np.zeros(len(w), dtype=bool))})
+        err = pa.table({col: pa.array([None], t.schema.field(col).type),
+                        "w": pa.array([sub], pa.int64()),
+                        "is_err": pa.array([True])})
+        return pa.concat_tables([t, err])
+
+    partials = ds.map_batches(_mg_partial,
+                              batch_format="pyarrow").materialize()
+    err_total = int(partials.filter(expr="is_err == True").sum("w") or 0)
+
+    def _local_topm(b: pa.Table) -> pa.Table:
+        # MG compression of one merged block (each distinct value lives in
+        # exactly one hash partition, so per-block compression is global for
+        # its values); the subtracted amount rides along as an error sentinel
+        # so the exactness certificate stays sound
+        if b.num_rows <= m:
+            return b.append_column("is_err",
+                                   pa.array(np.zeros(b.num_rows, dtype=bool)))
+        w = b.column("w").to_numpy(zero_copy_only=False)
+        order = np.argsort(-w, kind="stable")
+        sub = int(w[order[m]])
+        keep = order[:m]
+        kw = w[keep] - sub
+        pos = kw > 0
+        t = pa.table({col: b.column(col).take(pa.array(keep[pos])),
+                      "w": pa.array(kw[pos], pa.int64()),
+                      "is_err": pa.array(np.zeros(int(pos.sum()),
+                                                  dtype=bool))})
+        err = pa.table({col: pa.array([None], b.schema.field(col).type),
+                        "w": pa.array([sub], pa.int64()),
+                        "is_err": pa.array([True])})
+        return pa.concat_tables([t, err])
+
+    # distributed merge of the per-batch summaries: one small groupby over
+    # <= m rows per input batch, then a per-block MG combiner so the driver
+    # gathers O(result-blocks x m) rows, never the full merged vocabulary
+    merged_ds = (
+        partials.filter(expr="is_err == False")
+        .map_batches(lambda b: b.select([col, "w"]), batch_format="pyarrow")
+        .groupby(col).sum("w")
+        .map_batches(lambda b: b.rename_columns([col, "w"]),
+                     batch_format="pyarrow")
+        .map_batches(_local_topm, batch_format="pyarrow")
+    )
+    pdf = merged_ds.to_pandas()
+    if "is_err" not in pdf.columns:
+        # every batch compressed to sentinels only (flat distribution):
+        # no candidates, the certificate below fails, the fallback runs
+        import pandas as pd
+        pdf = pd.DataFrame({col: [], "w": [], "is_err": []}).astype(
+            {"w": "int64", "is_err": "bool"})
+    err_total += int(pdf.loc[pdf["is_err"], "w"].sum())
+    merged = (pdf.loc[~pdf["is_err"]].set_index(col)["w"].astype("int64")
+              .sort_values(ascending=False, kind="stable"))
+    if len(merged) > m:
+        sub = int(merged.iloc[m])
+        err_total += sub
+        merged = (merged.iloc[:m] - sub)
+        merged = merged[merged > 0]
+    candidates = list(merged.index)
+
+    def _exact(cand_list: list) -> "pd.Series":
+        cand_ref = ray.put(pa.array(cand_list))
+
+        def _recount(b: pa.Table) -> pa.Table:
+            cand = ray.get(cand_ref)
+            if b.num_rows == 0:
+                return pa.table({col: pa.array([], cand.type),
+                                 "cnt": pa.array([], pa.int64())})
+            vals = b.column(col).combine_chunks().cast(cand.type)
+            vc = vals.filter(pc.is_in(vals, value_set=cand)).value_counts()
+            return pa.table({col: vc.field("values"),
+                             "cnt": pc.cast(vc.field("counts"), pa.int64())})
+
+        rc = ds.map_batches(_recount, batch_format="pyarrow").to_pandas()
+        return rc.groupby(col, sort=False)["cnt"].sum()
+
+    if candidates:
+        exact = _exact(candidates).sort_index(kind="stable").sort_values(
+            ascending=False, kind="stable")
+        kth = int(exact.iloc[min(k, len(exact)) - 1]) if len(exact) else 0
+        # any value outside the candidate set has true count <= err_total
+        # (its MG estimate was compressed to zero); strict > also beats the
+        # value-ascending tie-break at the boundary
+        certified = len(exact) >= k and kth > err_total
+    else:
+        certified = False
+    if not certified:
+        # exact fallback: full distributed groupby (the certificate only
+        # fails on near-flat distributions where the groupby is cheap anyway)
+        g = (ds.map_batches(lambda b: b.replace_schema_metadata(None),
+                            batch_format="pyarrow")
+             .groupby(col).count()
+             .map_batches(lambda b: b.rename_columns([col, "cnt"]),
+                          batch_format="pyarrow"))
+        gdf = g.to_pandas()
+        gdf = gdf[gdf[col].notna()]
+        exact = gdf.set_index(col)["cnt"].astype("int64")
+        exact = exact.sort_index(kind="stable").sort_values(
+            ascending=False, kind="stable")
+    top = exact.iloc[:k]
+    out = pa.table({col: pa.array(top.index.tolist()),
+                    "cnt": pa.array(top.to_numpy(dtype=np.int64))})
+    return ray.data.from_arrow(out)

@@ -640,3 +640,46 @@ def test_quality_classifier_matches_rowwise(ray_session):
     # stopword-rich long doc keeps, empty/garbage drops
     assert out.loc[1, "quality_label"] == "keep"
     assert out.loc[3, "quality_label"] == "drop"
+
+
+# ---------------------------------------------------------------------------
+# exact heavy hitters (Misra-Gries candidates + verified recount)
+# ---------------------------------------------------------------------------
+
+
+def _hh_oracle(values, k):
+    import collections
+    c = collections.Counter(v for v in values if v is not None)
+    return sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+def test_heavy_hitters_skewed_certified(ray_session):
+    # zipf-ish skew: value i appears ~1000/i times -> certificate holds
+    vals = [f"v{i:03d}" for i in range(1, 60) for _ in range(1000 // i)]
+    rng = np.random.default_rng(3)
+    rng.shuffle(vals)
+    ds = ray.data.from_pandas(pd.DataFrame({"x": vals})).repartition(7)
+    got = [tuple(r.values()) for r in
+           A.heavy_hitters(ds, "x", k=5).take_all()]
+    assert got == _hh_oracle(vals, 5)
+
+
+def test_heavy_hitters_flat_fallback_exact(ray_session):
+    # near-flat distribution: MG certificate fails, fallback stays exact
+    vals = [i % 97 for i in range(2000)]
+    ds = ray.data.from_pandas(pd.DataFrame({"x": vals})).repartition(9)
+    got = [tuple(r.values()) for r in
+           A.heavy_hitters(ds, "x", k=10, capacity_mult=2).take_all()]
+    assert got == _hh_oracle(vals, 10)
+
+
+def test_heavy_hitters_nulls_and_partition_invariance(ray_session):
+    vals = (["a"] * 50 + ["b"] * 30 + [None] * 100 + ["c"] * 10 +
+            [f"u{i}" for i in range(40)])
+    df = pd.DataFrame({"x": vals})
+    expect = _hh_oracle(vals, 3)
+    for parts in (1, 4, 13):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        got = [tuple(r.values()) for r in
+               A.heavy_hitters(ds, "x", k=3).take_all()]
+        assert got == expect, parts
