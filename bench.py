@@ -289,6 +289,29 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     queries["url_latest_dedup"] = round(time.time() - t0, 3)
     extras["crawl_fixture_gen_sec"] = round(gen_s, 3)
 
+    if os.path.exists(docs_path):
+        import hashlib as _hl
+
+        t0 = time.time()
+        corpus = rio.read_parquet_clean(docs_path, columns=["doc_id", "text"])
+
+        def _bench_slice(b):
+            import pyarrow as _pa
+            keep = [_hl.md5(str(v).encode()).hexdigest()[:4] >= "e666"
+                    for v in b.column("doc_id").to_pylist()]
+            return b.filter(_pa.array(keep))
+
+        D.decontaminate(
+            corpus, corpus.map_batches(_bench_slice, batch_format="pyarrow"),
+            "text", "doc_id", k=8).count()
+        queries["decontaminate"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    ev = rio.read_parquet_clean(f"{sf_dir}/events.parquet",
+                                columns=["user_id"])
+    A.heavy_hitters(ev, "user_id", k=20).count()
+    queries["heavy_hitters"] = round(time.time() - t0, 3)
+
     result = {
         "metric": "linkage_pages_sec",
         "value": queries["linkage_pages"],
