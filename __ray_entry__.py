@@ -517,6 +517,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return D.contamination_stats(ds, _bench_slice(ds), "text", "doc_id",
                                      k=8)
 
+    def docs_dsir_weights(sf_dir):
+        """DSIR importance weights (Xie et al. 2023): per-doc log-likelihood
+        ratio of target (md5-test slice) vs raw hashed-ngram models
+        (stages/analytics.py dsir_weights)."""
+        ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+        return A.dsir_weights(ds, _bench_slice(ds), "text", "doc_id")
+
     def docs_decontaminated(sf_dir):
         """Surviving corpus ids after decontamination against the md5-test
         benchmark slice (stages/dedup.py decontaminate)."""
@@ -1130,7 +1137,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_review_queue": match_review_queue,
         "match_exact_full": match_exact_full,
         "match_exact_key_p2": match_exact_key_p2,
-        "match_exact_pairs": match_exact_pairs,
         "unmatched_exact_spr": unmatched_exact_spr,
         "engine_variant_exact": engine_variant_exact,
         "spr_token_block_sizes": spr_token_block_sizes,
@@ -1158,6 +1164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_chunks": docs_chunks,
         "docs_source_mix": docs_source_mix,
         "docs_token_shards": docs_token_shards,
+        "docs_dsir_weights": docs_dsir_weights,
         "docs_quality_metrics": docs_quality_metrics,
         # -- core analytics / relational ops
         "lineitem_agg": lineitem_agg,
@@ -1178,6 +1185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_per_host_cap": pages_per_host_cap,
         "crawl_snapshot_diff": crawl_snapshot_diff,
         # same-family variants demoted below the driver's 50-query window
+        "match_exact_pairs": match_exact_pairs,
         "docs_fingerprint_dedup": docs_fingerprint_dedup,
         "docs_token_docfreq": docs_token_docfreq,
         "web_pagerank": web_pagerank,
@@ -2395,6 +2403,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT DISTINCT doc_id
                                  FROM csh JOIN bsh USING (s))
+        """,
+        # DSIR: the log-ratio expression order matches the engine verbatim
+        # (same IEEE op sequence -> bit-identical per-bucket ratios); per-doc
+        # sums differ only in addition order, absorbed by round(6)
+        "docs_dsir_weights": """
+            WITH tok AS (
+                SELECT doc_id,
+                       list_filter(string_split(lower(coalesce(text, '')), ' '),
+                                   x -> x <> '') AS ts
+                FROM documents
+            ), uni AS (
+                SELECT doc_id, unnest(ts) AS w,
+                       generate_subscripts(ts, 1) AS j
+                FROM tok
+            ), big AS (
+                SELECT a.doc_id, a.w || ' ' || b.w AS w
+                FROM uni a JOIN uni b ON a.doc_id = b.doc_id AND b.j = a.j + 1
+            ), feat AS (
+                SELECT doc_id, CAST(md5_number_lower(w) % 10000 AS BIGINT) AS b
+                FROM (SELECT doc_id, w FROM uni
+                      UNION ALL SELECT doc_id, w FROM big)
+            ), tgt AS (
+                SELECT doc_id FROM documents
+                WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) >= 'e666'
+            ), cT AS (
+                SELECT b, count(*) AS c FROM feat JOIN tgt USING (doc_id)
+                GROUP BY b
+            ), nT AS (
+                SELECT count(*) AS n FROM feat JOIN tgt USING (doc_id)
+            ), cR AS (SELECT b, count(*) AS c FROM feat GROUP BY b),
+            nR AS (SELECT count(*) AS n FROM feat),
+            lr AS (
+                SELECT cR.b,
+                       ln(coalesce(cT.c, 0) + 0.5) - ln(nT.n + 0.5 * 10000)
+                     - ln(cR.c + 0.5) + ln(nR.n + 0.5 * 10000) AS r
+                FROM cR LEFT JOIN cT USING (b) CROSS JOIN nT CROSS JOIN nR
+            ), sc AS (
+                SELECT f.doc_id, sum(r) AS s, count(*) AS n
+                FROM feat f JOIN lr USING (b) GROUP BY f.doc_id
+            )
+            SELECT doc_id, CAST(n AS BIGINT) AS n_feats,
+                   round(s, 6) AS logratio_sum,
+                   round(s / n, 6) AS logratio_mean
+            FROM sc
         """,
         # gopher_signals transcription (functions/textfns.py): integer-ratio
         # doubles reproduce bit-identically under SQL division

@@ -2353,3 +2353,115 @@ def heavy_hitters(
     out = pa.table({col: pa.array(top.index.tolist()),
                     "cnt": pa.array(top.to_numpy(dtype=np.int64))})
     return ray.data.from_arrow(out)
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): per-document log-likelihood
+# ratio between a target and the raw distribution over hashed n-gram
+# features. Not in the reference; core LM-corpus data-selection machinery.
+# ---------------------------------------------------------------------------
+
+
+def _dsir_feature_buckets(txt, dim: int, cache: dict) -> np.ndarray:
+    """Hashed unigram+bigram buckets of one doc: lowercase, split on single
+    spaces, empties removed (the hash_embed convention), bigrams space-joined
+    so DuckDB's ``a.w || ' ' || b.w`` sees identical strings; bucket =
+    ``md5_number_lower(feature) % dim`` exactly as in similarity._hash_buckets."""
+    import hashlib
+
+    toks = [t for t in ("" if txt is None else txt).lower().split(" ") if t]
+    feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    out = np.empty(len(feats), dtype=np.int64)
+    for i, f in enumerate(feats):
+        b = cache.get(f)
+        if b is None:
+            b = int.from_bytes(hashlib.md5(f.encode()).digest()[8:],
+                               "little") % dim
+            cache[f] = b
+        out[i] = b
+    return out
+
+
+def dsir_weights(
+    ds: ray.data.Dataset,
+    target: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    dim: int = 10_000,
+    lam: float = 0.5,
+    ndigits: int = 6,
+) -> ray.data.Dataset:
+    """Per-document DSIR importance weight: the log-likelihood ratio of the
+    doc under add-``lam``-smoothed bag-of-hashed-ngram models of ``target``
+    vs the raw corpus ``ds``. High weight = looks like the target domain;
+    resampling by these weights is the DSIR selection rule.
+
+    Scale shape: feature hashing bounds BOTH distributions to ``dim``
+    buckets by construction, so each model is one per-batch ``bincount``
+    partial + a ``dim``-row groupby, and the log-ratio vector (``dim``
+    doubles, ~80 KB at the default) broadcasts via ``ray.put`` — scoring is
+    ONE streaming pass with zero shuffles regardless of corpus size. The
+    log-ratio per bucket is computed with a fixed expression order so the
+    DuckDB oracle reproduces it bit-for-bit; per-doc sums differ from SQL
+    only in addition order (rounded to ``ndigits``).
+
+    Output: ``(id_col, n_feats, logratio_sum, logratio_mean)``; docs with no
+    features (empty text) are dropped, like the oracle's inner join.
+    """
+
+    def _bucket_counts(dset: ray.data.Dataset) -> tuple:
+        def _partial(b: pa.Table) -> pa.Table:
+            cache: dict = {}
+            acc = np.zeros(dim, dtype=np.int64)
+            for txt in b.column(text_col).to_pylist():
+                fb = _dsir_feature_buckets(txt, dim, cache)
+                if len(fb):
+                    acc += np.bincount(fb, minlength=dim)
+            nz = np.nonzero(acc)[0]
+            return pa.table({"b": pa.array(nz, pa.int64()),
+                             "c": pa.array(acc[nz], pa.int64())})
+
+        g = (dset.select_columns([text_col])
+             .map_batches(_partial, batch_format="pyarrow")
+             .groupby("b").sum("c")
+             .map_batches(lambda t: t.rename_columns(["b", "c"])
+                          if t.num_columns else t, batch_format="pyarrow"))
+        gdf = g.to_pandas()  # <= dim rows by construction
+        vec = np.zeros(dim, dtype=np.int64)
+        if "b" in gdf.columns and len(gdf):
+            vec[gdf["b"].to_numpy(dtype=np.int64)] = gdf["c"].to_numpy(
+                dtype=np.int64)
+        return vec, int(vec.sum())
+
+    c_t, n_t = _bucket_counts(target)
+    c_r, n_r = _bucket_counts(ds)
+    # fixed expression order, mirrored verbatim in the SQL oracle
+    lr = (np.log(c_t + lam) - np.log(n_t + lam * dim)
+          - np.log(c_r + lam) + np.log(n_r + lam * dim))
+    lr_ref = ray.put(lr)
+
+    def _score(b: pa.Table) -> pa.Table:
+        lrv = ray.get(lr_ref)
+        cache: dict = {}
+        ids, ns, sums = [], [], []
+        for rid, txt in zip(b.column(id_col).to_pylist(),
+                            b.column(text_col).to_pylist()):
+            fb = _dsir_feature_buckets(txt, dim, cache)
+            if not len(fb):
+                continue
+            ids.append(rid)
+            ns.append(len(fb))
+            sums.append(float(lrv[fb].sum()))
+        s = np.asarray(sums, dtype=np.float64)
+        n = np.asarray(ns, dtype=np.int64)
+        return pa.table({
+            id_col: pa.array(ids, b.schema.field(id_col).type),
+            "n_feats": pa.array(n),
+            "logratio_sum": pa.array(np.round(s, ndigits)),
+            "logratio_mean": pa.array(
+                np.round(s / n, ndigits) if len(n) else s),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _score, batch_format="pyarrow")

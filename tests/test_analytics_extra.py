@@ -683,3 +683,56 @@ def test_heavy_hitters_nulls_and_partition_invariance(ray_session):
         got = [tuple(r.values()) for r in
                A.heavy_hitters(ds, "x", k=3).take_all()]
         assert got == expect, parts
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights
+# ---------------------------------------------------------------------------
+
+
+def _mk_domain_docs():
+    # two vocabularies: "science" target domain vs "spam" background
+    sci = "quantum electron proton neutron orbit spin field wave".split()
+    spam = "buy cheap now click offer free deal win".split()
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(60):
+        words = list(rng.choice(sci, size=30))
+        rows.append({"doc_id": i, "text": " ".join(words), "domain": "sci"})
+    for i in range(60, 120):
+        words = list(rng.choice(spam, size=30))
+        rows.append({"doc_id": i, "text": " ".join(words), "domain": "spam"})
+    return pd.DataFrame(rows)
+
+
+def test_dsir_separates_domains(ray_session):
+    df = _mk_domain_docs()
+    ds = ray.data.from_pandas(df[["doc_id", "text"]]).repartition(5)
+    # target = first half of the science docs only
+    tgt = ray.data.from_pandas(
+        df[(df["domain"] == "sci") & (df["doc_id"] < 30)][["doc_id", "text"]])
+    got = A.dsir_weights(ds, tgt, "text", "doc_id").to_pandas()
+    m = got.merge(df[["doc_id", "domain"]], on="doc_id")
+    sci_mean = m.loc[m["domain"] == "sci", "logratio_mean"].mean()
+    spam_mean = m.loc[m["domain"] == "spam", "logratio_mean"].mean()
+    # science docs must score strictly above background docs
+    assert sci_mean > spam_mean + 0.5
+    assert (m.loc[m["domain"] == "sci", "logratio_mean"]
+            > m.loc[m["domain"] == "spam", "logratio_mean"].max()).all()
+
+
+def test_dsir_partition_invariance_and_drops_empty(ray_session):
+    df = _mk_domain_docs()
+    df.loc[len(df)] = {"doc_id": 999, "text": "", "domain": "x"}
+    df.loc[len(df)] = {"doc_id": 998, "text": None, "domain": "x"}
+    tgt = ray.data.from_pandas(df[df["doc_id"] < 20][["doc_id", "text"]])
+    outs = []
+    for parts in (1, 7):
+        ds = ray.data.from_pandas(df[["doc_id", "text"]]).repartition(parts)
+        outs.append(A.dsir_weights(ds, tgt, "text", "doc_id")
+                    .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    assert 999 not in set(outs[0]["doc_id"])
+    assert 998 not in set(outs[0]["doc_id"])
+    # single-token doc has one feature (no bigram)
+    assert (outs[0]["n_feats"] >= 1).all()
