@@ -21,6 +21,7 @@ import tempfile
 import zipfile
 from typing import Iterable, Optional
 
+import numpy as np
 import pyarrow as pa
 import ray.data
 
@@ -190,3 +191,81 @@ def create_export_package(
         zf.writestr("quality_metrics.json", json.dumps(quality_metrics, indent=2, default=str))
         zf.writestr("match_statistics.json", json.dumps(stats, indent=2, default=str))
     return out_zip
+
+
+def write_partitioned_resumable(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    key_col: str,
+    num_buckets: int = 64,
+    bucket_col: str = "bucket",
+) -> dict:
+    """Hash-bucketed parquet sink with per-bucket commit and resume.
+
+    Every row lands in ``out_dir/bucket=NNN/`` chosen by
+    ``crc32(str(key)) % num_buckets`` — deterministic, so a re-run assigns
+    identical buckets. Committed buckets (directory present with a
+    ``_SUCCESS`` marker) are SKIPPED at the read side with a streaming
+    filter, the remaining rows are written in ONE pass via Ray's native
+    ``partition_cols`` writer into a staging dir, and each completed bucket
+    directory is atomically renamed into place + marked. Commit granularity
+    is the bucket: a run that dies mid-write loses only its uncommitted
+    buckets; a run that dies mid-commit loses nothing. This is the
+    "one directory per key range, failed run skips finished partitions"
+    output layout a 100-TB job needs.
+
+    Returns ``{"written": [...], "skipped": [...], "out_dir": out_dir}``.
+    """
+    import zlib
+
+    os.makedirs(out_dir, exist_ok=True)
+    done = {
+        d for d in os.listdir(out_dir)
+        if d.startswith(f"{bucket_col}=")
+        and os.path.exists(os.path.join(out_dir, d, "_SUCCESS"))
+    }
+    done_ids = {int(d.split("=", 1)[1]) for d in done}
+
+    def _assign(b: pa.Table) -> pa.Table:
+        keys = b.column(key_col).to_pylist()
+        buckets = np.array(
+            [zlib.crc32(str(k).encode()) % num_buckets for k in keys],
+            dtype=np.int64)
+        t = b.append_column(bucket_col, pa.array(buckets))
+        if done_ids:
+            t = t.filter(pa.array(~np.isin(buckets, list(done_ids))))
+        return t.replace_schema_metadata(None)
+
+    pending = ds.map_batches(_assign, batch_format="pyarrow")
+    staging = tempfile.mkdtemp(prefix=".staging-", dir=out_dir)
+    written: list = []
+    try:
+        pending.write_parquet(staging, partition_cols=[bucket_col])
+        for d in sorted(os.listdir(staging)):
+            if not d.startswith(f"{bucket_col}="):
+                continue
+            target = os.path.join(out_dir, d)
+            if os.path.exists(target):  # stale uncommitted remnant
+                shutil.rmtree(target)
+            os.rename(os.path.join(staging, d), target)
+            with open(os.path.join(target, "_SUCCESS"), "w"):
+                pass
+            written.append(d)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return {"written": written, "skipped": sorted(done),
+            "out_dir": out_dir}
+
+
+def read_partitioned(out_dir: str, bucket_col: str = "bucket") -> ray.data.Dataset:
+    """Read back a :func:`write_partitioned_resumable` directory (committed
+    buckets only), restoring the bucket id from the hive path."""
+    files = [
+        os.path.join(out_dir, d, f)
+        for d in sorted(os.listdir(out_dir))
+        if d.startswith(f"{bucket_col}=")
+        and os.path.exists(os.path.join(out_dir, d, "_SUCCESS"))
+        for f in sorted(os.listdir(os.path.join(out_dir, d)))
+        if f.endswith(".parquet")
+    ]
+    return ray.data.read_parquet(files)

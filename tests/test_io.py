@@ -124,3 +124,33 @@ def test_csv_sink_roundtrip(registries):
     assert len(back) == t["registry_cad"].num_rows
     exp = t["registry_cad"].to_pandas()
     assert sorted(back["ADDRESS_ID"]) == sorted(exp["ADDRESS_ID"])
+
+
+def test_partitioned_resumable_write(tmp_path, ray_session):
+    import os
+    import shutil
+
+    import pandas as pd
+    import ray.data
+
+    df = pd.DataFrame({"k": [f"key{i}" for i in range(300)],
+                       "v": range(300)})
+    ds = ray.data.from_pandas(df).repartition(5)
+    out = str(tmp_path / "part")
+    r1 = rio.write_partitioned_resumable(ds, out, "k", num_buckets=8)
+    assert len(r1["written"]) == 8 and not r1["skipped"]
+
+    # crash simulation: one bucket gone entirely, one left uncommitted
+    shutil.rmtree(os.path.join(out, "bucket=2"))
+    os.remove(os.path.join(out, "bucket=6", "_SUCCESS"))
+    r2 = rio.write_partitioned_resumable(ds, out, "k", num_buckets=8)
+    assert sorted(r2["written"]) == ["bucket=2", "bucket=6"]
+    assert len(r2["skipped"]) == 6
+
+    back = rio.read_partitioned(out).to_pandas()
+    assert len(back) == 300 and back["k"].nunique() == 300
+    assert sorted(back["v"]) == list(range(300))
+    # deterministic assignment: identical buckets across runs
+    m = back.groupby("bucket")["k"].count()
+    r3 = rio.write_partitioned_resumable(ds, out, "k", num_buckets=8)
+    assert not r3["written"] and len(r3["skipped"]) == 8
