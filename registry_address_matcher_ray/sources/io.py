@@ -269,3 +269,54 @@ def read_partitioned(out_dir: str, bucket_col: str = "bucket") -> ray.data.Datas
         if f.endswith(".parquet")
     ]
     return ray.data.read_parquet(files)
+
+
+def write_ipc_dataset(ds: ray.data.Dataset, out_dir: str) -> str:
+    """Arrow IPC (Feather V2) sink: one ``.arrow`` file per block, written
+    inside map_batches tasks (Ray has no native IPC sink), atomic tmp-dir +
+    rename like :func:`write_dataset`. Zero-copy interchange format for
+    downstream Arrow/Polars/DuckDB consumers."""
+    import pyarrow.feather as paf
+
+    parent = os.path.dirname(os.path.abspath(out_dir)) or "."
+    os.makedirs(parent, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix=".staging-", dir=parent)
+
+    def _write(b: pa.Table) -> pa.Table:
+        import uuid
+        paf.write_feather(b, os.path.join(tmp, f"{uuid.uuid4().hex}.arrow"),
+                          compression="uncompressed")
+        return b.slice(0, 0)
+
+    try:
+        ds.map_batches(_write, batch_format="pyarrow").materialize()
+        if os.path.exists(out_dir):
+            shutil.rmtree(out_dir)
+        os.rename(tmp, out_dir)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    return out_dir
+
+
+def read_ipc(path: str, columns: Optional[Iterable[str]] = None) -> ray.data.Dataset:
+    """Arrow IPC (Feather V2) reader: each ``.arrow`` file becomes one read
+    task (parallel, zero-copy mmap per task); column pruning at the read."""
+    import pyarrow.feather as paf
+
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f) for f in os.listdir(path)
+            if f.endswith(".arrow") or f.endswith(".feather"))
+    else:
+        files = [path]
+    cols = list(columns) if columns is not None else None
+
+    def _load(b: pa.Table) -> pa.Table:
+        out = [paf.read_table(p, columns=cols, memory_map=True)
+               for p in b.column("path").to_pylist()]
+        return pa.concat_tables(out) if out else pa.table({})
+
+    idx = ray.data.from_arrow(pa.table({"path": pa.array(files)}))
+    return idx.repartition(max(1, len(files))).map_batches(
+        _load, batch_format="pyarrow")

@@ -154,3 +154,19 @@ def test_partitioned_resumable_write(tmp_path, ray_session):
     m = back.groupby("bucket")["k"].count()
     r3 = rio.write_partitioned_resumable(ds, out, "k", num_buckets=8)
     assert not r3["written"] and len(r3["skipped"]) == 8
+
+
+def test_ipc_sink_and_reader_roundtrip(tmp_path, ray_session):
+    import pandas as pd
+    import ray.data
+
+    df = pd.DataFrame({"doc_id": range(100),
+                       "text": [f"doc {i}" for i in range(100)]})
+    ds = ray.data.from_pandas(df).repartition(4)
+    out = str(tmp_path / "ipc")
+    rio.write_ipc_dataset(ds, out)
+    back = (rio.read_ipc(out).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(back, df)
+    pruned = rio.read_ipc(out, columns=["doc_id"]).to_pandas()
+    assert list(pruned.columns) == ["doc_id"] and len(pruned) == 100
