@@ -286,3 +286,35 @@ def add_minhash_bands(
         return out
 
     return ds.map_batches(_band_batch, batch_format="pyarrow")
+
+
+def lsh_params(threshold: float, num_perm: int = 64,
+               fp_weight: float = 0.5) -> tuple:
+    """Choose (bands, rows_per_band) for a target Jaccard ``threshold``.
+
+    Standard MinHash-LSH tuning (Leskovec/Rajaraman/Ullman MMDS §3.4, the
+    datasketch optimizer): candidate probability at similarity s is
+    ``1 - (1 - s^r)^b``; pick the (b, r) with b*r <= num_perm minimizing the
+    weighted sum of the false-positive integral below the threshold and the
+    false-negative integral above it (midpoint rule). ``fp_weight`` trades
+    candidate volume (FP -> wasted verify work) against recall (FN).
+
+    Returns ``(bands, rows_per_band)`` suitable for
+    :func:`add_minhash_bands` (bands=b; it derives r = num_perm // bands).
+    """
+    if not (0.0 < threshold < 1.0):
+        raise ValueError("threshold must be in (0, 1)")
+    xs = (np.arange(500) + 0.5) / 500.0
+    below = xs < threshold
+    best, best_err = (1, num_perm), float("inf")
+    for b in range(1, num_perm + 1):
+        r = num_perm // b
+        if r < 1:
+            break
+        p = 1.0 - np.power(1.0 - np.power(xs, r), b)
+        fp = float(p[below].sum()) / 500.0
+        fn = float((1.0 - p[~below]).sum()) / 500.0
+        err = fp_weight * fp + (1.0 - fp_weight) * fn
+        if err < best_err:
+            best, best_err = (b, r), err
+    return best

@@ -430,3 +430,21 @@ def test_contamination_short_and_empty_edge_cases(ray_session):
             ray.data.from_pandas(corpus), empty, "text", "doc_id",
             k=8, plan=plan).to_pandas())
         assert not g2["contaminated"].any()
+
+
+def test_lsh_params_tuner():
+    from registry_address_matcher_ray.stages.blocking import lsh_params
+
+    prev_rows = 0
+    for t in (0.3, 0.5, 0.7, 0.9):
+        b, r = lsh_params(t, num_perm=64)
+        assert b * r <= 64 and b >= 1 and r >= 1
+        # higher thresholds want longer bands (more rows)
+        assert r >= prev_rows
+        prev_rows = r
+        # the S-curve's 50% crossover lands near the target threshold
+        crossover = (1.0 - 0.5 ** (1.0 / b)) ** (1.0 / r)
+        assert abs(crossover - t) < 0.15, (t, b, r, crossover)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        lsh_params(1.5)
