@@ -646,6 +646,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = _read(sf_dir, "events").select_columns(["user_id"])
         return A.heavy_hitters(ev, "user_id", k=20)
 
+    def events_type_users_approx(sf_dir):
+        """Per-event-type approximate distinct users (per-key HLL sketch,
+        stages/analytics.py approx_distinct_by_key; deterministic but
+        approximate -> rows-only check, error bound pinned in pytest)."""
+        ev = _read(sf_dir, "events").select_columns(["event_type", "user_id"])
+        return A.approx_distinct_by_key(ev, "event_type", "user_id")
+
     def events_running_sum(sf_dir):
         def _cum(g: pd.DataFrame) -> pd.DataFrame:
             g = g.sort_values(["ts", "event_id"], kind="mergesort")
@@ -1216,6 +1223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segments_without_top_orders": segments_without_top_orders,
         "events_users_approx": events_users_approx,
         "events_heavy_hitters": events_heavy_hitters,
+        "events_type_users_approx": events_type_users_approx,
         "events_value_quantiles_sketch": events_value_quantiles_sketch,
         "docs_streaming_dedup": docs_streaming_dedup,
         "docs_streaming_dedup_count": docs_streaming_dedup_count,

@@ -1872,6 +1872,54 @@ def grouped_concat(
 _HLL_P = 12  # 4096 registers; relative error ~1.04/sqrt(4096) ~ 1.6%
 
 
+def _hll_hash(col_arr, n_expected=None) -> np.ndarray:
+    """splitmix64-mixed uint64 hashes of an Arrow column (shared by the
+    global and per-key HLL sketches — identical hashing keeps both
+    deterministic and partition-invariant)."""
+    def _mix(v: np.ndarray) -> np.ndarray:
+        v = (v + np.uint64(0x9E3779B97F4A7C15))
+        v = (v ^ (v >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        v = (v ^ (v >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return v ^ (v >> np.uint64(31))
+
+    if pa.types.is_integer(col_arr.type):
+        return _mix(col_arr.to_numpy(zero_copy_only=False).astype(np.uint64))
+    import pandas as pd
+
+    h = pd.util.hash_array(
+        col_arr.to_pandas().astype(str).to_numpy(dtype=object)
+    ).astype(np.uint64)
+    return _mix(h)
+
+
+def _hll_ranks(h: np.ndarray, p: int) -> tuple:
+    """(register index, rank) pairs of pre-mixed hashes for a 2^p sketch."""
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = h << np.uint64(p)
+    rank = np.zeros(len(h), dtype=np.uint8)
+    nz = rest != 0
+    bl = np.zeros(len(h), dtype=np.int64)
+    r = rest.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        big = r >= (np.uint64(1) << np.uint64(shift))
+        bl[big] += shift
+        r[big] >>= np.uint64(shift)
+    bl[rest != 0] += 1
+    rank[nz] = (64 - bl[nz] + 1)
+    rank[~nz] = 64 - p + 1
+    return idx, rank
+
+
+def _hll_estimate(regs: np.ndarray) -> int:
+    m = len(regs)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * math.log(m / zeros)
+    return int(round(est))
+
+
 def approx_distinct(ds: ray.data.Dataset, col: str, p: int = _HLL_P) -> int:
     """HyperLogLog approximate COUNT(DISTINCT col).
 
@@ -1883,40 +1931,8 @@ def approx_distinct(ds: ray.data.Dataset, col: str, p: int = _HLL_P) -> int:
     tests/test_analytics_extra.py for the pinned error-bound check."""
     m = 1 << p
 
-    def _mix(v: np.ndarray) -> np.ndarray:
-        v = (v + np.uint64(0x9E3779B97F4A7C15))
-        v = (v ^ (v >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        v = (v ^ (v >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        return v ^ (v >> np.uint64(31))
-
     def _sketch(batch: pa.Table) -> pa.Table:
-        col_arr = batch.column(col)
-        if pa.types.is_integer(col_arr.type):
-            h = _mix(col_arr.to_numpy(zero_copy_only=False).astype(np.uint64))
-        else:
-            import pandas as pd
-
-            h = pd.util.hash_array(
-                col_arr.to_pandas().astype(str).to_numpy(dtype=object)
-            ).astype(np.uint64)
-            h = _mix(h)
-        idx = (h >> np.uint64(64 - p)).astype(np.int64)
-        rest = h << np.uint64(p)
-        # rank = leading zeros of the remaining 64-p bits + 1 (capped)
-        rank = np.zeros(len(h), dtype=np.uint8)
-        nz = rest != 0
-        # position of highest set bit via log2 on the float mantissa is unsafe
-        # at 64 bits; use a bit-length loop over the 64 possible shifts instead
-        # (vectorized: 64-bit_length == leading zeros)
-        bl = np.zeros(len(h), dtype=np.int64)
-        r = rest.copy()
-        for shift in (32, 16, 8, 4, 2, 1):
-            big = r >= (np.uint64(1) << np.uint64(shift))
-            bl[big] += shift
-            r[big] >>= np.uint64(shift)
-        bl[rest != 0] += 1
-        rank[nz] = (64 - bl[nz] + 1)
-        rank[~nz] = 64 - p + 1
+        idx, rank = _hll_ranks(_hll_hash(batch.column(col)), p)
         regs = np.zeros(m, dtype=np.uint8)
         np.maximum.at(regs, idx, rank)
         return pa.table({"regs": [regs.tobytes()]})
@@ -1928,12 +1944,7 @@ def approx_distinct(ds: ray.data.Dataset, col: str, p: int = _HLL_P) -> int:
         for buf in b.column("regs").to_pylist():
             regs = np.maximum(regs, np.frombuffer(buf, dtype=np.uint8))
 
-    alpha = 0.7213 / (1 + 1.079 / m)
-    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
-    zeros = int(np.count_nonzero(regs == 0))
-    if est <= 2.5 * m and zeros:
-        est = m * math.log(m / zeros)  # small-range correction
-    return int(round(est))
+    return _hll_estimate(regs)
 
 
 def exact_quantiles_cont(
@@ -2465,3 +2476,56 @@ def dsir_weights(
 
     return ds.select_columns([id_col, text_col]).map_batches(
         _score, batch_format="pyarrow")
+
+
+def approx_distinct_by_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    col: str,
+    p: int = 10,
+    out_col: str = "approx_distinct",
+) -> ray.data.Dataset:
+    """Per-key HyperLogLog ``COUNT(DISTINCT col)`` — the per-group form of
+    :func:`approx_distinct` (e.g. distinct users per host over a 100-TB
+    event log). Same splitmix64 hashing, so estimates are deterministic and
+    partition-invariant.
+
+    Shape: each batch folds its rows into one 2^p-register sketch PER KEY
+    PRESENT (2^p bytes each; default p=10 -> 1 KiB), so the shuffle carries
+    O(keys-per-batch) sketch rows, never raw values; ``groupby(key)`` merges
+    blobs by elementwise max and estimates. Null values are ignored (SQL
+    COUNT DISTINCT semantics); keys whose rows are all-null don't appear.
+    Standard error ~1.04/sqrt(2^p) (~3.2% at p=10).
+    """
+    import pandas as pd
+
+    m = 1 << p
+
+    def _sketch(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.is_valid(batch.column(col)),
+                       pc.is_valid(batch.column(key_col)))
+        t = batch.filter(mask)
+        if t.num_rows == 0:
+            return pa.table({key_col: pa.array([], batch.schema.field(key_col).type),
+                             "regs": pa.array([], pa.binary())})
+        idx, rank = _hll_ranks(_hll_hash(t.column(col)), p)
+        keys = t.column(key_col).to_pandas()
+        codes, uniq = pd.factorize(keys, sort=False)
+        regs = np.zeros((len(uniq), m), dtype=np.uint8)
+        np.maximum.at(regs, (codes, idx), rank)
+        return pa.table({
+            key_col: pa.array(uniq, batch.schema.field(key_col).type),
+            "regs": pa.array([r.tobytes() for r in regs], pa.binary()),
+        })
+
+    def _merge(df: "pd.DataFrame") -> "pd.DataFrame":
+        regs = np.zeros(m, dtype=np.uint8)
+        for buf in df["regs"]:
+            regs = np.maximum(regs, np.frombuffer(buf, dtype=np.uint8))
+        return pd.DataFrame({key_col: [df[key_col].iloc[0]],
+                             out_col: pd.array([_hll_estimate(regs)],
+                                               dtype="int64")})
+
+    sk = ds.select_columns([key_col, col]).map_batches(
+        _sketch, batch_format="pyarrow")
+    return sk.groupby(key_col).map_groups(_merge, batch_format="pandas")

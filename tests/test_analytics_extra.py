@@ -736,3 +736,29 @@ def test_dsir_partition_invariance_and_drops_empty(ray_session):
     assert 998 not in set(outs[0]["doc_id"])
     # single-token doc has one feature (no bigram)
     assert (outs[0]["n_feats"] >= 1).all()
+
+
+def test_approx_distinct_by_key_error_and_invariance(ray_session):
+    rng = np.random.default_rng(21)
+    n = 30_000
+    df = pd.DataFrame({
+        "host": rng.choice([f"h{i}" for i in range(12)], size=n),
+        "user": rng.integers(0, 5000, size=n),
+    })
+    df.loc[:50, "user"] = None  # nulls ignored
+    exact = df.dropna(subset=["user"]).groupby("host")["user"].nunique()
+    outs = []
+    for parts in (3, 11):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        g = (A.approx_distinct_by_key(ds, "host", "user")
+             .to_pandas().set_index("host")["approx_distinct"].sort_index())
+        outs.append(g)
+    # deterministic hashing -> bit-identical estimates across partitionings
+    pd.testing.assert_series_equal(outs[0], outs[1])
+    rel = ((outs[0] - exact).abs() / exact).max()
+    assert rel < 0.12, rel  # ~3.2% expected at p=10; 12% is a safe ceiling
+    # all-null key disappears
+    df2 = pd.DataFrame({"host": ["only_null"] * 5, "user": [None] * 5})
+    g2 = A.approx_distinct_by_key(
+        ray.data.from_pandas(pd.concat([df, df2])), "host", "user").to_pandas()
+    assert "only_null" not in set(g2["host"])
