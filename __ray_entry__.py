@@ -517,6 +517,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return D.contamination_stats(ds, _bench_slice(ds), "text", "doc_id",
                                      k=8)
 
+    def docs_weighted_sample(sf_dir):
+        """Deterministic weighted sample w/o replacement (Efraimidis-
+        Spirakis keys from md5 uniforms; stages/sampling.py weighted_sample)
+        — the DSIR resampling step."""
+        from registry_address_matcher_ray.stages import sampling
+        ds = _read(sf_dir, "documents").select_columns(["doc_id", "n_chars"])
+        return sampling.weighted_sample(ds, "doc_id", "n_chars", k=50)
+
     def docs_dsir_weights(sf_dir):
         """DSIR importance weights (Xie et al. 2023): per-doc log-likelihood
         ratio of target (md5-test slice) vs raw hashed-ngram models
@@ -1172,6 +1180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_source_mix": docs_source_mix,
         "docs_token_shards": docs_token_shards,
         "docs_dsir_weights": docs_dsir_weights,
+        "docs_weighted_sample": docs_weighted_sample,
         "docs_quality_metrics": docs_quality_metrics,
         # -- core analytics / relational ops
         "lineitem_agg": lineitem_agg,
@@ -2411,6 +2420,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT DISTINCT doc_id
                                  FROM csh JOIN bsh USING (s))
+        """,
+        # Efraimidis-Spirakis weighted sample: fixed md5 uniforms make the
+        # draw deterministic; identical pow() expression -> identical keys
+        "docs_weighted_sample": """
+            SELECT doc_id, n_chars FROM (
+                SELECT doc_id, n_chars,
+                       pow(md5_number_lower(CAST(doc_id AS VARCHAR))
+                           / 18446744073709551616.0,
+                           1.0 / n_chars) AS sk
+                FROM documents
+                WHERE n_chars IS NOT NULL AND n_chars > 0
+                      AND isfinite(CAST(n_chars AS DOUBLE))
+            ) ORDER BY sk DESC, doc_id LIMIT 50
         """,
         # DSIR: the log-ratio expression order matches the engine verbatim
         # (same IEEE op sequence -> bit-identical per-bucket ratios); per-doc

@@ -22,6 +22,7 @@ from __future__ import annotations
 import hashlib
 from typing import List, Sequence, Tuple
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
@@ -236,3 +237,52 @@ def token_shards(
                          "shard": shard})
 
     return running.map_batches(_shard, batch_format="pyarrow")
+
+
+def weighted_sample(
+    ds: ray.data.Dataset,
+    id_col: str,
+    weight_col: str,
+    k: int,
+) -> ray.data.Dataset:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006): each row gets key ``u ** (1/w)`` with ``u`` a fixed
+    uniform derived from ``md5(id)`` — the top-k keys are a weighted sample,
+    and the fixed uniforms make the draw reproducible AND SQL-checkable
+    (DuckDB: ``pow(md5_number_lower(id)/2^64, 1/w)``). This is the DSIR
+    resampling step when ``weight_col`` holds ``exp(logratio)``-style
+    importance weights.
+
+    Scale shape: the key is a stateless per-batch expression; selection is a
+    per-batch local top-k combiner followed by one tiny k-row final merge —
+    never a global sort. Rows with weight <= 0 or null are excluded (they
+    can never be sampled).
+    """
+    import pyarrow.compute as pc
+
+    def _key(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_pylist()
+        u = np.array(
+            [int.from_bytes(hashlib.md5(str(v).encode()).digest()[8:],
+                            "little") for v in ids],
+            dtype=np.float64) / float(1 << 64)
+        w = np.asarray(b.column(weight_col).to_pandas(), dtype=np.float64)
+        valid = np.isfinite(w) & (w > 0.0)
+        key = np.where(valid, np.power(u, 1.0 / np.where(valid, w, 1.0)),
+                       -1.0)
+        t = pa.table({
+            id_col: b.column(id_col),
+            weight_col: b.column(weight_col),
+            "_sk": pa.array(key, pa.float64()),
+        }).filter(pa.array(valid))
+        if t.num_rows > k:  # local top-k combiner: at most k rows per batch
+            order = pc.select_k_unstable(t, k, [("_sk", "descending")])
+            t = t.take(order)
+        return t
+
+    keyed = ds.select_columns([id_col, weight_col]).map_batches(
+        _key, batch_format="pyarrow")
+    # final merge over <= k * #batches rows, then drop the key column
+    out = keyed.sort(["_sk", id_col], descending=[True, False]).limit(k)
+    return out.map_batches(lambda b: b.select([id_col, weight_col]),
+                           batch_format="pyarrow")

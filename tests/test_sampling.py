@@ -133,3 +133,39 @@ def test_token_shards_budget_and_order(ray_session):
     for r in out.itertuples():
         assert r.shard == run // 50, r
         run += r.n_tokens
+
+
+def test_weighted_sample_deterministic_and_biased(ray_session):
+    import numpy as np
+
+    import ray.data
+
+    from registry_address_matcher_ray.stages import sampling as S2
+
+    # heavy items dominate: 20 items with weight 1000 vs 500 with weight 1
+    df = pd.DataFrame({
+        "id": range(520),
+        "w": [1000.0] * 20 + [1.0] * 500,
+    })
+    outs = []
+    for parts in (1, 7):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        got = (S2.weighted_sample(ds, "id", "w", k=25)
+               .to_pandas().sort_values("id").reset_index(drop=True))
+        outs.append(got)
+    pd.testing.assert_frame_equal(outs[0], outs[1])  # partition-invariant
+    # all 20 heavy items must be drawn into a k=25 sample (p_miss ~ (1/1000))
+    assert set(range(20)) <= set(outs[0]["id"])
+    # pandas transcription of the key rule agrees exactly
+    import hashlib
+
+    u = np.array([int.from_bytes(hashlib.md5(str(v).encode()).digest()[8:],
+                                 "little") for v in df["id"]],
+                 dtype=np.float64) / float(1 << 64)
+    key = np.power(u, 1.0 / df["w"].to_numpy())
+    exp = set(df["id"].iloc[np.argsort(-key)[:25]])
+    assert set(outs[0]["id"]) == exp
+    # zero/negative/null weights never sampled
+    df2 = pd.DataFrame({"id": [1, 2, 3], "w": [0.0, -5.0, None]})
+    got2 = S2.weighted_sample(ray.data.from_pandas(df2), "id", "w", k=3).to_pandas()
+    assert len(got2) == 0
