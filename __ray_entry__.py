@@ -854,6 +854,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         spr, cad, _ = _registries(sf_dir)
         return linkage.match_registries(spr, cad, PipelineConfig(fuzzy_strategy="shuffle"))
 
+    def match_one_to_one(sf_dir):
+        """Greedy 1:1 assignment over the flagship match pairs (each SPR and
+        CAD id kept at most once, score-desc greedy; stages/matching.py
+        one_to_one_matches — parity with sequential greedy pinned in
+        tests/test_matching_e2e.py; iterative, so rows-only here)."""
+        spr, cad, _ = _registries(sf_dir)
+        m = linkage.match_registries(spr, cad, PipelineConfig()).materialize()
+        return matching.one_to_one_matches(
+            m, "ADDRESS_ID_SPR", "ADDRESS_ID_CAD", "MATCH_SCORE")
+
     def match_clusters(sf_dir):
         spr, cad, _ = _registries(sf_dir)
         m = linkage.match_registries(spr, cad, PipelineConfig()).materialize()
@@ -1201,6 +1211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_per_host_cap": pages_per_host_cap,
         "crawl_snapshot_diff": crawl_snapshot_diff,
         # same-family variants demoted below the driver's 50-query window
+        "match_one_to_one": match_one_to_one,
         "match_exact_pairs": match_exact_pairs,
         "docs_fingerprint_dedup": docs_fingerprint_dedup,
         "docs_token_docfreq": docs_token_docfreq,

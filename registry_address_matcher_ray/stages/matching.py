@@ -1335,3 +1335,125 @@ def filter_out_ids(
         )
 
     return ds.map_batches(_flt, batch_format="pyarrow")
+
+
+def one_to_one_matches(
+    pairs: ray.data.Dataset,
+    left_col: str,
+    right_col: str,
+    score_col: str,
+    max_rounds: int = 64,
+    local_finish_rows: int = 100_000,
+) -> ray.data.Dataset:
+    """Greedy one-to-one assignment over scored candidate pairs — the
+    classic ER post-process the reference's 1:N extractOne lacks
+    (each left record keeps at most one right record and vice versa,
+    pairs accepted in (score desc, left asc, right asc) order).
+
+    Distributed plan: one global rank under that order (analytics.global_rank
+    — sort + block-offset metadata pass), then LOCALLY-DOMINANT rounds: a
+    pair is accepted when its rank is the minimum for BOTH its endpoints
+    (two groupby.min + one join); accepted endpoints' remaining pairs are
+    dropped by broadcast anti-join and the round repeats on the residue.
+    With a strict total order (the composite rank key is unique) parallel
+    locally-dominant acceptance yields EXACTLY the sequential greedy
+    matching — parity with a pandas transcription is pinned in
+    tests/test_matching_e2e.py. Rounds shrink geometrically in practice;
+    each round accepts at least the globally best remaining pair. Null
+    scores are dropped (they can never win).
+    """
+    import numpy as np
+
+    from .analytics import ensure_arrow_schema, global_rank, semi_join_ids
+
+    out_schema_cols = [left_col, right_col, score_col]
+
+    def _neg(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column(score_col)))
+        return b.append_column(
+            "_neg", pc.multiply(pc.cast(b.column(score_col), pa.float64()),
+                                pa.scalar(-1.0))).replace_schema_metadata(None)
+
+    cur = global_rank(
+        pairs.select_columns(out_schema_cols)
+        .map_batches(_neg, batch_format="pyarrow"),
+        ["_neg", left_col, right_col], rank_col="_rk",
+    ).map_batches(lambda b: b.drop_columns(["_neg"]),
+                  batch_format="pyarrow").materialize()
+
+    accepted = []
+    for _rnd in range(max_rounds):
+        n_cur = cur.count()
+        if n_cur == 0:
+            break
+        if n_cur <= local_finish_rows:
+            # bounded local finish (the cluster.py fast-path pattern): the
+            # rounds shrink geometrically, so the residue is tiny long
+            # before this bound; finishing it driver-side avoids degenerate
+            # near-empty hash-join rounds. _rk IS the greedy total order.
+            import pandas as pd
+
+            df = cur.to_pandas().sort_values("_rk", kind="mergesort")
+            seen_l: set = set()
+            seen_r: set = set()
+            keep = []
+            for i, (lv, rv) in enumerate(zip(df[left_col], df[right_col])):
+                if lv not in seen_l and rv not in seen_r:
+                    seen_l.add(lv)
+                    seen_r.add(rv)
+                    keep.append(i)
+            tail = pa.Table.from_pandas(
+                df.iloc[keep][out_schema_cols],
+                preserve_index=False).replace_schema_metadata(None)
+            accepted.append(ray.data.from_arrow(tail))
+            break
+        sch = cur.schema().base_schema
+
+        def _min_of(col: str, alias: str) -> ray.data.Dataset:
+            g = (cur.groupby(col).min("_rk")
+                 .map_batches(lambda b, c=col, a=alias:
+                              b.rename_columns([c, a]),
+                              batch_format="pyarrow"))
+            # later rounds shrink: empty groupby partitions emit
+            # column-less blocks; repartition concatenates them away
+            return ensure_arrow_schema(
+                g, pa.schema([(col, sch.field(col).type),
+                              (alias, pa.int64())])).repartition(2).materialize()
+
+        lmin = _min_of(left_col, "_lm")
+        rmin = _min_of(right_col, "_rm")
+        nparts = max(2, min(16, cur.count() // 50_000 + 2))
+        # materialize between the two joins: composing them lazily makes
+        # Ray's hash-join actors see column-less empty partitions and crash
+        # on the key FieldRef; the round tables shrink geometrically so the
+        # extra materialization is cheap
+        j1 = cur.join(lmin, join_type="inner", num_partitions=nparts,
+                      on=(left_col,)).materialize()
+        j1 = ensure_arrow_schema(
+            j1.repartition(nparts),
+            pa.schema([(left_col, sch.field(left_col).type),
+                       (right_col, sch.field(right_col).type),
+                       (score_col, sch.field(score_col).type),
+                       ("_rk", pa.int64()), ("_lm", pa.int64())]))
+        j = j1.join(rmin, join_type="inner", num_partitions=nparts,
+                    on=(right_col,))
+        acc = j.filter(
+            expr="_rk == _lm and _rk == _rm").select_columns(
+            out_schema_cols).materialize()
+        accepted.append(acc)
+        cur = semi_join_ids(cur, left_col,
+                            acc.select_columns([left_col]), left_col,
+                            anti=True)
+        cur = semi_join_ids(cur, right_col,
+                            acc.select_columns([right_col]), right_col,
+                            anti=True).materialize()
+    else:
+        raise RuntimeError(
+            f"one_to_one_matches did not converge in {max_rounds} rounds")
+
+    if not accepted:
+        return pairs.select_columns(out_schema_cols).limit(0)
+    out = accepted[0]
+    for part in accepted[1:]:
+        out = out.union(part)
+    return out

@@ -189,3 +189,59 @@ def test_match_incremental_equals_full_batch(fixtures_small, ray_session):
         full.sort_values(k).reset_index(drop=True)[sorted(full.columns)],
         inc.sort_values(k).reset_index(drop=True)[sorted(full.columns)],
     )
+
+
+# ---------------------------------------------------------------------------
+# greedy one-to-one assignment
+# ---------------------------------------------------------------------------
+
+
+def _greedy_one_to_one(df):
+    d = df.sort_values(["score", "l", "r"], ascending=[False, True, True],
+                       kind="mergesort")
+    seen_l, seen_r, out = set(), set(), []
+    for row in d.itertuples(index=False):
+        if row.l not in seen_l and row.r not in seen_r:
+            seen_l.add(row.l)
+            seen_r.add(row.r)
+            out.append((row.l, row.r, row.score))
+    return sorted(out)
+
+
+def _mk_pairs(seed, n=2500, ids=350, tie_scores=True):
+    rng = np.random.default_rng(seed)
+    score = rng.uniform(0, 100, n)
+    if tie_scores:
+        score = np.round(score, 1)  # force frequent score ties
+    return pd.DataFrame({"l": rng.integers(0, ids, n),
+                         "r": rng.integers(0, ids, n),
+                         "score": score}).drop_duplicates(
+        ["l", "r"]).reset_index(drop=True)
+
+
+def test_one_to_one_matches_greedy_parity(ray_session):
+    from registry_address_matcher_ray.stages.matching import one_to_one_matches
+
+    for seed, ties in ((3, True), (4, False)):
+        df = _mk_pairs(seed, tie_scores=ties)
+        got = one_to_one_matches(
+            ray.data.from_pandas(df).repartition(5), "l", "r", "score"
+        ).to_pandas()
+        assert sorted(map(tuple, got[["l", "r", "score"]].values.tolist())) \
+            == _greedy_one_to_one(df)
+        # 1:1 property
+        assert got["l"].is_unique and got["r"].is_unique
+
+
+def test_one_to_one_distributed_rounds_parity(ray_session):
+    from registry_address_matcher_ray.stages.matching import one_to_one_matches
+
+    df = _mk_pairs(9)
+    want = _greedy_one_to_one(df)
+    for parts in (1, 8):
+        got = one_to_one_matches(
+            ray.data.from_pandas(df).repartition(parts), "l", "r", "score",
+            local_finish_rows=50,  # force several distributed rounds
+        ).to_pandas()
+        assert sorted(map(tuple, got[["l", "r", "score"]].values.tolist())) \
+            == want, parts
