@@ -949,6 +949,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _read(sf_dir, "documents")
         return D.simhash_dedup(ds, "text", "doc_id", hamming_threshold=3)["clusters"]
 
+    def docs_jaccard_join_exact(sf_dir):
+        """EXACT word-token Jaccard self-join >= 0.7 via prefix filtering
+        (stages/dedup.py jaccard_join_exact) — complete, no false negatives,
+        vs the LSH-blocked approximate pair ops."""
+        ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+        return D.jaccard_join_exact(ds, "text", "doc_id", threshold=0.7)
+
     def docs_ngram_jaccard_matrix(sf_dir):
         """Exact pairwise 3-gram overlap for doc_id < 16 (integer outputs)."""
         ds = _read(sf_dir, "documents")
@@ -1162,7 +1169,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_review_queue": match_review_queue,
         "match_exact_full": match_exact_full,
         "match_exact_key_p2": match_exact_key_p2,
-        "unmatched_exact_spr": unmatched_exact_spr,
         "engine_variant_exact": engine_variant_exact,
         "spr_token_block_sizes": spr_token_block_sizes,
         # -- §2.13 training-data family, one per sub-family
@@ -1173,6 +1179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_substring_rewrite": docs_substring_rewrite,
         "docs_decontaminate_stats": docs_decontaminate_stats,
         "docs_decontaminated": docs_decontaminated,
+        "docs_jaccard_join_exact": docs_jaccard_join_exact,
         "docs_ngram_jaccard_matrix": docs_ngram_jaccard_matrix,
         "embeddings_knn": embeddings_knn,
         "embeddings_ivf_knn": embeddings_ivf_knn,
@@ -1211,6 +1218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_per_host_cap": pages_per_host_cap,
         "crawl_snapshot_diff": crawl_snapshot_diff,
         # same-family variants demoted below the driver's 50-query window
+        "unmatched_exact_spr": unmatched_exact_spr,
         "match_one_to_one": match_one_to_one,
         "match_exact_pairs": match_exact_pairs,
         "docs_fingerprint_dedup": docs_fingerprint_dedup,
@@ -2376,6 +2384,24 @@ def oracle_sql() -> dict[str, str]:
             FROM tok LEFT JOIN (
                 SELECT doc_id, string_agg(tokv, ' ' ORDER BY j) AS text
                 FROM kept GROUP BY doc_id) k2 USING (doc_id)
+        """,
+        # exact prefix-filter jaccard join: plain pairwise SQL is the oracle
+        "docs_jaccard_join_exact": """
+            WITH tok AS (
+                SELECT doc_id,
+                       list_distinct(list_filter(
+                           string_split(lower(coalesce(text, '')), ' '),
+                           x -> x <> '')) AS ts
+                FROM documents
+            ), ex AS (SELECT doc_id, unnest(ts) AS w, len(ts) AS s FROM tok),
+            inter AS (
+                SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c,
+                       any_value(a.s) AS sa, any_value(b.s) AS sb
+                FROM ex a JOIN ex b ON a.w = b.w AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id)
+            SELECT ia AS id_a, ib AS id_b,
+                   round(c * 1.0 / (sa + sb - c), 6) AS jaccard
+            FROM inter WHERE round(c * 1.0 / (sa + sb - c), 6) >= 0.7
         """,
         # benchmark decontamination: the engine matches on 128-bit rolling
         # hashes of lowercased 8-gram shingles; the oracle groups by shingle

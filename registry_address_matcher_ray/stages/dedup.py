@@ -1310,3 +1310,119 @@ def decontaminate(
                            batch_format="pyarrow")
     return clean.join(keep, join_type="inner", num_partitions=n_parts,
                       on=(id_col,))
+
+
+def jaccard_join_exact(
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.6,
+    max_group: int = 1000,
+) -> ray.data.Dataset:
+    """EXACT word-token Jaccard self-join via prefix filtering (Chaudhuri et
+    al. 2006 / Bayardo et al. 2007): every pair with
+    ``jaccard(tokens(a), tokens(b)) >= threshold`` is emitted — COMPLETE, no
+    false negatives, unlike the LSH-blocked :func:`ngram_jaccard_pairs`
+    (recall's exactness is pinned by a brute-force completeness test).
+
+    Candidate generation: each doc's distinct tokens are ranked by a FIXED
+    global order (blake2b hash — consistency is all the prefix lemma needs,
+    so there is no document-frequency table to build or broadcast) and only
+    the first ``p = s - ceil(t*s) + 1`` tokens enter the exchange as
+    (token-hash, id) rows; any qualifying pair must collide on at least one
+    prefix bucket. Buckets, pairing, dedup and the candidate-bounded verify
+    broadcast reuse the LSH machinery (ids-only shuffle, hot-bucket
+    prefilter). ``max_group`` truncation (logged) is the one documented
+    completeness cap for pathological hot prefixes. Tokenization is
+    ``lower().split(" ")`` with empties dropped.
+
+    Output: (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    import hashlib
+    import math as _math
+
+    thr = float(threshold)
+    if not (0.0 < thr <= 1.0):
+        raise ValueError("threshold must be in (0, 1]")
+
+    def _prefix(batch: pa.Table) -> pa.Table:
+        cache: Dict[str, int] = {}
+        ids_out, bkt_out = [], []
+        for rid, txt in zip(batch.column(id_col).to_pylist(),
+                            batch.column(text_col).to_pylist()):
+            ts = {t for t in ("" if txt is None else txt).lower().split(" ")
+                  if t}
+            s = len(ts)
+            if s == 0:
+                continue
+            hs = []
+            for t in ts:
+                h = cache.get(t)
+                if h is None:
+                    h = int.from_bytes(
+                        hashlib.blake2b(t.encode(), digest_size=8).digest(),
+                        "little") >> 1  # non-negative int64
+                    cache[t] = h
+                hs.append(h)
+            hs.sort()
+            p = s - int(_math.ceil(thr * s)) + 1
+            bkt_out.extend(hs[:p])
+            ids_out.extend([rid] * p)
+        return pa.table({
+            "bucket": pa.array(bkt_out, pa.int64()),
+            id_col: pa.array(ids_out, batch.schema.field(id_col).type),
+        })
+
+    melted = ds.select_columns([id_col, text_col]).map_batches(
+        _prefix, batch_format="pyarrow")
+    pairs = _bucket_candidate_pairs(melted, "bucket", id_col,
+                                    max_group).materialize()
+
+    cand_ids = _candidate_id_set(pairs)
+    texts_ref = ray.put({
+        r[0]: r[1]
+        for b in _semi_join_ids_arrow(
+            ds.select_columns([id_col, text_col]), id_col, cand_ids
+        ).iter_batches(batch_format="pyarrow")
+        for r in zip(b.column(id_col).to_pylist(),
+                     b.column(text_col).to_pylist())
+    })
+
+    class _VerifyState:
+        def __init__(self):
+            self.texts = ray.get(texts_ref)
+            self.sets: Dict = {}
+
+        def _ts(self, i):
+            s = self.sets.get(i)
+            if s is None:
+                s = {t for t in (self.texts.get(i) or "").lower().split(" ")
+                     if t}
+                self.sets[i] = s
+            return s
+
+    vkey = ("jaccard-exact-verify", texts_ref.hex())
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        from .matching import _worker_state
+
+        st = _worker_state(vkey, _VerifyState)
+        a = batch.column("id_a").to_pylist()
+        b = batch.column("id_b").to_pylist()
+        jac = []
+        for x, y in zip(a, b):
+            sa, sb = st._ts(x), st._ts(y)
+            u = len(sa | sb)
+            jac.append(len(sa & sb) / u if u else 0.0)
+        out = pa.table({
+            "id_a": batch.column("id_a"),
+            "id_b": batch.column("id_b"),
+            "jaccard": pa.array(np.round(np.asarray(jac), 6), pa.float64()),
+        })
+        return out.filter(pc.greater_equal(out.column("jaccard"), thr))
+
+    sch = ds.schema()
+    id_type = dict(zip(sch.names, sch.types))[id_col]
+    return _distinct_pairs_with_value(
+        pairs.map_batches(_verify, batch_format="pyarrow"),
+        "jaccard", id_type).materialize()

@@ -448,3 +448,46 @@ def test_lsh_params_tuner():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         lsh_params(1.5)
+
+
+# ---------------------------------------------------------------------------
+# exact prefix-filter jaccard join
+# ---------------------------------------------------------------------------
+
+
+def _brute_jaccard_pairs(texts: dict, thr: float):
+    import itertools
+
+    sets = {i: {t for t in (x or "").lower().split(" ") if t}
+            for i, x in texts.items()}
+    out = []
+    for a, b in itertools.combinations(sorted(sets), 2):
+        sa, sb = sets[a], sets[b]
+        u = len(sa | sb)
+        j = len(sa & sb) / u if u else 0.0
+        if round(j, 6) >= thr:
+            out.append((a, b, round(j, 6)))
+    return sorted(out)
+
+
+def test_jaccard_join_exact_completeness(docs, ray_session):
+    texts = dict(zip(docs["doc_id"], docs["text"]))
+    for thr in (0.5, 0.9):
+        want = _brute_jaccard_pairs(texts, thr)
+        got = (D.jaccard_join_exact(
+            ray.data.from_pandas(docs[["doc_id", "text"]]).repartition(6),
+            "text", "doc_id", threshold=thr).to_pandas())
+        got_t = sorted(map(tuple, got[["id_a", "id_b", "jaccard"]]
+                           .values.tolist()))
+        assert got_t == want, thr  # COMPLETE and exact, incl. boundary ties
+
+
+def test_jaccard_join_exact_partition_invariance(docs, ray_session):
+    outs = []
+    for parts in (1, 9):
+        got = (D.jaccard_join_exact(
+            ray.data.from_pandas(docs[["doc_id", "text"]]).repartition(parts),
+            "text", "doc_id", threshold=0.6).to_pandas()
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+        outs.append(got)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
