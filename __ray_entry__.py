@@ -619,6 +619,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).take(1)[0]
         return np.asarray(row["embedding"], dtype=np.float64)
 
+    def embeddings_cosine_join(sf_dir):
+        """EXACT cosine-threshold self-join over embeddings (broadcast
+        normalized matrix, blocked matmul; stages/similarity.py
+        cosine_join_exact) — recall-1.0 counterpart to the banded LSH ops."""
+        emb = _read(sf_dir, "embeddings")
+        # round(2) contract: the parquet column is float32 and DuckDB's
+        # list_cosine_similarity accumulates in float32 while numpy uses
+        # float64 — at round(4) a boundary pair flips (~1e-7 disagreement);
+        # at round(2) the flip window is ~1e-7/5e-3 per pair. The operator
+        # itself is full-precision; exactness vs numpy is pinned in pytest.
+        return S.cosine_join_exact(emb, threshold=0.3, ndigits=2)
+
     def embeddings_knn(sf_dir):
         ds = _read(sf_dir, "embeddings")
         q = _query_vec(ds)
@@ -1182,6 +1194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_jaccard_join_exact": docs_jaccard_join_exact,
         "docs_ngram_jaccard_matrix": docs_ngram_jaccard_matrix,
         "embeddings_knn": embeddings_knn,
+        "embeddings_cosine_join": embeddings_cosine_join,
         "embeddings_ivf_knn": embeddings_ivf_knn,
         "embeddings_semdedup": embeddings_semdedup,
         "docs_text_stats": docs_text_stats,
@@ -1192,7 +1205,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pii_redact": docs_pii_redact,
         "docs_tfidf_top3": docs_tfidf_top3,
         "docs_lang_counts": docs_lang_counts,
-        "docs_split_assign": docs_split_assign,
         "docs_chunks": docs_chunks,
         "docs_source_mix": docs_source_mix,
         "docs_token_shards": docs_token_shards,
@@ -1218,6 +1230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_per_host_cap": pages_per_host_cap,
         "crawl_snapshot_diff": crawl_snapshot_diff,
         # same-family variants demoted below the driver's 50-query window
+        "docs_split_assign": docs_split_assign,
         "unmatched_exact_spr": unmatched_exact_spr,
         "match_one_to_one": match_one_to_one,
         "match_exact_pairs": match_exact_pairs,
@@ -2384,6 +2397,16 @@ def oracle_sql() -> dict[str, str]:
             FROM tok LEFT JOIN (
                 SELECT doc_id, string_agg(tokv, ' ' ORDER BY j) AS text
                 FROM kept GROUP BY doc_id) k2 USING (doc_id)
+        """,
+        # exact cosine join: DuckDB's list_cosine_similarity at round(4)
+        # reproduces the numpy normalized matmul (the knn oracle precedent)
+        "embeddings_cosine_join": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(CAST(list_cosine_similarity(a.embedding, b.embedding)
+                              AS DOUBLE), 2) AS score
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(CAST(list_cosine_similarity(a.embedding, b.embedding)
+                             AS DOUBLE), 2) >= 0.3
         """,
         # exact prefix-filter jaccard join: plain pairwise SQL is the oracle
         "docs_jaccard_join_exact": """

@@ -693,3 +693,68 @@ def hash_embed_sparse(
         })
 
     return ds.map_batches(_embed, batch_format="pyarrow")
+
+
+def cosine_join_exact(
+    ds: ray.data.Dataset,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ndigits: int = 4,
+) -> ray.data.Dataset:
+    """EXACT cosine-similarity self-join: every pair with
+    ``round(cos, ndigits) >= threshold`` — the exact counterpart to the
+    banded-LSH :func:`embedding_near_dup` (recall 1.0 by construction).
+
+    Shape: the normalized matrix + ids broadcast once via ``ray.put``
+    (``knn_brute``'s bounded-table premise: n x d doubles); each corpus batch
+    matmuls its rows against the broadcast side and keeps ``id_a < id_b``
+    pairs over the rounded threshold — O(n^2) compute spread evenly across
+    batches, zero shuffles, output bounded by the true pair count. At
+    corpus scale, prune first with the IVF/banded ops and use this as the
+    within-bucket verifier (the :func:`semantic_dedup` composition).
+    """
+    thr = float(threshold)
+
+    def _collect(d: ray.data.Dataset):
+        ids, vecs = [], []
+        for b in d.select_columns([id_col, vec_col]).iter_batches(
+                batch_format="pyarrow"):
+            if b.num_rows:
+                ids.append(np.asarray(b.column(id_col).to_pylist()))
+                vecs.append(_batch_matrix(b, vec_col))
+        if not ids:
+            return np.array([], dtype=np.int64), np.zeros((0, 1))
+        return np.concatenate(ids), np.vstack(vecs)
+
+    _EMPTY = pa.table({
+        "id_a": pa.array([], pa.int64()),
+        "id_b": pa.array([], pa.int64()),
+        "score": pa.array([], pa.float64())})
+
+    all_ids, all_m = _collect(ds)
+    if all_ids.size == 0:
+        # empty corpus: map_batches would never run, leaving the input schema
+        return ray.data.from_arrow(_EMPTY)
+    ref = ray.put((all_ids, _normalize_rows(all_m)))
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        bids_np, bm = ray.get(ref)
+        ids = np.asarray(batch.column(id_col).to_pylist())
+        empty = _EMPTY
+        if batch.num_rows == 0 or bm.shape[0] == 0:
+            return empty
+        m = _normalize_rows(_batch_matrix(batch, vec_col))
+        scores = np.round(m @ bm.T, ndigits)  # (batch, n)
+        # keep id_a < id_b: each unordered pair is emitted by exactly one
+        # batch row (the smaller id), so no global dedup pass is needed
+        ii, jj = np.nonzero((scores >= thr) & (ids[:, None] < bids_np[None, :]))
+        if not len(ii):
+            return empty
+        return pa.table({
+            "id_a": pa.array(ids[ii], pa.int64()),
+            "id_b": pa.array(bids_np[jj], pa.int64()),
+            "score": pa.array(scores[ii, jj], pa.float64()),
+        })
+
+    return ds.map_batches(_pairs, batch_format="pyarrow")

@@ -296,3 +296,35 @@ def test_hash_embed_sparse_matches_dense(ray_session):
         assert set(rows.bucket) == set(np.nonzero(v)[0])
         for r in rows.itertuples():
             assert r.weight == round(float(v[r.bucket]), 6)
+
+
+def test_cosine_join_exact_matches_brute(clustered_embeddings):
+    m = clustered_embeddings
+    ds = ray.data.from_arrow(_emb_table(m)).repartition(5)
+    thr = 0.9
+    out = S.cosine_join_exact(ds, threshold=thr, ndigits=12).to_pandas()
+    got = set(zip(out.id_a.tolist(), out.id_b.tolist()))
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sim = np.round(mn @ mn.T, 12)
+    iu = np.triu_indices(len(m), 1)
+    keep = sim[iu] >= thr
+    expect = set(zip(iu[0][keep].tolist(), iu[1][keep].tolist()))
+    assert got == expect                      # recall 1.0, precision 1.0
+    # scores are the exact rounded cosines
+    lut = {(int(a), int(b)): float(s)
+           for a, b, s in zip(out.id_a, out.id_b, out.score)}
+    for a, b in expect:
+        assert abs(lut[(a, b)] - sim[a, b]) < 1e-12
+    # id_a < id_b invariant: each unordered pair emitted exactly once
+    assert (out.id_a < out.id_b).all()
+    assert len(out) == len(expect)
+
+
+def test_cosine_join_exact_empty(ray_session):
+    ds = ray.data.from_arrow(_emb_table(np.zeros((0, 4))))
+    out = S.cosine_join_exact(ds, threshold=0.5)
+    # schema must be the stable pair schema, not the input's
+    # (ray.data.Dataset.to_pandas drops columns on 0-row data, so check
+    # the Dataset schema itself)
+    assert out.schema().names == ["id_a", "id_b", "score"]
+    assert out.count() == 0
