@@ -876,6 +876,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return matching.one_to_one_matches(
             m, "ADDRESS_ID_SPR", "ADDRESS_ID_CAD", "MATCH_SCORE")
 
+    def match_sorted_neighborhood(sf_dir):
+        """Sorted-neighborhood blocking candidates (Hernandez & Stolfo 1995):
+        union sorted by (SEARCH_KEY, src, id), window=4, cross-source pairs
+        (stages/blocking.sorted_neighborhood_pairs) — an alternative candidate
+        generator to the reference's equality indexes
+        (/root/reference/address.py:305-330)."""
+        from registry_address_matcher_ray.stages import blocking
+
+        spr, cad = _pre_registries(sf_dir)
+        return blocking.sorted_neighborhood_pairs(
+            spr, cad, window=4, bucket_rows=2048)
+
     def match_clusters(sf_dir):
         spr, cad, _ = _registries(sf_dir)
         m = linkage.match_registries(spr, cad, PipelineConfig()).materialize()
@@ -1233,6 +1245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_split_assign": docs_split_assign,
         "unmatched_exact_spr": unmatched_exact_spr,
         "match_one_to_one": match_one_to_one,
+        "match_sorted_neighborhood": match_sorted_neighborhood,
         "match_exact_pairs": match_exact_pairs,
         "docs_fingerprint_dedup": docs_fingerprint_dedup,
         "docs_token_docfreq": docs_token_docfreq,
@@ -1816,6 +1829,27 @@ def oracle_sql() -> dict[str, str]:
         # the pipeline's own pure-Arrow extract/parse/preprocess batch fns)
         "pages_flagship": _match_pairs_sql(pages_pre, p["cad"]),
         "match_exact_full": exact_full_sql,
+        # sorted-neighborhood blocking: window over the (key, src, id)-sorted
+        # union; the composite sort key is unique so row_number is
+        # deterministic and matches the engine's global_rank exactly
+        "match_sorted_neighborhood": f"""
+            WITH u AS (
+                SELECT SEARCH_KEY AS k, 's' AS src, ADDRESS_ID AS id
+                FROM read_parquet('{p["spr"]}')
+                UNION ALL
+                SELECT SEARCH_KEY, 'c', ADDRESS_ID
+                FROM read_parquet('{p["cad"]}')),
+            r AS (SELECT k, src, id,
+                         row_number() OVER (ORDER BY k, src, id) - 1 AS rn
+                  FROM u)
+            SELECT CASE WHEN a.src = 's' THEN a.id ELSE b.id END
+                       AS "ADDRESS_ID_SPR",
+                   CASE WHEN a.src = 's' THEN b.id ELSE a.id END
+                       AS "ADDRESS_ID_CAD",
+                   b.rn - a.rn AS rank_dist
+            FROM r a JOIN r b
+              ON b.rn > a.rn AND b.rn - a.rn <= 3 AND a.src <> b.src
+        """,
         "match_exact_key_p2": exact_key_sql,
         "match_exact_pairs": f"{exact_full_sql} UNION ALL {exact_key_sql}",
         "match_pairs": match_sql,

@@ -318,3 +318,105 @@ def lsh_params(threshold: float, num_perm: int = 64,
         if err < best_err:
             best, best_err = (b, r), err
     return best
+
+
+def sorted_neighborhood_pairs(
+    spr: ray.data.Dataset,
+    cad: ray.data.Dataset,
+    key_col: str = "SEARCH_KEY",
+    id_col: str = "ADDRESS_ID",
+    window: int = 3,
+    bucket_rows: int = 4096,
+) -> ray.data.Dataset:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo, SIGMOD 1995): union
+    both registries with a source tag, sort by ``(key, source, id)``, slide a
+    window of ``window`` rows over the global order, and emit every
+    CROSS-source candidate pair inside the window as
+    ``(ADDRESS_ID_SPR, ADDRESS_ID_CAD, rank_dist)``.
+
+    A complement to the equality blocking the reference uses
+    (`/root/reference/address.py:305-330` builds exact street/key indexes):
+    sorted-neighborhood also pairs records whose keys are merely ADJACENT in
+    sort order (typo in the last characters, missing house number), at a cost
+    linear in corpus size instead of quadratic.
+
+    Distributed plan: one range-partitioning sort via
+    :func:`~..stages.analytics.global_rank` (dense 0-based rank ``rn``; no
+    row-level data reaches the driver), then each row is routed to rank bucket
+    ``rn // bucket_rows`` — plus a CARRY copy to the previous bucket for the
+    first ``window-1`` rows of each bucket, so windows never break at bucket
+    boundaries. One ``groupby(bucket)`` co-locates each bucket; inside a
+    group the ranks are CONSECUTIVE integers by construction, so the pairs at
+    rank distance d are exactly ``zip(arr[:-d], arr[d:])`` — fully vectorized,
+    no per-row loop. Each unordered pair is emitted by exactly one bucket
+    (the one that owns the smaller rank). Shuffle volume is O(n) id-sized
+    rows x 2 copies max; group size is bounded by ``bucket_rows + window``.
+
+    Assumes ``id_col`` is unique within each registry (the same premise every
+    linkage stage documents), making the sort composite key unique — ties in
+    ``key_col`` are broken deterministically by (source, id).
+    """
+    if window < 2:
+        raise ValueError("window must be >= 2 (a 1-row window has no pairs)")
+    w = window - 1
+    if w >= bucket_rows:
+        raise ValueError("bucket_rows must exceed window-1")
+
+    from .analytics import global_rank
+
+    def _tag(src: str):
+        def _f(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "k": pc.cast(batch.column(key_col), pa.string()),
+                "src": pa.array([src] * batch.num_rows, pa.string()),
+                "id": pc.cast(batch.column(id_col), pa.string()),
+            })
+        return _f
+
+    u = spr.map_batches(_tag("s"), batch_format="pyarrow").union(
+        cad.map_batches(_tag("c"), batch_format="pyarrow"))
+    ranked = global_rank(u, ["k", "src", "id"], rank_col="rn")
+
+    def _route(batch: pa.Table) -> pa.Table:
+        rn = batch.column("rn").to_numpy(zero_copy_only=False)
+        b = rn // bucket_rows
+        carry = (rn % bucket_rows < w) & (b > 0)
+        idx = np.concatenate([np.arange(len(rn)), np.nonzero(carry)[0]])
+        bkt = np.concatenate([b, b[carry] - 1])
+        t = batch.select(["rn", "src", "id"]).take(pa.array(idx, pa.int64()))
+        return t.append_column("b", pa.array(bkt, pa.int64()))
+
+    routed = ranked.map_batches(_route, batch_format="pyarrow")
+
+    def _pairs(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        g = g.sort_values("rn", kind="mergesort")
+        rn = g["rn"].to_numpy()
+        src = g["src"].to_numpy()
+        ids = g["id"].to_numpy()
+        own = (rn // bucket_rows) == int(g["b"].iloc[0])
+        a_l, b_l, d_l = [], [], []
+        for d in range(1, w + 1):
+            if len(rn) <= d:
+                break
+            # ranks are consecutive ints within the group, so position t+d IS
+            # rank rn[t]+d; keep pairs anchored at an OWN row, cross-source
+            keep = own[:-d] & (src[:-d] != src[d:])
+            if keep.any():
+                lo_s = src[:-d][keep] == "s"
+                lo, hi = ids[:-d][keep], ids[d:][keep]
+                a_l.append(np.where(lo_s, lo, hi))
+                b_l.append(np.where(lo_s, hi, lo))
+                d_l.append(np.full(int(keep.sum()), d, np.int64))
+        if not a_l:
+            return pd.DataFrame({
+                "ADDRESS_ID_SPR": pd.Series([], dtype="str"),
+                "ADDRESS_ID_CAD": pd.Series([], dtype="str"),
+                "rank_dist": pd.Series([], dtype="int64")})
+        return pd.DataFrame({
+            "ADDRESS_ID_SPR": np.concatenate(a_l),
+            "ADDRESS_ID_CAD": np.concatenate(b_l),
+            "rank_dist": np.concatenate(d_l)})
+
+    return routed.groupby("b").map_groups(_pairs, batch_format="pandas")

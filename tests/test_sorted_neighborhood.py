@@ -1,0 +1,50 @@
+"""Sorted-neighborhood blocking vs a brute-force window scan (SURVEY §2 blocking)."""
+
+import pandas as pd
+import pytest
+import ray.data
+
+from registry_address_matcher_ray.stages.blocking import (
+    _preprocess_batch, sorted_neighborhood_pairs)
+
+
+def _brute(spr, cad, window):
+    u = pd.concat([
+        pd.DataFrame({"k": spr.column("SEARCH_KEY").to_pylist(), "src": "s",
+                      "id": spr.column("ADDRESS_ID").to_pylist()}),
+        pd.DataFrame({"k": cad.column("SEARCH_KEY").to_pylist(), "src": "c",
+                      "id": cad.column("ADDRESS_ID").to_pylist()}),
+    ]).sort_values(["k", "src", "id"], kind="mergesort").reset_index(drop=True)
+    exp = set()
+    for i in range(len(u)):
+        for j in range(i + 1, min(i + window, len(u))):
+            if u.src[i] != u.src[j]:
+                s, c = ((u.id[i], u.id[j]) if u.src[i] == "s"
+                        else (u.id[j], u.id[i]))
+                exp.add((s, c, j - i))
+    return exp
+
+
+@pytest.mark.parametrize("window,bucket_rows", [(2, 64), (4, 64), (6, 7)])
+def test_sorted_neighborhood_matches_brute(fixtures_small, window, bucket_rows):
+    t = fixtures_small
+    spr = _preprocess_batch(t["registry_spr"])
+    cad = _preprocess_batch(t["registry_cad"])
+    out = sorted_neighborhood_pairs(
+        ray.data.from_arrow(spr).repartition(3),
+        ray.data.from_arrow(cad).repartition(4),
+        window=window, bucket_rows=bucket_rows).to_pandas()
+    got = list(zip(out.ADDRESS_ID_SPR, out.ADDRESS_ID_CAD, out.rank_dist))
+    exp = _brute(spr, cad, window)
+    # exact pair set, each unordered pair emitted by exactly one bucket
+    assert len(got) == len(set(got)) == len(exp)
+    assert set(got) == exp
+
+
+def test_sorted_neighborhood_rejects_bad_params(fixtures_small, ray_session):
+    t = fixtures_small
+    spr = ray.data.from_arrow(_preprocess_batch(t["registry_spr"]))
+    with pytest.raises(ValueError):
+        sorted_neighborhood_pairs(spr, spr, window=1)
+    with pytest.raises(ValueError):
+        sorted_neighborhood_pairs(spr, spr, window=9, bucket_rows=8)
