@@ -944,6 +944,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return m.map_batches(_band, batch_format="pyarrow")
 
+    # Fellegi-Sunter probabilistic linkage (stages/probabilistic.py): priors
+    # shared verbatim with the oracle SQL below — keep the two in sync.
+    _FS_M = (0.95, 0.9, 0.9, 0.85)
+    _FS_U = (0.05, 0.2, 0.4, 0.01)
+
+    def match_fs_patterns(sf_dir):
+        """Agreement-pattern histogram over house-blocked candidate pairs —
+        the EM input for the Fellegi-Sunter linker (histogram is <= 2^k rows
+        job-wide; see stages/probabilistic.py)."""
+        from registry_address_matcher_ray.stages import probabilistic as P
+
+        spr, cad = _pre_registries(sf_dir)
+        return P.fs_pattern_counts(spr, cad)
+
+    def match_fs_weights(sf_dir):
+        """Per-pair FS log2-likelihood-ratio match weight + three-region
+        decision under fixed prior (m, u) — the SQL-checkable half of the
+        probabilistic linker (the EM fit itself is pytest-gated)."""
+        from registry_address_matcher_ray.stages import probabilistic as P
+
+        spr, cad = _pre_registries(sf_dir)
+        return P.fs_match_weights(spr, cad, _FS_M, _FS_U)
+
+    def match_fs_em_params(sf_dir):
+        """EM-fitted (m_i, u_i, p) from the distributed pattern histogram —
+        deterministic fixed-iteration fit, pytest-checked against an
+        independent implementation (tests/test_fellegi_sunter.py)."""
+        import pandas as _pd
+
+        from registry_address_matcher_ray.stages import probabilistic as P
+
+        spr, cad = _pre_registries(sf_dir)
+        counts = P.fs_pattern_counts(spr, cad).to_pandas()
+        fit = P.fs_em(counts, k=4)
+        row = {f"m{i}": round(float(v), 6) for i, v in enumerate(fit["m"])}
+        row.update({f"u{i}": round(float(v), 6) for i, v in enumerate(fit["u"])})
+        row["p_match"] = round(fit["p"], 6)
+        return _pd.DataFrame([row])
+
     def match_incremental(sf_dir):
         """Delta linkage: an 'old batch' (md5(id) split) is matched first;
         the full registry then goes through match_incremental, which
@@ -1191,6 +1230,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_blocking_stats": match_blocking_stats,
         "match_incremental": match_incremental,
         "match_review_queue": match_review_queue,
+        "match_fs_patterns": match_fs_patterns,
+        "match_fs_weights": match_fs_weights,
         "match_exact_full": match_exact_full,
         "match_exact_key_p2": match_exact_key_p2,
         "engine_variant_exact": engine_variant_exact,
@@ -1199,9 +1240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_exact_dedup": docs_exact_dedup,
         "docs_keep_longest_dedup": docs_keep_longest_dedup,
         "docs_line_dedup": docs_line_dedup,
-        "docs_substring_dup": docs_substring_dup,
         "docs_substring_rewrite": docs_substring_rewrite,
-        "docs_decontaminate_stats": docs_decontaminate_stats,
         "docs_decontaminated": docs_decontaminated,
         "docs_jaccard_join_exact": docs_jaccard_join_exact,
         "docs_ngram_jaccard_matrix": docs_ngram_jaccard_matrix,
@@ -1242,6 +1281,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_per_host_cap": pages_per_host_cap,
         "crawl_snapshot_diff": crawl_snapshot_diff,
         # same-family variants demoted below the driver's 50-query window
+        "docs_substring_dup": docs_substring_dup,
+        "docs_decontaminate_stats": docs_decontaminate_stats,
+        "match_fs_em_params": match_fs_em_params,
         "docs_split_assign": docs_split_assign,
         "unmatched_exact_spr": unmatched_exact_spr,
         "match_one_to_one": match_one_to_one,
@@ -1456,6 +1498,34 @@ pair_scores AS (
         FROM tasks t JOIN lcs l ON l.a = t.a AND l.b = t.b) t
   GROUP BY t.q, t.c
 )"""
+
+
+def _fs_vector_ctes(spr_path: str, cad_path: str) -> str:
+    """CTEs producing the Fellegi-Sunter comparison vectors ``v`` (one row per
+    house-blocked candidate pair with its MSB-first agreement bitmask) —
+    mirrors stages/probabilistic.comparison_vectors over the same
+    preprocessed parquet."""
+    return f"""
+        fs_s AS (SELECT ADDRESS_ID AS sid, coalesce(HOUSE_NORM,'') AS hk,
+                        coalesce(STREET_NORM,'') AS st,
+                        coalesce(BUILDING_NORM,'') AS bld,
+                        coalesce(FULL_ADDRESS,'') AS fa
+                 FROM read_parquet('{spr_path}')
+                 WHERE coalesce(HOUSE_NORM,'') <> ''),
+        fs_c AS (SELECT ADDRESS_ID AS cid, coalesce(HOUSE_NORM,'') AS hk,
+                        coalesce(STREET_NORM,'') AS st,
+                        coalesce(BUILDING_NORM,'') AS bld,
+                        coalesce(FULL_ADDRESS,'') AS fa
+                 FROM read_parquet('{cad_path}')
+                 WHERE coalesce(HOUSE_NORM,'') <> ''),
+        v AS (SELECT s.sid AS "ADDRESS_ID_SPR", c.cid AS "ADDRESS_ID_CAD",
+                     (CASE WHEN s.st = c.st THEN 8 ELSE 0 END
+                    + CASE WHEN substr(s.st,1,4) = substr(c.st,1,4)
+                           THEN 4 ELSE 0 END
+                    + CASE WHEN s.bld = c.bld THEN 2 ELSE 0 END
+                    + CASE WHEN s.fa = c.fa THEN 1 ELSE 0 END) AS pattern
+              FROM fs_s s JOIN fs_c c ON s.hk = c.hk)
+    """
 
 
 def _match_pairs_sql(spr_path: str, cad_path: str, threshold: float = 85.0) -> str:
@@ -1861,6 +1931,31 @@ def oracle_sql() -> dict[str, str]:
         "match_review_queue": f"""
             SELECT * FROM ({match_sql})
             WHERE "MATCH_TYPE" LIKE 'FUZZY%' AND "MATCH_SCORE" < 95.0
+        """,
+        # Fellegi-Sunter comparison vectors over the house-number blocking:
+        # pattern = MSB-first bitmask (street, street-prefix4, building,
+        # full-address agreement); priors in the weight SQL mirror _FS_M/_FS_U
+        "match_fs_patterns": f"""
+            WITH {_fs_vector_ctes(p["spr"], p["cad"])}
+            SELECT pattern, count(*) AS n FROM v GROUP BY pattern
+        """,
+        "match_fs_weights": f"""
+            WITH {_fs_vector_ctes(p["spr"], p["cad"])},
+            w AS (SELECT "ADDRESS_ID_SPR", "ADDRESS_ID_CAD", pattern,
+                         round(
+              CASE WHEN pattern & 8 > 0 THEN log2(0.95/0.05)
+                   ELSE log2((1-0.95)/(1-0.05)) END
+            + CASE WHEN pattern & 4 > 0 THEN log2(0.9/0.2)
+                   ELSE log2((1-0.9)/(1-0.2)) END
+            + CASE WHEN pattern & 2 > 0 THEN log2(0.9/0.4)
+                   ELSE log2((1-0.9)/(1-0.4)) END
+            + CASE WHEN pattern & 1 > 0 THEN log2(0.85/0.01)
+                   ELSE log2((1-0.85)/(1-0.01)) END, 6) AS fs_weight
+                  FROM v)
+            SELECT *, CASE WHEN fs_weight >= 3.0 THEN 'link'
+                           WHEN fs_weight < 0.0 THEN 'non_link'
+                           ELSE 'possible' END AS decision
+            FROM w
         """,
         # pairwise P/R/F1 of the full matcher vs the labeled fixture; the
         # predicted set is the SAME verified match-CTE chain, so the oracle

@@ -1,0 +1,240 @@
+"""Fellegi-Sunter probabilistic record linkage (Fellegi & Sunter, JASA 1969).
+
+The reference scores pairs with ad-hoc fuzzy-string thresholds
+(`/root/reference/address.py:420-520`); a probabilistic linker instead LEARNS
+how discriminating each field is: for every candidate pair it computes a
+binary agreement vector over k comparison fields, fits per-field match/unmatch
+probabilities (m_i, u_i) with EM over the 2^k agreement-pattern histogram
+(Winkler 1988's unsupervised formulation), and scores each pair with the
+log-likelihood-ratio match weight  sum_i [gamma_i ? log2(m_i/u_i)
+: log2((1-m_i)/(1-u_i))].
+
+Distributed shape (100-TB-safe):
+
+- :func:`comparison_vectors` — candidate pairs come from the same house-number
+  equi-join blocking the fuzzy matcher uses; the join shuffle moves
+  O(rows) key-projected rows, and the per-batch field comparisons are
+  pyarrow kernels. Output is one row per candidate pair with its
+  pattern id (0..2^k-1).
+- :func:`fs_pattern_counts` — per-batch partial histogram (at most 2^k rows
+  per batch leave the combiner) + one tiny groupby: the EM input is at most
+  2^k rows regardless of corpus size.
+- :func:`fs_em` — plain-numpy EM on that histogram, driver-side by design
+  (input is <= 2^k floats; iteration count fixed, deterministic init — no
+  randomness, so results are partition- and run-invariant).
+- :func:`fs_match_weights` — re-runs the vectorized comparison join and maps
+  each pattern to its precomputed weight via a 2^k lookup table (fancy
+  indexing, no per-row Python).
+
+`match_fs_patterns` / `match_fs_weights` have exact DuckDB oracles in
+``__ray_entry__.py`` (the comparisons and the fixed-parameter weight are
+relational); the EM fit itself is iterative (not SQL-expressible) and is
+pytest-gated against an independent reference implementation plus
+partition-invariance checks (``tests/test_fellegi_sunter.py``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+__all__ = [
+    "DEFAULT_FIELDS",
+    "comparison_vectors",
+    "fs_pattern_counts",
+    "fs_em",
+    "fs_match_weights",
+]
+
+# (name, column, kind) — kind "exact" compares full values, "prefix4"
+# compares the first 4 codepoints (a cheap typo-tolerant agreement level).
+# Most-significant bit first: pattern = sum_i gamma_i << (k-1-i).
+DEFAULT_FIELDS: Tuple[Tuple[str, str, str], ...] = (
+    ("street", "STREET_NORM", "exact"),
+    ("street4", "STREET_NORM", "prefix4"),
+    ("building", "BUILDING_NORM", "exact"),
+    ("full", "FULL_ADDRESS", "exact"),
+)
+
+
+def _key_proj(id_out: str, fields, block_col: str, prefix: str):
+    cols = sorted({c for _, c, _ in fields})
+
+    def _f(b: pa.Table) -> pa.Table:
+        k = pc.fill_null(b.column(block_col), "")
+        keep = pc.not_equal(k, "")
+        out = {id_out: b.column("ADDRESS_ID").filter(keep),
+               prefix + "k": k.filter(keep)}
+        for c in cols:
+            out[prefix + c] = pc.fill_null(b.column(c), "").filter(keep)
+        return pa.table(out)
+
+    return _f
+
+
+def _pattern_array(b: pa.Table, fields) -> pa.Array:
+    """Vectorized agreement bitmask per joined row (spr cols ``s_*``, cad
+    ``c_*``)."""
+    k = len(fields)
+    pat = np.zeros(b.num_rows, np.int64)
+    for i, (_, col, kind) in enumerate(fields):
+        a, c = b.column("s_" + col), b.column("c_" + col)
+        if kind == "prefix4":
+            a, c = pc.utf8_slice_codeunits(a, 0, 4), pc.utf8_slice_codeunits(c, 0, 4)
+        agree = pc.equal(a, c).to_numpy(zero_copy_only=False)
+        pat |= agree.astype(np.int64) << (k - 1 - i)
+    return pa.array(pat, pa.int64())
+
+
+def comparison_vectors(
+    spr: ray.data.Dataset,
+    cad: ray.data.Dataset,
+    fields: Sequence[Tuple[str, str, str]] = DEFAULT_FIELDS,
+    block_col: str = "HOUSE_NORM",
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Candidate pairs (house-number blocking, the fuzzy matcher's premise)
+    with their k-field agreement ``pattern`` (int in [0, 2^k))."""
+    left = spr.map_batches(
+        _key_proj("ADDRESS_ID_SPR", fields, block_col, "s_"),
+        batch_format="pyarrow")
+    right = cad.map_batches(
+        _key_proj("ADDRESS_ID_CAD", fields, block_col, "c_"),
+        batch_format="pyarrow")
+    joined = left.join(right, join_type="inner",
+                       num_partitions=num_partitions,
+                       on=("s_k",), right_on=("c_k",))
+
+    def _emit(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "ADDRESS_ID_SPR": b.column("ADDRESS_ID_SPR"),
+            "ADDRESS_ID_CAD": b.column("ADDRESS_ID_CAD"),
+            "pattern": _pattern_array(b, fields),
+        })
+
+    return joined.map_batches(_emit, batch_format="pyarrow")
+
+
+def fs_pattern_counts(
+    spr: ray.data.Dataset,
+    cad: ray.data.Dataset,
+    fields: Sequence[Tuple[str, str, str]] = DEFAULT_FIELDS,
+    block_col: str = "HOUSE_NORM",
+) -> ray.data.Dataset:
+    """Agreement-pattern histogram: at most 2^k rows (pattern, n).
+
+    Per-batch ``np.bincount`` partial histograms mean the final groupby
+    shuffles at most 2^k rows per block — the EM input never scales with the
+    corpus.
+    """
+    k = len(fields)
+    vecs = comparison_vectors(spr, cad, fields, block_col)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cnt = np.bincount(
+            b.column("pattern").to_numpy(zero_copy_only=False),
+            minlength=1 << k)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"pattern": pa.array(nz, pa.int64()),
+                         "n": pa.array(cnt[nz], pa.int64())})
+
+    return (vecs.map_batches(_partial, batch_format="pyarrow")
+            .groupby("pattern").sum("n")
+            .map_batches(lambda b: b.rename_columns(["pattern", "n"]),
+                         batch_format="pyarrow"))
+
+
+def fs_em(
+    counts: pd.DataFrame,
+    k: int,
+    iters: int = 200,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+    init_p: float = 0.05,
+    clamp: float = 1e-6,
+) -> Dict[str, object]:
+    """Unsupervised EM fit of (m_i, u_i, p) from the pattern histogram.
+
+    ``counts`` has columns (pattern, n); k is the field count. Conditional
+    independence of fields given match status (the classic FS assumption).
+    Deterministic: fixed init, fixed iteration count, no randomness. Input is
+    <= 2^k rows, so this runs driver-side regardless of corpus size.
+    """
+    pats = counts["pattern"].to_numpy(np.int64)
+    n = counts["n"].to_numpy(np.float64)
+    # gamma[j, i] = bit i of pattern j (MSB-first field order)
+    gamma = ((pats[:, None] >> (k - 1 - np.arange(k))) & 1).astype(np.float64)
+    m = np.full(k, init_m)
+    u = np.full(k, init_u)
+    p = init_p
+    for _ in range(iters):
+        lm = gamma @ np.log(m) + (1 - gamma) @ np.log(1 - m)
+        lu = gamma @ np.log(u) + (1 - gamma) @ np.log(1 - u)
+        num = p * np.exp(lm)
+        w = num / (num + (1 - p) * np.exp(lu))  # E-step responsibility
+        wm, wu = w * n, (1 - w) * n
+        sm, su = wm.sum(), wu.sum()
+        m = np.clip((gamma * wm[:, None]).sum(0) / max(sm, clamp),
+                    clamp, 1 - clamp)
+        u = np.clip((gamma * wu[:, None]).sum(0) / max(su, clamp),
+                    clamp, 1 - clamp)
+        p = min(max(sm / max(n.sum(), clamp), clamp), 1 - clamp)
+    return {"m": m, "u": u, "p": float(p)}
+
+
+def _weight_table(m: np.ndarray, u: np.ndarray) -> np.ndarray:
+    """weight[pattern] for all 2^k patterns: sum of per-field log2 ratios."""
+    k = len(m)
+    pats = np.arange(1 << k)
+    agree_w = np.log2(m / u)
+    disagree_w = np.log2((1 - m) / (1 - u))
+    # accumulate field-by-field (left-to-right) so the float summation order
+    # matches the DuckDB oracle's `CASE + CASE + ...` expression exactly
+    wt = np.zeros(1 << k, np.float64)
+    for i in range(k):
+        bit = (pats >> (k - 1 - i)) & 1
+        wt += np.where(bit == 1, agree_w[i], disagree_w[i])
+    return wt
+
+
+def fs_match_weights(
+    spr: ray.data.Dataset,
+    cad: ray.data.Dataset,
+    m: Sequence[float],
+    u: Sequence[float],
+    fields: Sequence[Tuple[str, str, str]] = DEFAULT_FIELDS,
+    block_col: str = "HOUSE_NORM",
+    upper: float = 3.0,
+    lower: float = 0.0,
+    round_to: int = 6,
+) -> ray.data.Dataset:
+    """Per-pair FS match weight + link/possible/non_link decision.
+
+    ``m``/``u`` are per-field probabilities (from :func:`fs_em` or priors).
+    The per-batch map is a 2^k table lookup via fancy indexing — no per-row
+    Python. Decision rule: weight >= ``upper`` -> link, < ``lower`` ->
+    non_link, else possible (the FS three-region rule).
+    """
+    wt = np.round(_weight_table(np.asarray(m, np.float64),
+                                np.asarray(u, np.float64)), round_to)
+    vecs = comparison_vectors(spr, cad, fields, block_col)
+
+    def _score(b: pa.Table) -> pa.Table:
+        pat = b.column("pattern").to_numpy(zero_copy_only=False)
+        w = wt[pat]
+        dec = np.where(w >= upper, "link",
+                       np.where(w < lower, "non_link", "possible"))
+        return pa.table({
+            "ADDRESS_ID_SPR": b.column("ADDRESS_ID_SPR"),
+            "ADDRESS_ID_CAD": b.column("ADDRESS_ID_CAD"),
+            "pattern": b.column("pattern"),
+            "fs_weight": pa.array(w, pa.float64()),
+            "decision": pa.array(dec, pa.string()),
+        })
+
+    return vecs.map_batches(_score, batch_format="pyarrow")
