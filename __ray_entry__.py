@@ -893,6 +893,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         m = linkage.match_registries(spr, cad, PipelineConfig()).materialize()
         return linkage.cluster_matches(m)
 
+    def match_golden_records(sf_dir):
+        """Survivorship: canonical record per entity cluster (most-frequent
+        non-empty value per field, lexicographic-min tie-break) — the
+        master-data consolidation step the reference's flat pair output
+        lacks (stages/cluster.golden_records)."""
+        spr_raw, cad_raw, _ = _registries(sf_dir)
+        m = linkage.match_registries(
+            spr_raw, cad_raw, PipelineConfig()).materialize()
+        cl = linkage.cluster_matches(m).materialize()
+        spr, cad = _pre_registries(sf_dir)
+        return cluster.golden_records(cl, spr, cad)
+
     def unmatched_spr(sf_dir):
         spr, cad, _ = _registries(sf_dir)
         m = linkage.match_registries(spr, cad, PipelineConfig()).materialize()
@@ -1223,6 +1235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_pairs": match_pairs,
         "match_pairs_shuffle_plan": match_pairs_shuffle_plan,
         "match_clusters": match_clusters,
+        "match_golden_records": match_golden_records,
         "unmatched_spr": unmatched_spr,
         "pages_flagship": pages_flagship,
         "engine_variant_pairs": engine_variant_pairs,
@@ -1243,9 +1256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_substring_rewrite": docs_substring_rewrite,
         "docs_decontaminated": docs_decontaminated,
         "docs_jaccard_join_exact": docs_jaccard_join_exact,
-        "docs_ngram_jaccard_matrix": docs_ngram_jaccard_matrix,
         "embeddings_knn": embeddings_knn,
-        "embeddings_cosine_join": embeddings_cosine_join,
         "embeddings_ivf_knn": embeddings_ivf_knn,
         "embeddings_semdedup": embeddings_semdedup,
         "docs_text_stats": docs_text_stats,
@@ -1284,6 +1295,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_substring_dup": docs_substring_dup,
         "docs_decontaminate_stats": docs_decontaminate_stats,
         "match_fs_em_params": match_fs_em_params,
+        "docs_ngram_jaccard_matrix": docs_ngram_jaccard_matrix,
+        "embeddings_cosine_join": embeddings_cosine_join,
         "docs_split_assign": docs_split_assign,
         "unmatched_exact_spr": unmatched_exact_spr,
         "match_one_to_one": match_one_to_one,
@@ -2040,6 +2053,65 @@ def oracle_sql() -> dict[str, str]:
                 SELECT u.b, r.lab FROM reach r JOIN und u ON u.a = r.node
             )
             SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node
+        """,
+        # survivorship over the same cluster CTE chain: per (cluster, field)
+        # the most frequent non-empty value, ties to lexicographic min
+        "match_golden_records": f"""
+            WITH RECURSIVE {_match_ctes(p["spr"], p["cad"])},
+            m AS MATERIALIZED (SELECT * FROM exact UNION ALL SELECT * FROM fuzzy),
+            e AS (SELECT DISTINCT 'S:' || "ADDRESS_ID_SPR" AS a,
+                         'C:' || "ADDRESS_ID_CAD" AS b FROM m),
+            und AS MATERIALIZED (SELECT a, b FROM e UNION SELECT b, a FROM e),
+            reach(node, lab) AS (
+                SELECT a, a FROM und
+                UNION
+                SELECT u.b, r.lab FROM reach r JOIN und u ON u.a = r.node
+            ),
+            lab AS MATERIALIZED (
+                SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node),
+            mem AS (
+                SELECT l.cluster_id,
+                       coalesce(s.STREET_NORM, '') AS st,
+                       coalesce(s.HOUSE_NORM, '') AS h,
+                       coalesce(s.BUILDING_NORM, '') AS bld,
+                       coalesce(s.FULL_ADDRESS, '') AS fa
+                FROM lab l JOIN read_parquet('{p["spr"]}') s
+                  ON l.node = 'S:' || s.ADDRESS_ID
+                UNION ALL
+                SELECT l.cluster_id,
+                       coalesce(c.STREET_NORM, ''), coalesce(c.HOUSE_NORM, ''),
+                       coalesce(c.BUILDING_NORM, ''),
+                       coalesce(c.FULL_ADDRESS, '')
+                FROM lab l JOIN read_parquet('{p["cad"]}') c
+                  ON l.node = 'C:' || c.ADDRESS_ID),
+            melt AS (
+                SELECT cluster_id, 'STREET_NORM' AS f, st AS val FROM mem
+                UNION ALL
+                SELECT cluster_id, 'HOUSE_NORM', h FROM mem
+                UNION ALL
+                SELECT cluster_id, 'BUILDING_NORM', bld FROM mem
+                UNION ALL
+                SELECT cluster_id, 'FULL_ADDRESS', fa FROM mem),
+            cnt AS (SELECT cluster_id, f, val, count(*) AS n
+                    FROM melt WHERE val <> '' GROUP BY cluster_id, f, val),
+            best AS (SELECT cluster_id, f, val,
+                            row_number() OVER (PARTITION BY cluster_id, f
+                                ORDER BY n DESC, val ASC) AS rn
+                     FROM cnt),
+            sizes AS (SELECT cluster_id, count(*) AS cluster_size
+                      FROM lab GROUP BY cluster_id)
+            SELECT s.cluster_id, CAST(s.cluster_size AS BIGINT) AS cluster_size,
+                   max(CASE WHEN b.f = 'STREET_NORM' THEN b.val END)
+                       AS "STREET_NORM",
+                   max(CASE WHEN b.f = 'HOUSE_NORM' THEN b.val END)
+                       AS "HOUSE_NORM",
+                   max(CASE WHEN b.f = 'BUILDING_NORM' THEN b.val END)
+                       AS "BUILDING_NORM",
+                   max(CASE WHEN b.f = 'FULL_ADDRESS' THEN b.val END)
+                       AS "FULL_ADDRESS"
+            FROM sizes s LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+              USING (cluster_id)
+            GROUP BY s.cluster_id, s.cluster_size
         """,
         "unmatched_exact_spr": f"""
             SELECT s.ADDRESS_ID AS "ADDRESS_ID", s.STREET_NAME AS "STREET_NAME",

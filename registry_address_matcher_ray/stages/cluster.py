@@ -446,3 +446,116 @@ def pagerank(
                          "rank": pc.round(b.column("rank"), ndigits=ndigits)})
 
     return ranks.map_batches(_round, batch_format="pyarrow")
+
+
+def golden_records(
+    clusters: ray.data.Dataset,
+    spr: ray.data.Dataset,
+    cad: ray.data.Dataset,
+    fields: tuple = ("STREET_NORM", "HOUSE_NORM", "BUILDING_NORM",
+                     "FULL_ADDRESS"),
+    id_col: str = "ADDRESS_ID",
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Survivorship: one canonical ("golden") record per entity cluster.
+
+    The reference stops at flat match pairs (`/root/reference/address.py:726`
+    emits the pair table and never consolidates); master-data practice merges
+    each cluster's members into a single record. Rule here (deterministic,
+    SQL-checkable): per field, the most frequent non-empty value among the
+    cluster's member records, ties broken by lexicographic min; fields with no
+    non-empty value stay NULL. Output: one row per cluster with
+    ``cluster_id, cluster_size, <fields...>``.
+
+    Distributed shape: cluster labels join each registry on the namespaced id
+    (two hash joins, O(rows)); members melt to ``(cluster_id, field, val)``
+    rows (xk fan-out, vectorized take/concat); one
+    ``groupby(cluster_id, field, val).count()`` reduces to distinct values;
+    the final ``groupby(cluster_id)`` pivots per-cluster groups of at most
+    (distinct values per field x k) rows — group size is bounded by cluster
+    content, never corpus size. Sizes ride the same pivot via a ``__size__``
+    pseudo-field, so no extra join.
+    """
+    import numpy as np
+
+    def _label_side(prefix: str):
+        def _f(b: pa.Table) -> pa.Table:
+            keep = pc.starts_with(b.column("node"), prefix + ":")
+            t = b.filter(keep)
+            return pa.table({
+                "_id": pc.utf8_slice_codeunits(
+                    t.column("node"), 2, 2_000_000_000),
+                "cluster_id": t.column("cluster_id"),
+            })
+        return _f
+
+    def _members(reg: ray.data.Dataset, prefix: str) -> ray.data.Dataset:
+        lab = clusters.map_batches(_label_side(prefix), batch_format="pyarrow")
+
+        def _proj(b: pa.Table) -> pa.Table:
+            out = {"_rid": pc.cast(b.column(id_col), pa.string())}
+            for f in fields:
+                out[f] = pc.fill_null(pc.cast(b.column(f), pa.string()), "")
+            return pa.table(out)
+
+        return lab.join(
+            reg.map_batches(_proj, batch_format="pyarrow"),
+            join_type="inner", num_partitions=num_partitions,
+            on=("_id",), right_on=("_rid",))
+
+    members = _members(spr, "S").union(_members(cad, "C"))
+
+    def _melt(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        cids, fs, vals = [], [], []
+        # one __size__ row per member carries the cluster-size count through
+        # the same groupby-count pipeline as the field values
+        cids.append(b.column("cluster_id"))
+        fs.append(pa.array(["__size__"] * n, pa.string()))
+        vals.append(pa.array([""] * n, pa.string()))
+        for f in fields:
+            v = b.column(f)
+            keep = pc.not_equal(v, "")
+            cids.append(b.column("cluster_id").filter(keep))
+            fs.append(pa.array([f] * int(pc.sum(keep).as_py() or 0),
+                               pa.string()))
+            vals.append(v.filter(keep))
+        return pa.table({
+            "cluster_id": pa.concat_arrays(
+                [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+                 for c in cids]),
+            "field": pa.concat_arrays(
+                [x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
+                 for x in fs]),
+            "val": pa.concat_arrays(
+                [x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
+                 for x in vals]),
+        })
+
+    counted = (members.map_batches(_melt, batch_format="pyarrow")
+               .groupby(["cluster_id", "field", "val"]).count()
+               .map_batches(lambda b: b.rename_columns(
+                   ["cluster_id", "field", "val", "n"]),
+                   batch_format="pyarrow"))
+
+    field_list = list(fields)
+
+    def _pivot(g: pd.DataFrame) -> pd.DataFrame:
+        cid = g["cluster_id"].iloc[0]
+        row = {"cluster_id": cid}
+        size = g.loc[g["field"] == "__size__", "n"]
+        row["cluster_size"] = np.int64(size.sum())
+        for f in field_list:
+            sub = g[g["field"] == f]
+            if len(sub):
+                # most frequent non-empty value; lexicographic-min tie-break
+                best = sub.sort_values(
+                    ["n", "val"], ascending=[False, True],
+                    kind="mergesort").iloc[0]
+                row[f] = best["val"]
+            else:
+                row[f] = None
+        return pd.DataFrame([row])
+
+    return counted.groupby("cluster_id").map_groups(
+        _pivot, batch_format="pandas")

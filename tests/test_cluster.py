@@ -141,3 +141,46 @@ def test_pagerank_plans_agree_and_props(ray_session):
     assert abs(a["rank"].sum() - 1.0) < 1e-3
     # the generator skews links toward low ids: hubs must out-rank the tail
     assert a.loc[a["node"] < 50, "rank"].mean() > 1.5 * a["rank"].mean()
+
+
+def test_golden_records_survivorship(ray_session):
+    """Brute-force survivorship check on a hand-built 2-cluster graph."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from registry_address_matcher_ray.stages.cluster import golden_records
+
+    clusters = rd.from_pandas(pd.DataFrame({
+        "node": ["S:1", "S:2", "C:10", "C:11", "S:3", "C:12"],
+        "cluster_id": ["C:10"] * 4 + ["C:12"] * 2,
+    }))
+    spr = rd.from_arrow(pa.table({
+        "ADDRESS_ID": ["1", "2", "3"],
+        "STREET_NORM": ["main", "main", "oak"],
+        "HOUSE_NORM": ["5", "", "7"],
+        "BUILDING_NORM": ["", "", ""],
+        "FULL_ADDRESS": ["main 5", "main", "oak 7"],
+    }))
+    cad = rd.from_arrow(pa.table({
+        "ADDRESS_ID": ["10", "11", "12"],
+        "STREET_NORM": ["maine", "main", "oak"],
+        "HOUSE_NORM": ["5", "5", None],
+        "BUILDING_NORM": ["a", "", ""],
+        "FULL_ADDRESS": ["maine 5", "main 5", "oak"],
+    }))
+    out = (golden_records(clusters, spr, cad)
+           .to_pandas().sort_values("cluster_id").reset_index(drop=True))
+    assert list(out.cluster_id) == ["C:10", "C:12"]
+    assert list(out.cluster_size) == [4, 2]
+    r = out.iloc[0]
+    # main appears 3x vs maine 1x; house 5 (3x); building only 'a'; full
+    # address 'main 5' 2x beats 'main'/'maine 5' 1x (lex tie-break unused)
+    assert (r.STREET_NORM, r.HOUSE_NORM, r.BUILDING_NORM, r.FULL_ADDRESS) == \
+        ("main", "5", "a", "main 5")
+    r2 = out.iloc[1]
+    # all BUILDING_NORM empty in cluster 2 -> NULL survives
+    assert r2.STREET_NORM == "oak" and r2.HOUSE_NORM == "7"
+    assert pd.isna(r2.BUILDING_NORM)
+    # tie on FULL_ADDRESS ('oak 7' vs 'oak', both 1x) -> lexicographic min
+    assert r2.FULL_ADDRESS == "oak"
