@@ -928,6 +928,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         m = linkage.match_registries(spr, cad, PipelineConfig())
         return evaluation.pairwise_eval(m, read_parquet_clean(p["labeled_pairs"]))
 
+    def match_threshold_sweep(sf_dir):
+        """Whole P/R/F1 operating curve in one pass (one labeled join + a
+        per-batch per-threshold partial count) — vs re-running the reference
+        once per threshold knob (stages/evaluation.threshold_sweep)."""
+        from registry_address_matcher_ray.sources.io import read_parquet_clean
+        from registry_address_matcher_ray.stages import evaluation
+
+        spr, cad, p = _registries(sf_dir)
+        m = linkage.match_registries(spr, cad, PipelineConfig())
+        return evaluation.threshold_sweep(
+            m, read_parquet_clean(p["labeled_pairs"]))
+
     def match_blocking_stats(sf_dir):
         """Blocking quality of the fuzzy candidate key (reduction ratio +
         pairs completeness) — judged before the expensive scoring phase."""
@@ -1295,6 +1307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_substring_dup": docs_substring_dup,
         "docs_decontaminate_stats": docs_decontaminate_stats,
         "match_fs_em_params": match_fs_em_params,
+        "match_threshold_sweep": match_threshold_sweep,
         "docs_ngram_jaccard_matrix": docs_ngram_jaccard_matrix,
         "embeddings_cosine_join": embeddings_cosine_join,
         "docs_split_assign": docs_split_assign,
@@ -1995,6 +2008,40 @@ def oracle_sql() -> dict[str, str]:
                                         + CAST(tp AS DOUBLE) / greatest(1, nt)),
                          6) AS f1
             FROM c
+        """,
+        # operating curve: P/R/F1 per score threshold over the same verified
+        # match CTE chain (checks the sweep arithmetic, not a re-derivation)
+        "match_threshold_sweep": f"""
+            WITH RECURSIVE {_match_ctes(p["spr"], p["cad"])},
+            m AS MATERIALIZED (SELECT * FROM exact UNION ALL SELECT * FROM fuzzy),
+            pred AS (SELECT "ADDRESS_ID_SPR" AS spr_id,
+                            "ADDRESS_ID_CAD" AS cad_id,
+                            CAST("MATCH_SCORE" AS DOUBLE) AS score FROM m),
+            truthp AS (SELECT spr_id, cad_id
+                       FROM read_parquet('{raw["labeled_pairs"]}') WHERE label),
+            th(t) AS (VALUES (85.0), (88.0), (91.0), (94.0), (97.0), (100.0)),
+            j AS (SELECT p.score, (t.spr_id IS NOT NULL) AS is_true
+                  FROM pred p LEFT JOIN truthp t
+                    ON p.spr_id = t.spr_id AND p.cad_id = t.cad_id),
+            agg AS (SELECT th.t,
+                           count(*) FILTER (j.score >= th.t) AS np,
+                           count(*) FILTER (j.score >= th.t AND j.is_true)
+                               AS tp,
+                           (SELECT count(*) FROM truthp) AS nt
+                    FROM th CROSS JOIN j GROUP BY th.t)
+            SELECT t AS threshold,
+                   CAST(np AS BIGINT) AS n_pred, CAST(tp AS BIGINT) AS tp,
+                   CAST(np - tp AS BIGINT) AS fp,
+                   CAST(nt - tp AS BIGINT) AS fn,
+                   round(CAST(tp AS DOUBLE) / greatest(1, np), 6)
+                       AS "precision",
+                   round(CAST(tp AS DOUBLE) / greatest(1, nt), 6) AS recall,
+                   round(2.0 * (CAST(tp AS DOUBLE) / greatest(1, np))
+                             * (CAST(tp AS DOUBLE) / greatest(1, nt))
+                         / greatest(1e-9, CAST(tp AS DOUBLE) / greatest(1, np)
+                                        + CAST(tp AS DOUBLE) / greatest(1, nt)),
+                         6) AS f1
+            FROM agg
         """,
         # fuzzy-block quality: candidate volume via per-key count products
         # (matcher skips empty HOUSE_NORM, stages/matching.py:370-377)

@@ -176,3 +176,71 @@ def blocking_stats(
     }]).astype({c: "int64" for c in
                 ("n_spr", "n_cad", "n_true_pairs", "candidate_pairs",
                  "co_blocked_true")})
+
+
+def threshold_sweep(
+    matches: ray.data.Dataset,
+    labeled: ray.data.Dataset,
+    thresholds: tuple = (85.0, 88.0, 91.0, 94.0, 97.0, 100.0),
+    round_to: int = 6,
+) -> pd.DataFrame:
+    """P/R/F1 at every score threshold in ONE pass over the match pairs.
+
+    Tuning the reference means re-running its matcher per threshold
+    (`/root/reference/address.py:1164` takes a single threshold knob); here
+    one labeled join + one per-batch partial count per threshold produces the
+    whole operating curve. The truth join is a hash join (O(pairs) shuffle);
+    the per-batch partial is a len(thresholds)-row histogram, so the driver
+    only ever sees len(thresholds) count rows.
+    """
+    import numpy as np
+
+    def _truth(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.fill_null(b.column("label"), False))
+        return pa.table({"t_spr": b.column("spr_id"),
+                         "t_cad": b.column("cad_id"),
+                         "_t": pa.array([True] * b.num_rows)})
+
+    truth = labeled.map_batches(_truth, batch_format="pyarrow")
+    n_true = truth.count()
+
+    def _proj(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "spr_id": b.column("ADDRESS_ID_SPR"),
+            "cad_id": b.column("ADDRESS_ID_CAD"),
+            "score": pc.cast(b.column("MATCH_SCORE"), pa.float64()),
+        })
+
+    flagged = matches.map_batches(_proj, batch_format="pyarrow").join(
+        truth, join_type="left_outer", num_partitions=8,
+        on=("spr_id", "cad_id"), right_on=("t_spr", "t_cad"))
+
+    ths = np.asarray(sorted(thresholds), np.float64)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            z = np.zeros(len(ths), np.int64)
+            return pa.table({"threshold": pa.array(ths),
+                             "n_pred": pa.array(z), "tp": pa.array(z)})
+        s = b.column("score").to_numpy(zero_copy_only=False)
+        t = pc.fill_null(b.column("_t"), False).to_numpy(zero_copy_only=False)
+        ge = s[None, :] >= ths[:, None]
+        return pa.table({
+            "threshold": pa.array(ths),
+            "n_pred": pa.array(ge.sum(1).astype(np.int64)),
+            "tp": pa.array((ge & t[None, :]).sum(1).astype(np.int64)),
+        })
+
+    agg = (flagged.map_batches(_partial, batch_format="pyarrow")
+           .groupby("threshold").sum(["n_pred", "tp"])
+           .map_batches(lambda b: b.rename_columns(
+               ["threshold", "n_pred", "tp"]), batch_format="pyarrow")
+           .to_pandas().sort_values("threshold").reset_index(drop=True))
+    agg["fp"] = agg.n_pred - agg.tp
+    agg["fn"] = n_true - agg.tp
+    prec = agg.tp / np.maximum(1, agg.n_pred)
+    rec = agg.tp / max(1, n_true)
+    agg["precision"] = prec.round(round_to)
+    agg["recall"] = rec.round(round_to)
+    agg["f1"] = (2 * prec * rec / np.maximum(1e-9, prec + rec)).round(round_to)
+    return agg.astype({c: "int64" for c in ("n_pred", "tp", "fp", "fn")})

@@ -83,3 +83,38 @@ def test_blocking_stats_matches_pandas(fixtures_medium, ray_session):
     assert got["pairs_completeness"] == round(co / max(1, len(true_pairs)), 6)
     assert 0 < got["candidate_pairs"] < len(sdf) * len(cdf)
     assert got["pairs_completeness"] > 0.9  # the fixture blocks truth together
+
+
+def test_threshold_sweep_brute(ray_session):
+    """Sweep counts/metrics equal a per-threshold brute-force recompute."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from registry_address_matcher_ray.stages.evaluation import threshold_sweep
+
+    rng = np.random.default_rng(3)
+    n = 400
+    m = pd.DataFrame({
+        "ADDRESS_ID_SPR": [f"s{i}" for i in range(n)],
+        "ADDRESS_ID_CAD": [f"c{i % 120}" for i in range(n)],
+        "MATCH_SCORE": rng.uniform(80, 100, n).round(1),
+    })
+    lab = pd.DataFrame({
+        "spr_id": [f"s{i}" for i in range(0, 500, 2)],
+        "cad_id": [f"c{i % 120}" for i in range(0, 500, 2)],
+        "label": [i % 3 != 0 for i in range(0, 500, 2)],
+    })
+    ths = (82.0, 90.0, 99.0)
+    out = threshold_sweep(rd.from_pandas(m).repartition(4),
+                          rd.from_pandas(lab), ths)
+    truth = {(r.spr_id, r.cad_id) for r in lab.itertuples() if r.label}
+    for t in ths:
+        pred = m[m.MATCH_SCORE >= t]
+        tp = sum((a, b) in truth for a, b in
+                 zip(pred.ADDRESS_ID_SPR, pred.ADDRESS_ID_CAD))
+        row = out[out.threshold == t].iloc[0]
+        assert (row.n_pred, row.tp) == (len(pred), tp)
+        assert row.fn == len(truth) - tp
+        p = tp / max(1, len(pred)); r = tp / max(1, len(truth))
+        assert row.f1 == pytest.approx(2 * p * r / max(1e-9, p + r), abs=1e-6)
