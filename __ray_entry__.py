@@ -876,6 +876,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return matching.one_to_one_matches(
             m, "ADDRESS_ID_SPR", "ADDRESS_ID_CAD", "MATCH_SCORE")
 
+    def spr_street_edit1(sf_dir):
+        """Typo pairs: all distinct STREET_NORM values at Levenshtein
+        distance 1, via FastSS deletion neighborhoods over the value
+        vocabulary (stages/blocking.edit1_value_pairs) — complete by
+        construction, every candidate exact-verified."""
+        from registry_address_matcher_ray.stages import blocking
+
+        spr, _ = _pre_registries(sf_dir)
+        return blocking.edit1_value_pairs(spr, "STREET_NORM")
+
     def match_sorted_neighborhood(sf_dir):
         """Sorted-neighborhood blocking candidates (Hernandez & Stolfo 1995):
         union sorted by (SEARCH_KEY, src, id), window=4, cross-source pairs
@@ -1308,6 +1318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_decontaminate_stats": docs_decontaminate_stats,
         "match_fs_em_params": match_fs_em_params,
         "match_threshold_sweep": match_threshold_sweep,
+        "spr_street_edit1": spr_street_edit1,
         "docs_ngram_jaccard_matrix": docs_ngram_jaccard_matrix,
         "embeddings_cosine_join": embeddings_cosine_join,
         "docs_split_assign": docs_split_assign,
@@ -1925,6 +1936,32 @@ def oracle_sql() -> dict[str, str]:
         # the pipeline's own pure-Arrow extract/parse/preprocess batch fns)
         "pages_flagship": _match_pairs_sql(pages_pre, p["cad"]),
         "match_exact_full": exact_full_sql,
+        # FastSS typo pairs. NOTE: DuckDB's levenshtein() is BYTE-based and
+        # miscounts multi-byte Armenian, so the oracle checks codepoint
+        # distance-1 directly: one char-substr deletion makes the strings
+        # equal (substitution via same-position deletion on both, indel via
+        # deletion on the longer) — exact for d=1 over the small vocabulary
+        "spr_street_edit1": f"""
+            WITH v AS (SELECT DISTINCT coalesce(STREET_NORM, '') AS s
+                       FROM read_parquet('{p["spr"]}')
+                       WHERE coalesce(STREET_NORM, '') <> ''),
+            pairs AS (SELECT a.s AS a, b.s AS b FROM v a JOIN v b
+                      ON a.s < b.s AND abs(length(a.s) - length(b.s)) <= 1),
+            g AS (SELECT i FROM generate_series(1, 200) t(i))
+            SELECT a, b, CAST(1 AS BIGINT) AS dist FROM pairs
+            WHERE (length(a) = length(b) AND EXISTS (
+                     SELECT 1 FROM g WHERE g.i <= length(a)
+                     AND substr(a, 1, g.i-1) || substr(a, g.i+1, length(a)) =
+                         substr(b, 1, g.i-1) || substr(b, g.i+1, length(b))))
+               OR (length(b) = length(a) + 1 AND EXISTS (
+                     SELECT 1 FROM g WHERE g.i <= length(b)
+                     AND substr(b, 1, g.i-1) || substr(b, g.i+1, length(b))
+                         = a))
+               OR (length(a) = length(b) + 1 AND EXISTS (
+                     SELECT 1 FROM g WHERE g.i <= length(a)
+                     AND substr(a, 1, g.i-1) || substr(a, g.i+1, length(a))
+                         = b))
+        """,
         # sorted-neighborhood blocking: window over the (key, src, id)-sorted
         # union; the composite sort key is unique so row_number is
         # deterministic and matches the engine's global_rank exactly

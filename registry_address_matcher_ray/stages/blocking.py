@@ -420,3 +420,92 @@ def sorted_neighborhood_pairs(
             "rank_dist": np.concatenate(d_l)})
 
     return routed.groupby("b").map_groups(_pairs, batch_format="pandas")
+
+
+def _edit1_check(a: str, b: str) -> bool:
+    """Exact Levenshtein(a, b) <= 1 for a != b (unit costs)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        # exactly one substitution position allowed
+        seen = False
+        for x, y in zip(a, b):
+            if x != y:
+                if seen:
+                    return False
+                seen = True
+        return True
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # b is one longer: a must equal b with one char dropped
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def edit1_value_pairs(
+    ds: ray.data.Dataset,
+    col: str = "STREET_NORM",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """All DISTINCT value pairs of ``col`` at Levenshtein distance exactly 1,
+    via FastSS deletion neighborhoods (Bocek et al., 2007) — the
+    typo-pair discovery step for fuzzy blocking-key repair, complete by
+    construction.
+
+    Rule: ``d(a,b) <= 1  iff  N(a) ∩ N(b) != ∅`` where ``N(x) = {x} ∪
+    {x with one char deleted}`` — a substitution meets at the common
+    deletion position, an indel meets at the shorter string itself. Shared
+    variants can also arise for d=2 (e.g. "ab"/"ba" share variant "a"), so
+    every candidate is re-verified with the exact O(len) check.
+
+    Distributed shape: the self-join runs over the DISTINCT value vocabulary
+    (one groupby), never the corpus; each value emits len+1 id-sized variant
+    rows; one ``groupby(variant)`` co-locates candidates (group size is
+    values-per-variant, bounded by near-duplicate density, not corpus size);
+    cross-group duplicate pairs collapse in a final distinct groupby. Output:
+    ``(a, b, dist)`` with a < b, dist == 1.
+    """
+
+    def _distinct(b: pa.Table) -> pa.Table:
+        v = pc.fill_null(pc.cast(b.column(col), pa.string()), "")
+        t = pa.table({"v": v}).filter(pc.not_equal(v, ""))
+        return t
+
+    vocab = (ds.map_batches(_distinct, batch_format="pyarrow")
+             .groupby("v").count()
+             .map_batches(lambda b: b.select(["v"]), batch_format="pyarrow"))
+
+    def _variants(b: pa.Table) -> pa.Table:
+        vars_, vals = [], []
+        for v in b.column("v").to_pylist():
+            vars_.append(v)
+            vals.append(v)
+            for i in range(len(v)):
+                vars_.append(v[:i] + v[i + 1:])
+                vals.append(v)
+        return pa.table({"var": pa.array(vars_, pa.string()),
+                         "v": pa.array(vals, pa.string())})
+
+    melted = vocab.map_batches(_variants, batch_format="pyarrow")
+
+    def _pairs(g):
+        import pandas as pd
+
+        vals = sorted(set(g["v"]))
+        a_l, b_l = [], []
+        for i in range(len(vals)):
+            for j in range(i + 1, len(vals)):
+                if _edit1_check(vals[i], vals[j]):
+                    a_l.append(vals[i])
+                    b_l.append(vals[j])
+        return pd.DataFrame({"a": a_l, "b": b_l})
+
+    cand = melted.groupby("var").map_groups(_pairs, batch_format="pandas")
+    return (cand.groupby(["a", "b"]).count()
+            .map_batches(lambda b: pa.table({
+                "a": b.column("a"), "b": b.column("b"),
+                "dist": pa.array([1] * b.num_rows, pa.int64())}),
+                batch_format="pyarrow"))

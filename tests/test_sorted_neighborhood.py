@@ -48,3 +48,41 @@ def test_sorted_neighborhood_rejects_bad_params(fixtures_small, ray_session):
         sorted_neighborhood_pairs(spr, spr, window=1)
     with pytest.raises(ValueError):
         sorted_neighborhood_pairs(spr, spr, window=9, bucket_rows=8)
+
+
+def test_edit1_pairs_vs_bruteforce(ray_session):
+    """FastSS candidates+verify == brute-force codepoint Levenshtein d=1."""
+    import itertools
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from registry_address_matcher_ray.stages.blocking import (
+        _edit1_check, edit1_value_pairs)
+
+    vals = ["աբգ", "աբդ", "աբ", "բա", "աբգդ", "xy", "xz", "x", "y",
+            "կենտրոն", "կենտրոնա", "կենտրան", "կենրոն", "աբգ", ""]
+    ds = rd.from_arrow(pa.table({"STREET_NORM": vals})).repartition(3)
+    out = edit1_value_pairs(ds, "STREET_NORM").to_pandas()
+    got = set(zip(out.a, out.b))
+
+    def _lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    uniq = sorted(set(v for v in vals if v))
+    exp = {(a, b) for a, b in itertools.combinations(uniq, 2)
+           if _lev(a, b) == 1}
+    assert got == exp
+    assert all(out.dist == 1)
+    # the cheap verifier agrees with true distance on every pair
+    for a, b in itertools.combinations(uniq, 2):
+        assert _edit1_check(a, b) == (_lev(a, b) <= 1)
