@@ -886,6 +886,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         spr, _ = _pre_registries(sf_dir)
         return blocking.edit1_value_pairs(spr, "STREET_NORM")
 
+    def match_metablocking(sf_dir):
+        """Meta-blocking candidate cleaning (CBS weights): cross-source pairs
+        sharing >= 2 distinct street-token blocks, oversize blocks purged
+        (stages/blocking.metablocking_cbs_pairs)."""
+        from registry_address_matcher_ray.stages import blocking
+
+        spr, cad = _pre_registries(sf_dir)
+        return blocking.metablocking_cbs_pairs(
+            spr, cad, min_weight=2, max_block=500)
+
     def match_sorted_neighborhood(sf_dir):
         """Sorted-neighborhood blocking candidates (Hernandez & Stolfo 1995):
         union sorted by (SEARCH_KEY, src, id), window=4, cross-source pairs
@@ -1319,6 +1329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_fs_em_params": match_fs_em_params,
         "match_threshold_sweep": match_threshold_sweep,
         "spr_street_edit1": spr_street_edit1,
+        "match_metablocking": match_metablocking,
         "docs_ngram_jaccard_matrix": docs_ngram_jaccard_matrix,
         "embeddings_cosine_join": embeddings_cosine_join,
         "docs_split_assign": docs_split_assign,
@@ -1961,6 +1972,31 @@ def oracle_sql() -> dict[str, str]:
                      SELECT 1 FROM g WHERE g.i <= length(a)
                      AND substr(a, 1, g.i-1) || substr(a, g.i+1, length(a))
                          = b))
+        """,
+        # meta-blocking CBS: distinct (id, token) rows per side, oversize
+        # blocks purged on the UNION count, pair weight = shared block count
+        "match_metablocking": f"""
+            WITH st AS (SELECT DISTINCT CAST(ADDRESS_ID AS VARCHAR) AS sid,
+                               unnest(string_split(
+                                   coalesce(STREET_NORM, ''), ' ')) AS tok
+                        FROM read_parquet('{p["spr"]}')),
+            ct AS (SELECT DISTINCT CAST(ADDRESS_ID AS VARCHAR) AS cid,
+                          unnest(string_split(
+                              coalesce(STREET_NORM, ''), ' ')) AS tok
+                   FROM read_parquet('{p["cad"]}')),
+            stn AS (SELECT * FROM st WHERE tok <> ''),
+            ctn AS (SELECT * FROM ct WHERE tok <> ''),
+            sizes AS (SELECT tok, count(*) AS n FROM (
+                          SELECT sid AS id, tok FROM stn
+                          UNION ALL SELECT cid, tok FROM ctn)
+                      GROUP BY tok),
+            ok AS (SELECT tok FROM sizes WHERE n <= 500),
+            w AS (SELECT sid, cid, count(*) AS weight
+                  FROM stn JOIN ok USING (tok) JOIN ctn USING (tok)
+                  GROUP BY sid, cid)
+            SELECT sid AS "ADDRESS_ID_SPR", cid AS "ADDRESS_ID_CAD",
+                   CAST(weight AS BIGINT) AS weight
+            FROM w WHERE weight >= 2
         """,
         # sorted-neighborhood blocking: window over the (key, src, id)-sorted
         # union; the composite sort key is unique so row_number is

@@ -509,3 +509,105 @@ def edit1_value_pairs(
                 "a": b.column("a"), "b": b.column("b"),
                 "dist": pa.array([1] * b.num_rows, pa.int64())}),
                 batch_format="pyarrow"))
+
+
+def _token_rows(ds: ray.data.Dataset, id_out: str, col: str) -> ray.data.Dataset:
+    """Distinct (record id, token) rows of ``col``'s space-split tokens —
+    fully vectorized explode (split_pattern + list_parent_indices)."""
+
+    def _explode(b: pa.Table) -> pa.Table:
+        v = pc.fill_null(pc.cast(b.column(col), pa.string()), "")
+        toks = pc.split_pattern(v, " ")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        ids = pc.take(pc.cast(b.column("ADDRESS_ID"), pa.string()), parent)
+        keep = pc.not_equal(flat, "")
+        return pa.table({id_out: ids.filter(keep), "tok": flat.filter(keep)})
+
+    # distinct per (id, token): weight must count SHARED DISTINCT blocks
+    return (ds.map_batches(_explode, batch_format="pyarrow")
+            .groupby([id_out, "tok"]).count()
+            .map_batches(lambda b: b.select([id_out, "tok"]),
+                         batch_format="pyarrow"))
+
+
+def metablocking_cbs_pairs(
+    spr: ray.data.Dataset,
+    cad: ray.data.Dataset,
+    col: str = "STREET_NORM",
+    min_weight: int = 2,
+    max_block: int = 500,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Meta-blocking with common-blocks (CBS) weighting (Papadakis et al.,
+    TKDE 2013): token blocks over ``col``, cross-source pairs weighted by the
+    number of DISTINCT shared token blocks, oversize blocks purged, pairs
+    below ``min_weight`` pruned.
+
+    Token blocking alone floods the scorer with every pair sharing ANY word;
+    meta-blocking keeps only pairs co-occurring in >= ``min_weight`` blocks —
+    the standard candidate-cleaning step between blocking and pairwise
+    scoring. Complements the equality/sorted-neighborhood/LSH generators in
+    this module.
+
+    Distributed shape: two vectorized token explodes (O(tokens) id-sized
+    rows), then JOIN-FREE block processing — a single tagged-union
+    ``groupby(tok)`` co-locates each token block; inside a group the purge
+    check (group size > ``max_block`` -> emit nothing) bounds the cross-pair
+    emit at max_block², fully vectorized via np.meshgrid. A final
+    groupby-count turns within-block pairs into CBS weights. Two groupbys,
+    zero ``Dataset.join``s — deliberately, because chained join pools can
+    deadlock the streaming executor under tight CPU budgets (see
+    memory: ray-data-gotchas).
+    """
+
+    def _tag(name: str):
+        def _f(b: pa.Table) -> pa.Table:
+            return pa.table({"tok": b.column("tok"),
+                             "id": b.column(name),
+                             "src": pa.array(
+                                 [name] * b.num_rows, pa.string())})
+        return _f
+
+    st = _token_rows(spr, "sid", col).map_batches(
+        _tag("sid"), batch_format="pyarrow")
+    ct = _token_rows(cad, "cid", col).map_batches(
+        _tag("cid"), batch_format="pyarrow")
+
+    def _block_pairs(g):
+        import pandas as pd
+
+        if len(g) > max_block:
+            return pd.DataFrame({"sid": pd.Series([], dtype="str"),
+                                 "cid": pd.Series([], dtype="str")})
+        sids = g.loc[g["src"] == "sid", "id"].to_numpy()
+        cids = g.loc[g["src"] == "cid", "id"].to_numpy()
+        if not len(sids) or not len(cids):
+            return pd.DataFrame({"sid": pd.Series([], dtype="str"),
+                                 "cid": pd.Series([], dtype="str")})
+        si, ci = np.meshgrid(sids, cids, indexing="ij")
+        return pd.DataFrame({"sid": si.ravel(), "cid": ci.ravel()})
+
+    from .analytics import ensure_arrow_schema
+
+    pairs = ensure_arrow_schema(
+        st.union(ct).groupby("tok").map_groups(
+            _block_pairs, batch_format="pandas"),
+        pa.schema([("sid", pa.string()), ("cid", pa.string())]))
+
+    weighted = ensure_arrow_schema(
+        pairs.groupby(["sid", "cid"]).count()
+        .map_batches(lambda b: b.rename_columns(["sid", "cid", "weight"])
+                     if b.num_columns else b, batch_format="pyarrow"),
+        pa.schema([("sid", pa.string()), ("cid", pa.string()),
+                   ("weight", pa.int64())]))
+
+    def _prune(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater_equal(b.column("weight"), min_weight))
+        return pa.table({
+            "ADDRESS_ID_SPR": b.column("sid"),
+            "ADDRESS_ID_CAD": b.column("cid"),
+            "weight": pc.cast(b.column("weight"), pa.int64()),
+        })
+
+    return weighted.map_batches(_prune, batch_format="pyarrow")

@@ -86,3 +86,49 @@ def test_edit1_pairs_vs_bruteforce(ray_session):
     # the cheap verifier agrees with true distance on every pair
     for a, b in itertools.combinations(uniq, 2):
         assert _edit1_check(a, b) == (_lev(a, b) <= 1)
+
+
+def test_metablocking_cbs_vs_brute(fixtures_small, ray_session):
+    """CBS weights == brute-force shared-distinct-token counts w/ purging."""
+    import itertools
+
+    import pandas as pd
+    import ray.data as rd
+
+    from registry_address_matcher_ray.stages.blocking import (
+        _preprocess_batch, metablocking_cbs_pairs)
+
+    t = fixtures_small
+    spr = _preprocess_batch(t["registry_spr"])
+    cad = _preprocess_batch(t["registry_cad"])
+    max_block, min_w = 100, 2
+    out = metablocking_cbs_pairs(
+        rd.from_arrow(spr).repartition(3), rd.from_arrow(cad).repartition(2),
+        min_weight=min_w, max_block=max_block).to_pandas()
+
+    def _toks(tbl):
+        d = {}
+        for i, v in zip(tbl.column("ADDRESS_ID").to_pylist(),
+                        tbl.column("STREET_NORM").to_pylist()):
+            d[str(i)] = {x for x in (v or "").split(" ") if x}
+        return d
+
+    s, c = _toks(spr), _toks(cad)
+    from collections import Counter
+    sizes = Counter()
+    for toks in list(s.values()) + list(c.values()):
+        sizes.update(toks)
+    ok = {t_ for t_, n in sizes.items() if n <= max_block}
+    exp = {}
+    for (si, st_), (ci, ct_) in itertools.product(s.items(), c.items()):
+        w = len(st_ & ct_ & ok)
+        if w >= min_w:
+            exp[(si, ci)] = w
+    got = {(a, b): w for a, b, w in
+           zip(out.ADDRESS_ID_SPR, out.ADDRESS_ID_CAD, out.weight)}
+    assert got == exp and len(exp) > 0
+    # a cap that purges every block yields a clean empty result
+    empty = metablocking_cbs_pairs(
+        rd.from_arrow(spr), rd.from_arrow(cad),
+        min_weight=min_w, max_block=2).to_pandas()
+    assert len(empty) == 0
