@@ -205,6 +205,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def events_type_counts(sf_dir):
         return A.value_counts(_read(sf_dir, "events"), "event_type")
 
+    def events_type_counts_cms(sf_dir):
+        """Count-Min point estimates for the five event types — approximate
+        by construction (est >= true, bounded overshoot); error bounds and
+        partition invariance are pytest-gated (tests/test_analytics_extra)."""
+        cats = ["click", "error", "purchase", "signup", "view"]
+        sk = A.count_min_sketch(
+            _read(sf_dir, "events").select_columns(["event_type"]),
+            "event_type")
+        est = A.count_min_estimate(sk, cats)
+        return pd.DataFrame({"event_type": cats,
+                             "est_count": est.astype("int64")})
+
     def orders_price_histogram(sf_dir):
         return A.histogram(_read(sf_dir, "orders"), "o_totalprice", bins=20,
                            lo=0.0, hi=500_000.0)
@@ -1330,6 +1342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_threshold_sweep": match_threshold_sweep,
         "spr_street_edit1": spr_street_edit1,
         "match_metablocking": match_metablocking,
+        "events_type_counts_cms": events_type_counts_cms,
         "docs_ngram_jaccard_matrix": docs_ngram_jaccard_matrix,
         "embeddings_cosine_join": embeddings_cosine_join,
         "docs_split_assign": docs_split_assign,

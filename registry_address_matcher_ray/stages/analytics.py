@@ -2529,3 +2529,76 @@ def approx_distinct_by_key(
     sk = ds.select_columns([key_col, col]).map_batches(
         _sketch, batch_format="pyarrow")
     return sk.groupby(key_col).map_groups(_merge, batch_format="pandas")
+
+
+def _cms_slot(h: np.ndarray, seed: np.uint64, width: int) -> np.ndarray:
+    """Row-j CMS slot: full splitmix64 remix of (h ^ seed), HIGH bits mod
+    width. A plain odd-multiply + low-bit modulo is WRONG here: with a
+    power-of-two width the low bits of (x*M) mod 2^k depend only on the low
+    bits of x, so two keys sharing low bits would collide in EVERY row and
+    the min-over-rows guarantee collapses (caught by the overshoot-bound
+    test)."""
+    v = h ^ seed
+    v = (v ^ (v >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    v = (v ^ (v >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    v = v ^ (v >> np.uint64(31))
+    return ((v >> np.uint64(17)) % np.uint64(width)).astype(np.int64)
+
+
+def count_min_sketch(
+    ds: ray.data.Dataset, col: str, width: int = 2048, depth: int = 4,
+) -> np.ndarray:
+    """Mergeable Count-Min sketch (Cormode & Muthukrishnan 2005) of ``col``.
+
+    The approximate companion to :func:`heavy_hitters` (Misra-Gries is
+    deletion-style, CMS answers arbitrary point queries): ``depth`` hash rows
+    x ``width`` counters; an item's estimate is the min over its row
+    counters — always >= the true count, and <= true + 2N/width with
+    probability 1 - 2^-depth.
+
+    Per-batch partial: the batch's nonzero (row, idx, n) counter triples —
+    at most depth x width rows leave any batch regardless of row count; one
+    groupby-sum folds them and the driver receives <= depth x width triples
+    total. Hashing reuses the splitmix64 mixer (`_hll_hash`) with per-row
+    odd multipliers, so sketches are deterministic and partition-invariant.
+    """
+    seeds = (np.uint64(0xA24BAED4963EE407) * (2 * np.arange(depth, dtype=np.uint64) + 1))
+
+    def _partial(b: pa.Table) -> pa.Table:
+        h = _hll_hash(b.column(col))
+        rows, idxs, cnts = [], [], []
+        for j in range(depth):
+            slot = _cms_slot(h, seeds[j], width)
+            cnt = np.bincount(slot, minlength=width)
+            nz = np.nonzero(cnt)[0]
+            rows.append(np.full(len(nz), j, np.int64))
+            idxs.append(nz)
+            cnts.append(cnt[nz].astype(np.int64))
+        return pa.table({"j": pa.array(np.concatenate(rows)),
+                         "idx": pa.array(np.concatenate(idxs)),
+                         "n": pa.array(np.concatenate(cnts))})
+
+    folded = (ds.map_batches(_partial, batch_format="pyarrow")
+              .groupby(["j", "idx"]).sum("n")
+              .map_batches(lambda b: b.rename_columns(["j", "idx", "n"]),
+                           batch_format="pyarrow")
+              .to_pandas())
+    sk = np.zeros((depth, width), np.int64)
+    sk[folded["j"].to_numpy(), folded["idx"].to_numpy()] = folded["n"].to_numpy()
+    return sk
+
+
+def count_min_estimate(
+    sketch: np.ndarray, values, width: Optional[int] = None,
+) -> np.ndarray:
+    """Point-query estimates for ``values`` against a CMS from
+    :func:`count_min_sketch` (vectorized min over depth rows). ``values``
+    must carry the SAME type as the sketched column — `_hll_hash` hashes
+    integers and strings differently."""
+    depth, w = sketch.shape
+    seeds = (np.uint64(0xA24BAED4963EE407) * (2 * np.arange(depth, dtype=np.uint64) + 1))
+    h = _hll_hash(pa.array(list(values)))
+    ests = np.empty((depth, len(h)), np.int64)
+    for j in range(depth):
+        ests[j] = sketch[j, _cms_slot(h, seeds[j], w)]
+    return ests.min(axis=0)

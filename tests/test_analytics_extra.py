@@ -762,3 +762,35 @@ def test_approx_distinct_by_key_error_and_invariance(ray_session):
     g2 = A.approx_distinct_by_key(
         ray.data.from_pandas(pd.concat([df, df2])), "host", "user").to_pandas()
     assert "only_null" not in set(g2["host"])
+
+
+def test_count_min_sketch_bounds_and_invariance(ray_session):
+    """CMS: est >= true always; bounded overshoot; partition-invariant."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from registry_address_matcher_ray.stages.analytics import (
+        count_min_estimate, count_min_sketch)
+
+    rng = np.random.default_rng(11)
+    # zipf-ish categorical: few heavy keys + long tail
+    keys = [f"k{i}" for i in range(300)]
+    weights = 1.0 / np.arange(1, 301) ** 1.3
+    vals = rng.choice(keys, size=20_000, p=weights / weights.sum())
+    true = pd.Series(vals).value_counts()
+    tbl = pa.table({"v": pa.array(vals.tolist(), pa.string())})
+
+    sks = [count_min_sketch(rd.from_arrow(tbl).repartition(n), "v",
+                            width=1024, depth=4) for n in (1, 7)]
+    # partition-invariant: identical sketch from any blocking
+    np.testing.assert_array_equal(sks[0], sks[1])
+    est = count_min_estimate(sks[0], list(true.index))
+    t = true.to_numpy()
+    assert (est >= t).all()                      # CMS never undercounts
+    assert (est - t).max() <= 2 * 20_000 / 1024  # eps*N overshoot bound
+    # heavy keys are essentially exact at this width
+    assert (est[:10] == t[:10]).all()
+    # total mass per row is preserved exactly
+    assert sks[0].sum(axis=1).tolist() == [20_000] * 4
