@@ -960,6 +960,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         m = linkage.match_registries(spr, cad, PipelineConfig())
         return evaluation.pairwise_eval(m, read_parquet_clean(p["labeled_pairs"]))
 
+    def match_cluster_f1(sf_dir):
+        """North-rule metric: pairwise P/R/F1 of the ENTITY CLUSTERS on
+        labeled pairs (same-cluster = predicted positive), scoring the
+        transitive-closure step itself
+        (stages/evaluation.cluster_pairwise_eval)."""
+        from registry_address_matcher_ray.sources.io import read_parquet_clean
+        from registry_address_matcher_ray.stages import evaluation
+
+        spr, cad, p = _registries(sf_dir)
+        m = linkage.match_registries(spr, cad, PipelineConfig()).materialize()
+        cl = linkage.cluster_matches(m).materialize()
+        return evaluation.cluster_pairwise_eval(
+            cl, read_parquet_clean(p["labeled_pairs"]))
+
     def match_threshold_sweep(sf_dir):
         """Whole P/R/F1 operating curve in one pass (one labeled join + a
         per-batch per-threshold partial count) — vs re-running the reference
@@ -1284,13 +1298,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_flagship": pages_flagship,
         "engine_variant_pairs": engine_variant_pairs,
         "match_eval_f1": match_eval_f1,
+        "match_cluster_f1": match_cluster_f1,
         "match_blocking_stats": match_blocking_stats,
         "match_incremental": match_incremental,
         "match_review_queue": match_review_queue,
         "match_fs_patterns": match_fs_patterns,
         "match_fs_weights": match_fs_weights,
         "match_exact_full": match_exact_full,
-        "match_exact_key_p2": match_exact_key_p2,
         "engine_variant_exact": engine_variant_exact,
         "spr_token_block_sizes": spr_token_block_sizes,
         # -- §2.13 training-data family, one per sub-family
@@ -1340,6 +1354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_decontaminate_stats": docs_decontaminate_stats,
         "match_fs_em_params": match_fs_em_params,
         "match_threshold_sweep": match_threshold_sweep,
+        "match_exact_key_p2": match_exact_key_p2,
         "spr_street_edit1": spr_street_edit1,
         "match_metablocking": match_metablocking,
         "events_type_counts_cms": events_type_counts_cms,
@@ -2092,6 +2107,46 @@ def oracle_sql() -> dict[str, str]:
                              * (CAST(tp AS DOUBLE) / greatest(1, nt))
                          / greatest(1e-9, CAST(tp AS DOUBLE) / greatest(1, np)
                                         + CAST(tp AS DOUBLE) / greatest(1, nt)),
+                         6) AS f1
+            FROM c
+        """,
+        # north-rule metric: cluster-implied pairwise P/R/F1 on labeled pairs
+        # over the same recursive cluster CTE
+        "match_cluster_f1": f"""
+            WITH RECURSIVE {_match_ctes(p["spr"], p["cad"])},
+            m AS MATERIALIZED (SELECT * FROM exact UNION ALL SELECT * FROM fuzzy),
+            e AS (SELECT DISTINCT 'S:' || "ADDRESS_ID_SPR" AS a,
+                         'C:' || "ADDRESS_ID_CAD" AS b FROM m),
+            und AS MATERIALIZED (SELECT a, b FROM e UNION SELECT b, a FROM e),
+            reach(node, lab) AS (
+                SELECT a, a FROM und
+                UNION
+                SELECT u.b, r.lab FROM reach r JOIN und u ON u.a = r.node
+            ),
+            cl AS MATERIALIZED (
+                SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node),
+            sel AS (SELECT coalesce(l.label, false) AS lab,
+                           coalesce(c1.cluster_id = c2.cluster_id, false)
+                               AS same
+                    FROM read_parquet('{raw["labeled_pairs"]}') l
+                    LEFT JOIN cl c1 ON c1.node = 'S:' || l.spr_id
+                    LEFT JOIN cl c2 ON c2.node = 'C:' || l.cad_id),
+            c AS (SELECT count(*) FILTER (lab AND same) AS tp,
+                         count(*) FILTER (NOT lab AND same) AS fp,
+                         count(*) FILTER (lab AND NOT same) AS fn,
+                         count(*) FILTER (NOT lab AND NOT same) AS tn
+                  FROM sel)
+            SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+                   CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+                   round(CAST(tp AS DOUBLE) / greatest(1, tp + fp), 6)
+                       AS "precision",
+                   round(CAST(tp AS DOUBLE) / greatest(1, tp + fn), 6)
+                       AS recall,
+                   round(2.0 * (CAST(tp AS DOUBLE) / greatest(1, tp + fp))
+                             * (CAST(tp AS DOUBLE) / greatest(1, tp + fn))
+                         / greatest(1e-9,
+                               CAST(tp AS DOUBLE) / greatest(1, tp + fp)
+                             + CAST(tp AS DOUBLE) / greatest(1, tp + fn)),
                          6) AS f1
             FROM c
         """,

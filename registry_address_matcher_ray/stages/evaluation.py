@@ -244,3 +244,75 @@ def threshold_sweep(
     agg["recall"] = rec.round(round_to)
     agg["f1"] = (2 * prec * rec / np.maximum(1e-9, prec + rec)).round(round_to)
     return agg.astype({c: "int64" for c in ("n_pred", "tp", "fp", "fn")})
+
+
+def cluster_pairwise_eval(
+    clusters: ray.data.Dataset,
+    labeled: ray.data.Dataset,
+    round_to: int = 6,
+) -> pd.DataFrame:
+    """Pairwise P/R/F1 of the ENTITY CLUSTERS on labeled pairs — the
+    north-rule metric (BASELINE.json: "matching the reference's entity
+    clusters (pairwise F1>=0.99) on labeled pairs"): a labeled pair counts
+    as predicted-positive iff both records land in the SAME cluster, so this
+    also scores the transitive-closure step, unlike :func:`pairwise_eval`
+    which scores the flat match pairs.
+
+    Join-free-of-chains shape (chained join pools can deadlock the streaming
+    executor — memory: ray-data-gotchas): each labeled pair melts into two
+    ``(pair_id, node)`` rows; ONE hash join attaches cluster ids; one
+    ``groupby(pair_id)`` (groups of exactly 2) decides same-cluster; a
+    per-batch partial count reduces to four integers on the driver.
+    """
+
+    def _melt(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        spr = pc.cast(b.column("spr_id"), pa.string()).to_pylist()
+        cad = pc.cast(b.column("cad_id"), pa.string()).to_pylist()
+        lab = pc.fill_null(b.column("label"), False).to_pylist()
+        pid = [f"{s}|{c}" for s, c in zip(spr, cad)]
+        return pa.table({
+            "pid": pa.array(pid + pid, pa.string()),
+            "node": pa.array([f"S:{s}" for s in spr]
+                             + [f"C:{c}" for c in cad], pa.string()),
+            "lab": pa.array(np.concatenate([lab, lab]).astype(bool)),
+        })
+
+    melted = labeled.map_batches(_melt, batch_format="pyarrow")
+    joined = melted.join(
+        clusters, join_type="left_outer", num_partitions=8,
+        on=("node",))
+
+    def _pair_verdict(g: pd.DataFrame) -> pd.DataFrame:
+        cids = g["cluster_id"].tolist()
+        same = (len(g) == 2 and cids[0] is not None
+                and cids[0] == cids[1])
+        return pd.DataFrame([{"lab": bool(g["lab"].iloc[0]),
+                              "same": bool(same)}])
+
+    verdicts = joined.groupby("pid").map_groups(
+        _pair_verdict, batch_format="pandas")
+
+    def _partial(b: pa.Table) -> pa.Table:
+        lab = b.column("lab").to_numpy(zero_copy_only=False)
+        same = b.column("same").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "tp": pa.array([int((lab & same).sum())], pa.int64()),
+            "fp": pa.array([int((~lab & same).sum())], pa.int64()),
+            "fn": pa.array([int((lab & ~same).sum())], pa.int64()),
+            "tn": pa.array([int((~lab & ~same).sum())], pa.int64()),
+        })
+
+    c = (verdicts.map_batches(_partial, batch_format="pyarrow")
+         .to_pandas().sum())
+    tp, fp, fn, tn = int(c.tp), int(c.fp), int(c.fn), int(c.tn)
+    precision = tp / max(1, tp + fp)
+    recall = tp / max(1, tp + fn)
+    f1 = 2 * precision * recall / max(1e-9, precision + recall)
+    return pd.DataFrame([{
+        "tp": tp, "fp": fp, "fn": fn, "tn": tn,
+        "precision": round(precision, round_to),
+        "recall": round(recall, round_to),
+        "f1": round(f1, round_to),
+    }]).astype({k: "int64" for k in ("tp", "fp", "fn", "tn")})

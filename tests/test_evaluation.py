@@ -118,3 +118,29 @@ def test_threshold_sweep_brute(ray_session):
         assert row.fn == len(truth) - tp
         p = tp / max(1, len(pred)); r = tp / max(1, len(truth))
         assert row.f1 == pytest.approx(2 * p * r / max(1e-9, p + r), abs=1e-6)
+
+
+def test_cluster_pairwise_eval_handbuilt(ray_session):
+    """TP/FP/FN/TN verdicts on a hand-built cluster assignment."""
+    import pandas as pd
+    import ray.data as rd
+
+    from registry_address_matcher_ray.stages.evaluation import (
+        cluster_pairwise_eval)
+
+    clusters = rd.from_pandas(pd.DataFrame({
+        "node": ["S:1", "C:10", "S:2", "C:20", "S:3"],
+        "cluster_id": ["A", "A", "B", "B", "Z"],
+    }))
+    labeled = rd.from_pandas(pd.DataFrame({
+        "spr_id": ["1", "2", "1", "3", "4"],
+        "cad_id": ["10", "20", "20", "10", "99"],
+        # (1,10) same->TP; (2,20) labeled false but same->FP;
+        # (1,20) diff clusters, true->FN; (3,10) S:3 clustered alone,
+        # false->TN; (4,99) neither clustered, true->FN
+        "label": [True, False, True, False, True],
+    }))
+    out = cluster_pairwise_eval(clusters, labeled)
+    r = out.iloc[0]
+    assert (r.tp, r.fp, r.fn, r.tn) == (1, 1, 2, 1)
+    assert r.precision == 0.5 and r.recall == pytest.approx(1 / 3, abs=1e-6)
