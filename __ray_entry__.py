@@ -925,6 +925,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         m = linkage.match_registries(spr, cad, PipelineConfig()).materialize()
         return linkage.cluster_matches(m)
 
+    def match_clusters_delta(sf_dir):
+        """Incremental cluster maintenance: cluster an md5-split 'old half'
+        of the matches, then fold the remaining delta with
+        stages/cluster.merge_cluster_delta — provably identical to the full
+        recompute, so it shares match_clusters' oracle."""
+        import hashlib as _h
+
+        import pyarrow.compute as _dpc
+
+        spr, cad, _ = _registries(sf_dir)
+        m = linkage.match_registries(spr, cad, PipelineConfig()).materialize()
+
+        def _split(old: bool):
+            def _f(b: pa.Table) -> pa.Table:
+                keep = [(_h.md5(str(v).encode()).hexdigest() < "8") == old
+                        for v in b.column("ADDRESS_ID_SPR").to_pylist()]
+                return b.filter(pa.array(keep))
+            return _f
+
+        prior = linkage.cluster_matches(
+            m.map_batches(_split(True), batch_format="pyarrow")
+            .materialize()).materialize()
+        delta = m.map_batches(_split(False), batch_format="pyarrow")
+        return cluster.merge_cluster_delta(prior, delta)
+
     def match_golden_records(sf_dir):
         """Survivorship: canonical record per entity cluster (most-frequent
         non-empty value per field, lexicographic-min tie-break) — the
@@ -1355,6 +1380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_fs_em_params": match_fs_em_params,
         "match_threshold_sweep": match_threshold_sweep,
         "match_exact_key_p2": match_exact_key_p2,
+        "match_clusters_delta": match_clusters_delta,
         "spr_street_edit1": spr_street_edit1,
         "match_metablocking": match_metablocking,
         "events_type_counts_cms": events_type_counts_cms,
@@ -1968,7 +1994,7 @@ def oracle_sql() -> dict[str, str]:
                 JOIN hc ON hc.head = split_part(bg.bigram, ' ', 1)
         GROUP BY bg.doc_id
     """
-    return {
+    out = {
         "engine_variant_pairs": _engine_variant_sql(p["spr"], p["cad"]),
         # pages flagship: page-derived records play the SPR side of the same
         # exact+fuzzy match oracle (records fixture written driver-side with
@@ -3299,3 +3325,8 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
     }
+    # incremental delta-merge is provably identical to the full recompute
+    # (prior labels are real member-node edges, so prior ∪ delta has the same
+    # components as old-matches ∪ new-matches); share match_clusters' oracle
+    out["match_clusters_delta"] = out["match_clusters"]
+    return out

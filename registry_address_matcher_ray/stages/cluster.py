@@ -559,3 +559,45 @@ def golden_records(
 
     return counted.groupby("cluster_id").map_groups(
         _pivot, batch_format="pandas")
+
+
+def merge_cluster_delta(
+    prior: ray.data.Dataset,
+    new_matches: ray.data.Dataset,
+    spr_col: str = "ADDRESS_ID_SPR",
+    cad_col: str = "ADDRESS_ID_CAD",
+    **kwargs,
+) -> ray.data.Dataset:
+    """Incremental cluster maintenance: fold a DELTA of new match pairs into
+    a prior ``(node, cluster_id)`` assignment without re-deriving the prior
+    edges — provably identical to re-clustering the union of all matches.
+
+    Why it works: a prior cluster_id IS the min namespaced node id of its
+    component (:func:`connected_components` invariant), so each prior row
+    ``(node, cluster_id)`` is itself an edge to a real member node and the
+    prior component stays connected through its label node. Re-running CC
+    over ``prior-as-edges ∪ delta-edges`` therefore yields exactly the
+    labels of a full recompute over old ∪ new matches — old components merge
+    when a delta edge bridges them, untouched components keep their id
+    (their min node is unchanged). Cost: O(|prior| + |delta|) edges, vs the
+    full match re-derivation; checkpoint the cluster table, resume from it.
+    """
+
+    def _prior_edges(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pc.cast(b.column("node"), pa.string()),
+            "dst": pc.cast(b.column("cluster_id"), pa.string()),
+        })
+
+    def _delta_edges(b: pa.Table) -> pa.Table:
+        s = pc.binary_join_element_wise(
+            pa.array(["S"] * b.num_rows),
+            pc.cast(b.column(spr_col), pa.string()), ":")
+        c = pc.binary_join_element_wise(
+            pa.array(["C"] * b.num_rows),
+            pc.cast(b.column(cad_col), pa.string()), ":")
+        return pa.table({"src": s, "dst": c})
+
+    edges = prior.map_batches(_prior_edges, batch_format="pyarrow").union(
+        new_matches.map_batches(_delta_edges, batch_format="pyarrow"))
+    return connected_components(edges, "src", "dst", **kwargs)

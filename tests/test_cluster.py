@@ -184,3 +184,38 @@ def test_golden_records_survivorship(ray_session):
     assert pd.isna(r2.BUILDING_NORM)
     # tie on FULL_ADDRESS ('oak 7' vs 'oak', both 1x) -> lexicographic min
     assert r2.FULL_ADDRESS == "oak"
+
+
+def test_merge_cluster_delta_bridges_components(ray_session):
+    """A delta edge bridging two prior clusters merges them under the
+    global min label; untouched clusters keep their id."""
+    import pandas as pd
+    import ray.data as rd
+
+    from registry_address_matcher_ray.stages.cluster import (
+        assign_clusters, merge_cluster_delta)
+
+    old = rd.from_pandas(pd.DataFrame({
+        "ADDRESS_ID_SPR": ["1", "2", "7"],
+        "ADDRESS_ID_CAD": ["10", "20", "70"],
+    }))
+    prior = assign_clusters(old.materialize()).materialize()
+    # S:2—C:10 bridges {S:1,C:10} and {S:2,C:20}; (5,50) is a new cluster
+    delta = rd.from_pandas(pd.DataFrame({
+        "ADDRESS_ID_SPR": ["2", "5"],
+        "ADDRESS_ID_CAD": ["10", "50"],
+    }))
+    got = dict(zip(*[c.tolist() for c in
+                     merge_cluster_delta(prior, delta).to_pandas()
+                     [["node", "cluster_id"]].T.values]))
+    # full recompute over all five edges
+    full = rd.from_pandas(pd.DataFrame({
+        "ADDRESS_ID_SPR": ["1", "2", "7", "2", "5"],
+        "ADDRESS_ID_CAD": ["10", "20", "70", "10", "50"],
+    }))
+    exp = dict(zip(*[c.tolist() for c in
+                     assign_clusters(full.materialize()).to_pandas()
+                     [["node", "cluster_id"]].T.values]))
+    assert got == exp
+    assert got["S:1"] == got["C:20"]          # bridged
+    assert got["S:7"] == got["C:70"] != got["S:1"]  # untouched
