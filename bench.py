@@ -312,6 +312,22 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     A.heavy_hitters(ev, "user_id", k=20).count()
     queries["heavy_hitters"] = round(time.time() - t0, 3)
 
+    # ---- Fellegi-Sunter probabilistic linkage: pattern histogram -> EM ->
+    # per-pair weights over the house-blocked candidates
+    from registry_address_matcher_ray.stages import blocking as B
+    from registry_address_matcher_ray.stages import probabilistic as P
+
+    t0 = time.time()
+    spr_pre = B.preprocess_registry(
+        rio.read_parquet_clean(paths["registry_spr"]))
+    cad_pre = B.preprocess_registry(
+        rio.read_parquet_clean(paths["registry_cad"]))
+    counts = P.fs_pattern_counts(spr_pre, cad_pre).to_pandas()
+    fit = P.fs_em(counts, k=4)
+    n_fs = P.fs_match_weights(spr_pre, cad_pre, fit["m"], fit["u"]).count()
+    queries["fs_linkage"] = round(time.time() - t0, 3)
+    extras["fs_pairs_weighted"] = n_fs
+
     result = {
         "metric": "linkage_pages_sec",
         "value": queries["linkage_pages"],
