@@ -950,6 +950,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         delta = m.map_batches(_split(False), batch_format="pyarrow")
         return cluster.merge_cluster_delta(prior, delta)
 
+    def match_cluster_sizes(sf_dir):
+        """Entity-cluster size histogram (how transitive the matches are):
+        one groupby(cluster).count + one groupby(size).count — both
+        metadata-scale aggregations."""
+        import pyarrow.compute as pc
+
+        spr, cad, _ = _registries(sf_dir)
+        m = linkage.match_registries(spr, cad, PipelineConfig()).materialize()
+        cl = linkage.cluster_matches(m)
+        sizes = (cl.groupby("cluster_id").count()
+                 .map_batches(lambda b: b.rename_columns(
+                     ["cluster_id", "size"]), batch_format="pyarrow"))
+        return (sizes.groupby("size").count()
+                .map_batches(lambda b: pa.table({
+                    "size": pc.cast(b.column("size"), pa.int64()),
+                    "n_clusters": pc.cast(b.column("count()"), pa.int64()),
+                }), batch_format="pyarrow"))
+
     def match_golden_records(sf_dir):
         """Survivorship: canonical record per entity cluster (most-frequent
         non-empty value per field, lexicographic-min tie-break) — the
@@ -1381,6 +1399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_threshold_sweep": match_threshold_sweep,
         "match_exact_key_p2": match_exact_key_p2,
         "match_clusters_delta": match_clusters_delta,
+        "match_cluster_sizes": match_cluster_sizes,
         "spr_street_edit1": spr_street_edit1,
         "match_metablocking": match_metablocking,
         "events_type_counts_cms": events_type_counts_cms,
@@ -3329,4 +3348,21 @@ def oracle_sql() -> dict[str, str]:
     # (prior labels are real member-node edges, so prior ∪ delta has the same
     # components as old-matches ∪ new-matches); share match_clusters' oracle
     out["match_clusters_delta"] = out["match_clusters"]
+    out["match_cluster_sizes"] = f"""
+        WITH RECURSIVE {_match_ctes(p["spr"], p["cad"])},
+        m AS MATERIALIZED (SELECT * FROM exact UNION ALL SELECT * FROM fuzzy),
+        e AS (SELECT DISTINCT 'S:' || "ADDRESS_ID_SPR" AS a,
+                     'C:' || "ADDRESS_ID_CAD" AS b FROM m),
+        und AS MATERIALIZED (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        reach(node, lab) AS (
+            SELECT a, a FROM und
+            UNION
+            SELECT u.b, r.lab FROM reach r JOIN und u ON u.a = r.node
+        ),
+        cl AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node),
+        sz AS (SELECT cluster_id, count(*) AS size FROM cl GROUP BY cluster_id)
+        SELECT CAST(size AS BIGINT) AS size,
+               CAST(count(*) AS BIGINT) AS n_clusters
+        FROM sz GROUP BY size
+    """
     return out
