@@ -1017,6 +1017,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return evaluation.cluster_pairwise_eval(
             cl, read_parquet_clean(p["labeled_pairs"]))
 
+    def match_blocking_compare(sf_dir):
+        """Decision table for the blocking key: candidate volume, reduction
+        ratio, pairs completeness for SEARCH_KEY vs (HOUSE,BUILDING) vs
+        TOKEN_SORTKEY (stages/evaluation.blocking_compare)."""
+        from registry_address_matcher_ray.sources.io import read_parquet_clean
+        from registry_address_matcher_ray.stages import evaluation
+
+        spr, cad = _pre_registries(sf_dir)
+        raw_p = _registry_paths(sf_dir)
+        return evaluation.blocking_compare(
+            spr, cad, read_parquet_clean(raw_p["labeled_pairs"]))
+
     def match_threshold_sweep(sf_dir):
         """Whole P/R/F1 operating curve in one pass (one labeled join + a
         per-batch per-threshold partial count) — vs re-running the reference
@@ -1400,6 +1412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_exact_key_p2": match_exact_key_p2,
         "match_clusters_delta": match_clusters_delta,
         "match_cluster_sizes": match_cluster_sizes,
+        "match_blocking_compare": match_blocking_compare,
         "spr_street_edit1": spr_street_edit1,
         "match_metablocking": match_metablocking,
         "events_type_counts_cms": events_type_counts_cms,
@@ -3347,6 +3360,62 @@ def oracle_sql() -> dict[str, str]:
     # incremental delta-merge is provably identical to the full recompute
     # (prior labels are real member-node edges, so prior ∪ delta has the same
     # components as old-matches ∪ new-matches); share match_clusters' oracle
+    # one sub-select per blocking key: counts joined key-to-key for volume,
+    # two id->key joins for completeness; UNION ALL of three metadata rows
+    def _bkc(name, s_expr, c_expr, s_keep, c_keep):
+        return f"""
+        SELECT '{name}' AS key_name,
+               CAST(coalesce((
+                 SELECT sum(ns * nc) FROM
+                   (SELECT k, count(*) AS ns FROM
+                      (SELECT {s_expr} AS k FROM read_parquet('{p["spr"]}')
+                       WHERE {s_keep}) GROUP BY k) a
+                   JOIN
+                   (SELECT k, count(*) AS nc FROM
+                      (SELECT {c_expr} AS k FROM read_parquet('{p["cad"]}')
+                       WHERE {c_keep}) GROUP BY k) b
+                   USING (k)), 0) AS BIGINT) AS candidate_pairs,
+               CAST((SELECT count(*) FROM
+                  (SELECT spr_id, cad_id
+                   FROM read_parquet('{raw["labeled_pairs"]}') WHERE label) t
+                  JOIN (SELECT CAST(ADDRESS_ID AS VARCHAR) AS sid,
+                               {s_expr} AS k
+                        FROM read_parquet('{p["spr"]}') WHERE {s_keep}) sb
+                    ON t.spr_id = sb.sid
+                  JOIN (SELECT CAST(ADDRESS_ID AS VARCHAR) AS cid,
+                               {c_expr} AS k
+                        FROM read_parquet('{p["cad"]}') WHERE {c_keep}) cb
+                    ON t.cad_id = cb.cid AND sb.k = cb.k) AS BIGINT)
+                   AS co_blocked_true
+        """
+
+    _n_sc = (f"(SELECT count(*) FROM read_parquet('{p['spr']}'))",
+             f"(SELECT count(*) FROM read_parquet('{p['cad']}'))")
+    _tok = ("array_to_string(list_sort(list_filter(string_split("
+            "coalesce(STREET_NORM, ''), ' '), x -> x <> '')), ' ')")
+    _hb = "coalesce(HOUSE_NORM, '') || '|' || coalesce(BUILDING_NORM, '')"
+    _hb_keep = ("NOT (coalesce(HOUSE_NORM, '') = '' AND "
+                "coalesce(BUILDING_NORM, '') = '')")
+    _sk = "coalesce(SEARCH_KEY, '')"
+    out["match_blocking_compare"] = f"""
+        WITH rows_ AS (
+            {_bkc('search_key', _sk, _sk, _sk + " <> ''", _sk + " <> ''")}
+            UNION ALL
+            {_bkc('house_building', _hb, _hb, _hb_keep, _hb_keep)}
+            UNION ALL
+            {_bkc('token_sortkey', _tok, _tok, _tok + " <> ''",
+                  _tok + " <> ''")}
+        )
+        SELECT key_name, candidate_pairs, co_blocked_true,
+               round(1.0 - CAST(candidate_pairs AS DOUBLE)
+                     / greatest(1, {_n_sc[0]} * {_n_sc[1]}), 6)
+                   AS reduction_ratio,
+               round(CAST(co_blocked_true AS DOUBLE)
+                     / greatest(1, (SELECT count(*)
+                        FROM read_parquet('{raw["labeled_pairs"]}')
+                        WHERE label)), 6) AS pairs_completeness
+        FROM rows_
+    """
     out["match_clusters_delta"] = out["match_clusters"]
     out["match_cluster_sizes"] = f"""
         WITH RECURSIVE {_match_ctes(p["spr"], p["cad"])},

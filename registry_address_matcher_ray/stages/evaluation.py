@@ -316,3 +316,112 @@ def cluster_pairwise_eval(
         "recall": round(recall, round_to),
         "f1": round(f1, round_to),
     }]).astype({k: "int64" for k in ("tp", "fp", "fn", "tn")})
+
+
+def _key_blocks(reg: ray.data.Dataset, id_out: str,
+                cols: tuple, token_sort: bool) -> ray.data.Dataset:
+    """Project a registry to ``(id, key)`` where key joins the coalesced
+    columns with '|'; rows whose every part is empty are skipped (they can
+    never block). ``token_sort`` replaces the single column with its
+    token-sorted form (the TOKEN_SORTKEY scheme)."""
+
+    def _proj(b: pa.Table) -> pa.Table:
+        parts = []
+        for c in cols:
+            v = pc.fill_null(pc.cast(b.column(c), pa.string()), "")
+            parts.append(v)
+        if token_sort:
+            from ..functions.scorers import _token_sorted
+
+            arr0 = parts[0]
+            if isinstance(arr0, pa.ChunkedArray):
+                arr0 = arr0.combine_chunks()
+            enc = pc.dictionary_encode(arr0)
+            mapped = pa.array([_token_sorted(u)
+                               for u in enc.dictionary.to_pylist()],
+                              pa.string())
+            parts = [pc.take(mapped, enc.indices)]
+        key = parts[0] if len(parts) == 1 else \
+            pc.binary_join_element_wise(*parts, "|")
+        nonempty = pc.not_equal(parts[0], "")
+        for q in parts[1:]:
+            nonempty = pc.or_(nonempty, pc.not_equal(q, ""))
+        return pa.table({
+            id_out: pc.cast(b.column("ADDRESS_ID"), pa.string())
+            .filter(nonempty),
+            "k": key.filter(nonempty),
+        })
+
+    return reg.map_batches(_proj, batch_format="pyarrow")
+
+
+def blocking_compare(
+    spr: ray.data.Dataset,
+    cad: ray.data.Dataset,
+    labeled: ray.data.Dataset,
+    round_to: int = 6,
+) -> pd.DataFrame:
+    """Side-by-side quality of the engine's candidate blocking keys — the
+    decision table for the ONE partitioning key a 100-TB run must commit to
+    (SURVEY §7.4): per key, candidate-pair volume (O(distinct keys) shuffle,
+    never O(pairs)), reduction ratio vs the cross product, and pairs
+    completeness on labeled true pairs.
+
+    Keys compared: the reference's SEARCH_KEY equality, the fuzzy matcher's
+    (HOUSE_NORM, BUILDING_NORM) block, and the TOKEN_SORTKEY word-reorder
+    key. Output: one metadata-scale row per key.
+    """
+    specs = [
+        ("search_key", ("SEARCH_KEY",), False),
+        ("house_building", ("HOUSE_NORM", "BUILDING_NORM"), False),
+        ("token_sortkey", ("STREET_NORM",), True),
+    ]
+    n_spr, n_cad = spr.count(), cad.count()
+
+    def _truth(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.fill_null(b.column("label"), False))
+        return pa.table({
+            "spr_id": pc.cast(b.column("spr_id"), pa.string()),
+            "cad_id": pc.cast(b.column("cad_id"), pa.string())})
+
+    truth = labeled.map_batches(_truth, batch_format="pyarrow").materialize()
+    n_true = truth.count()
+    rows = []
+    for name, cols, tsort in specs:
+        sb = _key_blocks(spr, "sid", cols, tsort)
+        cb = _key_blocks(cad, "cid", cols, tsort)
+        per_block = (sb.groupby("k").count()
+                     .map_batches(lambda b: b.rename_columns(["k", "ns"]),
+                                  batch_format="pyarrow")
+                     .join(cb.groupby("k").count()
+                           .map_batches(lambda b: b.rename_columns(
+                               ["k", "nc"]), batch_format="pyarrow"),
+                           join_type="inner", num_partitions=8, on=("k",)))
+        cands = int(per_block.map_batches(
+            lambda b: pa.table({"p": pc.multiply(
+                pc.cast(b.column("ns"), pa.int64()),
+                pc.cast(b.column("nc"), pa.int64()))}),
+            batch_format="pyarrow").sum("p") or 0)
+        # completeness: true pair co-blocked iff both sides carry the key
+        # and the keys are equal — two joins with a materialize between
+        # (chained live join pools can deadlock; memory: ray-data-gotchas)
+        half = truth.join(sb, join_type="inner", num_partitions=8,
+                          on=("spr_id",), right_on=("sid",)).materialize()
+        co = (half.join(
+            cb.map_batches(lambda b: b.rename_columns(["cid", "ck"]),
+                           batch_format="pyarrow"),
+            join_type="inner", num_partitions=8,
+            on=("cad_id",), right_on=("cid",))
+            .map_batches(lambda b: b.filter(
+                pc.equal(b.column("k"), b.column("ck"))),
+                batch_format="pyarrow").count()) if n_true else 0
+        rows.append({
+            "key_name": name,
+            "candidate_pairs": cands,
+            "co_blocked_true": co,
+            "reduction_ratio": round(
+                1.0 - cands / max(1, n_spr * n_cad), round_to),
+            "pairs_completeness": round(co / max(1, n_true), round_to),
+        })
+    return pd.DataFrame(rows).astype(
+        {"candidate_pairs": "int64", "co_blocked_true": "int64"})
