@@ -1092,6 +1092,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         spr, cad = _pre_registries(sf_dir)
         return P.fs_match_weights(spr, cad, _FS_M, _FS_U)
 
+    def match_fs_value_weights(sf_dir):
+        """Winkler frequency-based FS refinement: street-agreement weight
+        log2(m/u_v) with a VALUE-specific u_v from broadcast frequency
+        tables (stages/probabilistic.fs_value_weights)."""
+        from registry_address_matcher_ray.stages import probabilistic as P
+
+        spr, cad = _pre_registries(sf_dir)
+        return P.fs_value_weights(spr, cad)
+
     def match_fs_em_params(sf_dir):
         """EM-fitted (m_i, u_i, p) from the distributed pattern histogram —
         deterministic fixed-iteration fit, pytest-checked against an
@@ -1413,6 +1422,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_clusters_delta": match_clusters_delta,
         "match_cluster_sizes": match_cluster_sizes,
         "match_blocking_compare": match_blocking_compare,
+        "match_fs_value_weights": match_fs_value_weights,
         "spr_street_edit1": spr_street_edit1,
         "match_metablocking": match_metablocking,
         "events_type_counts_cms": events_type_counts_cms,
@@ -3415,6 +3425,38 @@ def oracle_sql() -> dict[str, str]:
                         FROM read_parquet('{raw["labeled_pairs"]}')
                         WHERE label)), 6) AS pairs_completeness
         FROM rows_
+    """
+    out["match_fs_value_weights"] = f"""
+        WITH fs_s AS (SELECT ADDRESS_ID AS sid, coalesce(HOUSE_NORM,'') AS hk,
+                             coalesce(STREET_NORM,'') AS st
+                      FROM read_parquet('{p["spr"]}')
+                      WHERE coalesce(HOUSE_NORM,'') <> ''),
+        fs_c AS (SELECT ADDRESS_ID AS cid, coalesce(HOUSE_NORM,'') AS hk,
+                        coalesce(STREET_NORM,'') AS st
+                 FROM read_parquet('{p["cad"]}')
+                 WHERE coalesce(HOUSE_NORM,'') <> ''),
+        sfreq AS (SELECT coalesce(STREET_NORM,'') AS v,
+                         count(*) AS n FROM read_parquet('{p["spr"]}')
+                  GROUP BY 1),
+        cfreq AS (SELECT coalesce(STREET_NORM,'') AS v,
+                         count(*) AS n FROM read_parquet('{p["cad"]}')
+                  GROUP BY 1),
+        ns AS (SELECT sum(n) AS t FROM sfreq),
+        nc AS (SELECT sum(n) AS t FROM cfreq),
+        pairs AS (
+            SELECT s.sid AS "ADDRESS_ID_SPR", c.cid AS "ADDRESS_ID_CAD",
+                   s.st AS street, (s.st = c.st) AS street_agree,
+                   greatest((CAST(sf.n AS DOUBLE) / (SELECT t FROM ns))
+                          * (CAST(cf.n AS DOUBLE) / (SELECT t FROM nc)),
+                          1e-9) AS u_raw
+            FROM fs_s s JOIN fs_c c ON s.hk = c.hk
+            JOIN sfreq sf ON sf.v = s.st
+            JOIN cfreq cf ON cf.v = c.st)
+        SELECT "ADDRESS_ID_SPR", "ADDRESS_ID_CAD", street, street_agree,
+               round(u_raw, 12) AS u_v,
+               round(CASE WHEN street_agree THEN log2(0.95 / u_raw)
+                          ELSE 0.0 END, 6) AS fs_value_weight
+        FROM pairs
     """
     out["match_clusters_delta"] = out["match_clusters"]
     out["match_cluster_sizes"] = f"""

@@ -253,3 +253,80 @@ def fs_match_weights(
         })
 
     return vecs.map_batches(_score, batch_format="pyarrow")
+
+
+def fs_value_weights(
+    spr: ray.data.Dataset,
+    cad: ray.data.Dataset,
+    m_street: float = 0.95,
+    fields: Sequence[Tuple[str, str, str]] = DEFAULT_FIELDS,
+    block_col: str = "HOUSE_NORM",
+    value_col: str = "STREET_NORM",
+    u_floor: float = 1e-9,
+    round_to: int = 6,
+) -> ray.data.Dataset:
+    """Value-specific agreement weights (Winkler's frequency-based
+    refinement of Fellegi-Sunter): agreeing on a RARE street name is far
+    stronger evidence than agreeing on a common one, so the street
+    agreement weight becomes ``log2(m / u_v)`` with
+    ``u_v = (n_spr(v)/N_spr) * (n_cad(v)/N_cad)`` — the chance two random
+    records agree on value ``v`` — instead of one global u.
+
+    Distributed shape: two O(distinct values) count aggregates; the value
+    frequency table is vocabulary-sized, so it is `ray.put`-broadcast ONCE
+    and probed inside the scoring ``map_batches`` with a vectorized pandas
+    map — no per-pair shuffle join. Pairs that DISAGREE on the street get
+    weight 0 from this component (only the agreement evidence is
+    value-specific here); pattern and the agreement bit come along for
+    inspection. Output: (ids, street value, u_v, fs_value_weight).
+    """
+    from .matching import put_broadcast, resolve_broadcast
+
+    def _freqs(reg, idc):
+        def _proj(b: pa.Table) -> pa.Table:
+            v = pc.fill_null(pc.cast(b.column(value_col), pa.string()), "")
+            return pa.table({"v": v})
+        counted = (reg.map_batches(_proj, batch_format="pyarrow")
+                   .groupby("v").count().to_pandas())
+        counted.columns = ["v", "n"]
+        return counted
+
+    fs, fc = _freqs(spr, "s"), _freqs(cad, "c")
+    ns_tot, nc_tot = int(fs.n.sum()), int(fc.n.sum())
+    fs_map = dict(zip(fs.v, fs.n / ns_tot))
+    fc_map = dict(zip(fc.v, fc.n / nc_tot))
+    ref = put_broadcast((fs_map, fc_map))
+
+    # comparison_vectors drops the raw value, so build the joined projection
+    # directly with the street value carried through
+    left = spr.map_batches(
+        _key_proj("ADDRESS_ID_SPR", fields, block_col, "s_"),
+        batch_format="pyarrow")
+    right = cad.map_batches(
+        _key_proj("ADDRESS_ID_CAD", fields, block_col, "c_"),
+        batch_format="pyarrow")
+    npart = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    joined = left.join(right, join_type="inner", num_partitions=npart,
+                       on=("s_k",), right_on=("c_k",))
+
+    def _score(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        f_s, f_c = resolve_broadcast(ref)
+        sv = b.column("s_" + value_col).to_pandas()
+        cv = b.column("c_" + value_col).to_pandas()
+        agree = (sv == cv).to_numpy()
+        u_v = (sv.map(f_s).fillna(0.0).to_numpy()
+               * cv.map(f_c).fillna(0.0).to_numpy())
+        u_v = np.maximum(u_v, u_floor)
+        w = np.where(agree, np.log2(m_street / u_v), 0.0)
+        return pa.table({
+            "ADDRESS_ID_SPR": b.column("ADDRESS_ID_SPR"),
+            "ADDRESS_ID_CAD": b.column("ADDRESS_ID_CAD"),
+            "street": pa.array(sv.to_numpy(), pa.string()),
+            "street_agree": pa.array(agree),
+            "u_v": pa.array(np.round(u_v, 12), pa.float64()),
+            "fs_value_weight": pa.array(np.round(w, round_to), pa.float64()),
+        })
+
+    return joined.map_batches(_score, batch_format="pyarrow")

@@ -140,3 +140,42 @@ def test_match_weights_ordering_and_decisions(fixtures_small):
                     "decision"] == "possible").all()
     # weight is a pure function of pattern
     assert out.groupby("pattern").fs_weight.nunique().le(1).all()
+
+
+def test_fs_value_weights_rarity(ray_session):
+    """Rare-street agreement outweighs common-street agreement; u_v is the
+    product of the two sides' value frequencies; disagreement weight is 0."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from registry_address_matcher_ray.stages.probabilistic import (
+        fs_value_weights)
+
+    def _reg(streets, houses):
+        n = len(streets)
+        return rd.from_arrow(pa.table({
+            "ADDRESS_ID": [str(i) for i in range(n)],
+            "STREET_NORM": streets,
+            "HOUSE_NORM": houses,
+            "BUILDING_NORM": [""] * n,
+            "FULL_ADDRESS": streets,
+        }))
+
+    # 'common' appears 4x per side, 'rare' once; all share house block '1'
+    spr = _reg(["common"] * 4 + ["rare"], ["1"] * 5)
+    cad = _reg(["common"] * 4 + ["rare"], ["1"] * 5)
+    out = fs_value_weights(spr, cad).to_pandas()
+    assert len(out) == 25
+    agree = out[out.street_agree]
+    w_rare = agree[agree.street == "rare"].fs_value_weight.unique()
+    w_common = agree[agree.street == "common"].fs_value_weight.unique()
+    assert len(w_rare) == 1 and len(w_common) == 1
+    assert w_rare[0] > w_common[0]
+    # u_v = product of per-side frequencies
+    r = agree[agree.street == "rare"].iloc[0]
+    assert r.u_v == round((1 / 5) * (1 / 5), 12)
+    c = agree[agree.street == "common"].iloc[0]
+    assert c.u_v == round((4 / 5) * (4 / 5), 12)
+    assert np.isclose(r.fs_value_weight, round(np.log2(0.95 / (0.04)), 6))
+    assert (out.loc[~out.street_agree, "fs_value_weight"] == 0).all()
