@@ -908,6 +908,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return blocking.metablocking_cbs_pairs(
             spr, cad, min_weight=2, max_block=500)
 
+    def spr_swoosh_round0(sf_dir):
+        """Round-0 match pairs of the batch R-Swoosh fixpoint (same house,
+        token Jaccard >= 0.5) — the SQL-checkable slice of the iterative
+        match-merge operator (stages/swoosh.py)."""
+        from registry_address_matcher_ray.stages import swoosh
+
+        spr, _ = _pre_registries(sf_dir)
+        recs = swoosh._to_records(spr, "ADDRESS_ID", "HOUSE_NORM",
+                                  "STREET_NORM")
+        return swoosh.round_pairs(recs, 0.5, max_block=5000)
+
+    def spr_swoosh_entities(sf_dir):
+        """Batch R-Swoosh to fixpoint: merged entity records (min-id rid,
+        token union, member count). The fixpoint is iterative — pytest-gated
+        against a sequential implementation (tests/test_swoosh.py)."""
+        from registry_address_matcher_ray.stages import swoosh
+
+        spr, _ = _pre_registries(sf_dir)
+        return swoosh.iterative_merge(spr, threshold=0.5, max_block=5000)
+
     def match_sorted_neighborhood(sf_dir):
         """Sorted-neighborhood blocking candidates (Hernandez & Stolfo 1995):
         union sorted by (SEARCH_KEY, src, id), window=4, cross-source pairs
@@ -1423,6 +1443,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_cluster_sizes": match_cluster_sizes,
         "match_blocking_compare": match_blocking_compare,
         "match_fs_value_weights": match_fs_value_weights,
+        "spr_swoosh_round0": spr_swoosh_round0,
+        "spr_swoosh_entities": spr_swoosh_entities,
         "spr_street_edit1": spr_street_edit1,
         "match_metablocking": match_metablocking,
         "events_type_counts_cms": events_type_counts_cms,
@@ -3457,6 +3479,21 @@ def oracle_sql() -> dict[str, str]:
                round(CASE WHEN street_agree THEN log2(0.95 / u_raw)
                           ELSE 0.0 END, 6) AS fs_value_weight
         FROM pairs
+    """
+    out["spr_swoosh_round0"] = f"""
+        WITH r AS (
+            SELECT CAST(ADDRESS_ID AS VARCHAR) AS rid,
+                   coalesce(HOUSE_NORM, '') AS h,
+                   list_sort(list_distinct(list_filter(string_split(
+                       coalesce(STREET_NORM, ''), ' '), x -> x <> ''))) AS toks
+            FROM read_parquet('{p["spr"]}')
+            WHERE coalesce(HOUSE_NORM, '') <> ''
+              AND len(list_filter(string_split(coalesce(STREET_NORM, ''),
+                      ' '), x -> x <> '')) > 0)
+        SELECT a.rid AS a, b.rid AS b
+        FROM r a JOIN r b ON a.h = b.h AND a.rid < b.rid
+        WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / len(list_distinct(a.toks || b.toks)) >= 0.5
     """
     out["match_clusters_delta"] = out["match_clusters"]
     out["match_cluster_sizes"] = f"""
