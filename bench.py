@@ -322,9 +322,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         rio.read_parquet_clean(paths["registry_spr"]))
     cad_pre = B.preprocess_registry(
         rio.read_parquet_clean(paths["registry_cad"]))
-    counts = P.fs_pattern_counts(spr_pre, cad_pre).to_pandas()
+    vecs = P.comparison_vectors(spr_pre, cad_pre).materialize()
+    counts = P.fs_pattern_counts(spr_pre, cad_pre, vecs=vecs).to_pandas()
     fit = P.fs_em(counts, k=4)
-    n_fs = P.fs_match_weights(spr_pre, cad_pre, fit["m"], fit["u"]).count()
+    n_fs = P.fs_match_weights(
+        spr_pre, cad_pre, fit["m"], fit["u"], vecs=vecs).count()
     queries["fs_linkage"] = round(time.time() - t0, 3)
     extras["fs_pairs_weighted"] = n_fs
 

@@ -132,6 +132,7 @@ def fs_pattern_counts(
     cad: ray.data.Dataset,
     fields: Sequence[Tuple[str, str, str]] = DEFAULT_FIELDS,
     block_col: str = "HOUSE_NORM",
+    vecs: "ray.data.Dataset | None" = None,
 ) -> ray.data.Dataset:
     """Agreement-pattern histogram: at most 2^k rows (pattern, n).
 
@@ -140,7 +141,8 @@ def fs_pattern_counts(
     corpus.
     """
     k = len(fields)
-    vecs = comparison_vectors(spr, cad, fields, block_col)
+    if vecs is None:
+        vecs = comparison_vectors(spr, cad, fields, block_col)
 
     def _partial(b: pa.Table) -> pa.Table:
         cnt = np.bincount(
@@ -227,8 +229,14 @@ def fs_match_weights(
     upper: float = 3.0,
     lower: float = 0.0,
     round_to: int = 6,
+    vecs: "ray.data.Dataset | None" = None,
 ) -> ray.data.Dataset:
     """Per-pair FS match weight + link/possible/non_link decision.
+
+    ``vecs`` lets the caller reuse one comparison-vector pass for both the
+    EM histogram and the weight scoring (materialize it, or at full scale
+    write it to a stage-boundary parquet checkpoint) — the candidate join
+    is the dominant cost and need not run twice.
 
     ``m``/``u`` are per-field probabilities (from :func:`fs_em` or priors).
     The per-batch map is a 2^k table lookup via fancy indexing — no per-row
@@ -237,7 +245,8 @@ def fs_match_weights(
     """
     wt = np.round(_weight_table(np.asarray(m, np.float64),
                                 np.asarray(u, np.float64)), round_to)
-    vecs = comparison_vectors(spr, cad, fields, block_col)
+    if vecs is None:
+        vecs = comparison_vectors(spr, cad, fields, block_col)
 
     def _score(b: pa.Table) -> pa.Table:
         pat = b.column("pattern").to_numpy(zero_copy_only=False)
