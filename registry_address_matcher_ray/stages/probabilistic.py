@@ -77,6 +77,117 @@ def _key_proj(id_out: str, fields, block_col: str, prefix: str):
     return _f
 
 
+def _field_values(tbl: pa.Table, col: str, kind: str, prefix: str) -> pa.Array:
+    """The compared value for one field: the column itself, or its 4-codeunit
+    prefix — sliced with the SAME Arrow kernel in every plan so broadcast and
+    shuffle agree bit-for-bit on multi-byte text."""
+    arr = tbl.column(prefix + col)
+    if kind == "prefix4":
+        arr = pc.utf8_slice_codeunits(arr, 0, 4)
+    return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+
+
+def _comparison_vectors_broadcast(
+    spr: ray.data.Dataset,
+    cad: ray.data.Dataset,
+    fields,
+    block_col: str,
+    probe_batch_size: int,
+) -> ray.data.Dataset:
+    """Broadcast plan: the cad key projection is gathered once (bounded by the
+    auto-plan byte threshold, the same premise as the matcher's broadcast
+    plans), each compared field is dictionary-encoded over the cad vocabulary,
+    and every probe batch expands its block pairs locally — no hash-join
+    shuffle, no string payload per pair. String equality is preserved exactly:
+    values sharing a code are equal, and a probe value absent from the cad
+    vocabulary (code -1) can never agree with any cad value (codes >= 0)."""
+    from .matching import _worker_state, put_broadcast, resolve_broadcast
+
+    k = len(fields)
+    cadp = pa.concat_tables(
+        cad.map_batches(
+            _key_proj("ADDRESS_ID_CAD", fields, block_col, "c_"),
+            batch_format="pyarrow",
+        ).iter_batches(batch_format="pyarrow", batch_size=None))
+
+    # group cad rows by block key; rows re-ordered so each key's rows are a
+    # contiguous [start, end) slice addressed by the key's dense code
+    kcodes, kuniq = pd.factorize(cadp.column("c_k").to_pandas(), sort=False)
+    order = np.argsort(kcodes, kind="stable")
+    starts = np.searchsorted(kcodes[order], np.arange(len(kuniq)))
+    ends = np.append(starts[1:], len(kcodes)).astype(np.int64)
+
+    take = pa.array(order, pa.int64())
+    cid = pc.take(cadp.column("ADDRESS_ID_CAD").combine_chunks(), take)
+    vocab_vals: List[np.ndarray] = []
+    ccodes = np.empty((k, len(kcodes)), np.int64)
+    for i, (_, col, kind) in enumerate(fields):
+        codes, uniq = pd.factorize(
+            _field_values(cadp, col, kind, "c_").to_pandas(), sort=False)
+        vocab_vals.append(np.asarray(uniq, dtype=object))
+        ccodes[i] = codes[order]
+    ref = put_broadcast(
+        (np.asarray(kuniq, dtype=object), vocab_vals, ccodes, cid,
+         starts.astype(np.int64), ends))
+    state_key = ("fs_cmp_bcast", ref.ref.hex())
+
+    left = spr.map_batches(
+        _key_proj("ADDRESS_ID_SPR", fields, block_col, "s_"),
+        batch_format="pyarrow")
+    empty = pa.table({
+        "ADDRESS_ID_SPR": pa.array([], cid.type),
+        "ADDRESS_ID_CAD": pa.array([], cid.type),
+        "pattern": pa.array([], pa.int64()),
+    })
+
+    def _build_state():
+        # pd.Index.get_indexer = C hash probe returning -1 on miss; the
+        # Index engines (hash tables) are built ONCE per worker process and
+        # reused by every task (memory: ray-data-gotchas — per-worker cache)
+        kvals, vvals, ccodes, cid, starts, ends = resolve_broadcast(ref)
+        return (pd.Index(kvals), [pd.Index(v) for v in vvals],
+                ccodes, cid, starts, ends)
+
+    def _emit(b: pa.Table) -> pa.Table:
+        key_idx, vocab_idx, ccodes, cid, starts, ends = _worker_state(
+            state_key, _build_state)
+        g = key_idx.get_indexer(
+            b.column("s_k").to_numpy(zero_copy_only=False))
+        keep = g >= 0
+        if not keep.any():
+            return empty
+        b = b.filter(pa.array(keep))
+        g = g[keep]
+        cnt = ends[g] - starts[g]
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        reps = np.repeat(np.arange(len(g), dtype=np.int64), cnt)
+        off = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(cnt) - cnt, cnt)
+        cidx = starts[g][reps] + off
+        pat = np.zeros(total, np.uint8)
+        for i, (_, col, kind) in enumerate(fields):
+            sc = vocab_idx[i].get_indexer(
+                _field_values(b, col, kind, "s_")
+                .to_numpy(zero_copy_only=False))
+            np.bitwise_or(
+                pat,
+                np.left_shift(sc[reps] == ccodes[i][cidx], k - 1 - i,
+                              dtype=np.uint8),
+                out=pat)
+        reps_a = pa.array(reps, pa.int64())
+        return pa.table({
+            "ADDRESS_ID_SPR": pc.take(
+                b.column("ADDRESS_ID_SPR").combine_chunks(), reps_a),
+            "ADDRESS_ID_CAD": pc.take(cid, pa.array(cidx, pa.int64())),
+            "pattern": pa.array(pat.astype(np.int64), pa.int64()),
+        })
+
+    return left.map_batches(
+        _emit, batch_format="pyarrow", batch_size=probe_batch_size)
+
+
 def _pattern_array(b: pa.Table, fields) -> pa.Array:
     """Vectorized agreement bitmask per joined row (spr cols ``s_*``, cad
     ``c_*``)."""
@@ -97,14 +208,35 @@ def comparison_vectors(
     fields: Sequence[Tuple[str, str, str]] = DEFAULT_FIELDS,
     block_col: str = "HOUSE_NORM",
     num_partitions: int = 0,
+    plan: str = "auto",
+    broadcast_threshold_bytes: int = 2 << 30,
+    probe_batch_size: int = 1024,
 ) -> ray.data.Dataset:
     """Candidate pairs (house-number blocking, the fuzzy matcher's premise)
     with their k-field agreement ``pattern`` (int in [0, 2^k)).
 
-    ``num_partitions=0`` sizes the join by cluster CPUs: the join's OUTPUT
-    (blocked pairs, quadratic in block size) dwarfs its inputs, and each
-    partition is one join-actor emit task — 8 partitions on 32 CPUs measured
-    163 s at sf0.1 vs 35 s at 32 (the emit, not the shuffle, is the cost)."""
+    ``plan`` mirrors the matcher's physical-plan selection (SURVEY §7.3(4)):
+    ``"auto"`` measures the cad side's byte size and picks ``"broadcast"``
+    (gather + dictionary-encode the cad projection once, expand pairs locally
+    per probe batch — no shuffle) when it fits ``broadcast_threshold_bytes``,
+    else ``"shuffle"`` (hash equi-join, both sides large). Both plans emit
+    identical (ids, pattern) rows.
+
+    ``num_partitions=0`` sizes the shuffle join by cluster CPUs: the join's
+    OUTPUT (blocked pairs, quadratic in block size) dwarfs its inputs, and
+    each partition is one join-actor emit task — 8 partitions on 32 CPUs
+    measured 163 s at sf0.1 vs 35 s at 32 (the emit, not the shuffle, is the
+    cost). ``probe_batch_size`` bounds the broadcast plan's per-task pair
+    fan-out (a probe row emits one pair per blocked cad row)."""
+    if plan == "auto":
+        nbytes = cad.size_bytes() or 0
+        plan = ("broadcast" if nbytes <= broadcast_threshold_bytes
+                else "shuffle")
+    if plan == "broadcast":
+        return _comparison_vectors_broadcast(
+            spr, cad, fields, block_col, probe_batch_size)
+    if plan != "shuffle":
+        raise ValueError("plan must be 'auto', 'broadcast' or 'shuffle'")
     if not num_partitions:
         num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
     left = spr.map_batches(
@@ -248,17 +380,20 @@ def fs_match_weights(
     if vecs is None:
         vecs = comparison_vectors(spr, cad, fields, block_col)
 
+    dec_values = pa.array(["non_link", "possible", "link"], pa.string())
+
     def _score(b: pa.Table) -> pa.Table:
         pat = b.column("pattern").to_numpy(zero_copy_only=False)
         w = wt[pat]
-        dec = np.where(w >= upper, "link",
-                       np.where(w < lower, "non_link", "possible"))
+        # decision as a 3-value gather (C string build, no numpy-unicode
+        # round-trip): 0=non_link, 1=possible, 2=link
+        code = (w >= lower).astype(np.int8) + (w >= upper)
         return pa.table({
             "ADDRESS_ID_SPR": b.column("ADDRESS_ID_SPR"),
             "ADDRESS_ID_CAD": b.column("ADDRESS_ID_CAD"),
             "pattern": b.column("pattern"),
             "fs_weight": pa.array(w, pa.float64()),
-            "decision": pa.array(dec, pa.string()),
+            "decision": pc.take(dec_values, pa.array(code, pa.int8())),
         })
 
     return vecs.map_batches(_score, batch_format="pyarrow")

@@ -36,15 +36,27 @@ def _brute_vectors(spr, cad):
                          "pattern": pat})
 
 
-def test_comparison_vectors_match_brute(fixtures_small):
+@pytest.mark.parametrize("plan", ["broadcast", "shuffle"])
+def test_comparison_vectors_match_brute(fixtures_small, plan):
     spr, cad = _pre(fixtures_small)
     got = comparison_vectors(
         ray.data.from_arrow(spr).repartition(3),
-        ray.data.from_arrow(cad).repartition(2)).to_pandas()
+        ray.data.from_arrow(cad).repartition(2), plan=plan).to_pandas()
     exp = _brute_vectors(spr, cad)
     key = lambda d, a, b: sorted(zip(d[a], d[b], d["pattern"]))
     assert key(got, "ADDRESS_ID_SPR", "ADDRESS_ID_CAD") == key(exp, "spr", "cad")
     assert len(got) > 0
+
+
+def test_comparison_vectors_auto_picks_broadcast_small(fixtures_small):
+    # a kB-scale cad side must route to the broadcast plan and still agree
+    spr, cad = _pre(fixtures_small)
+    got = comparison_vectors(
+        ray.data.from_arrow(spr), ray.data.from_arrow(cad),
+        plan="auto").to_pandas()
+    exp = _brute_vectors(spr, cad)
+    assert len(got) == len(exp)
+    assert sorted(got.pattern) == sorted(exp.pattern)
 
 
 def test_pattern_counts_partition_invariant(fixtures_small):
