@@ -87,6 +87,39 @@ def _field_values(tbl: pa.Table, col: str, kind: str, prefix: str) -> pa.Array:
     return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
 
 
+def _gather_cad_projection(cad, fields, block_col) -> pa.Table:
+    """Collect the cad key projection once (bounded by the auto-plan byte
+    threshold — the same premise as the matcher's broadcast plans)."""
+    return pa.concat_tables(
+        cad.map_batches(
+            _key_proj("ADDRESS_ID_CAD", fields, block_col, "c_"),
+            batch_format="pyarrow",
+        ).iter_batches(batch_format="pyarrow", batch_size=None))
+
+
+def _block_groups(cadp: pa.Table):
+    """Group cad rows by block key: (key values, row order, starts, ends) —
+    rows re-ordered so each key's rows are a contiguous [start, end) slice
+    addressed by the key's dense code."""
+    kcodes, kuniq = pd.factorize(cadp.column("c_k").to_pandas(), sort=False)
+    order = np.argsort(kcodes, kind="stable")
+    starts = np.searchsorted(kcodes[order], np.arange(len(kuniq)))
+    ends = np.append(starts[1:], len(kcodes)).astype(np.int64)
+    return (np.asarray(kuniq, dtype=object), order,
+            starts.astype(np.int64), ends)
+
+
+def _expand_pairs(g: np.ndarray, starts: np.ndarray, ends: np.ndarray):
+    """Expand probe rows (group code per row, -1 pruned by the caller) to the
+    per-pair (probe row index, cad row index) arrays."""
+    cnt = ends[g] - starts[g]
+    total = int(cnt.sum())
+    reps = np.repeat(np.arange(len(g), dtype=np.int64), cnt)
+    off = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(cnt) - cnt, cnt)
+    return reps, starts[g][reps] + off
+
+
 def _comparison_vectors_broadcast(
     spr: ray.data.Dataset,
     cad: ray.data.Dataset,
@@ -104,31 +137,19 @@ def _comparison_vectors_broadcast(
     from .matching import _worker_state, put_broadcast, resolve_broadcast
 
     k = len(fields)
-    cadp = pa.concat_tables(
-        cad.map_batches(
-            _key_proj("ADDRESS_ID_CAD", fields, block_col, "c_"),
-            batch_format="pyarrow",
-        ).iter_batches(batch_format="pyarrow", batch_size=None))
-
-    # group cad rows by block key; rows re-ordered so each key's rows are a
-    # contiguous [start, end) slice addressed by the key's dense code
-    kcodes, kuniq = pd.factorize(cadp.column("c_k").to_pandas(), sort=False)
-    order = np.argsort(kcodes, kind="stable")
-    starts = np.searchsorted(kcodes[order], np.arange(len(kuniq)))
-    ends = np.append(starts[1:], len(kcodes)).astype(np.int64)
+    cadp = _gather_cad_projection(cad, fields, block_col)
+    kuniq, order, starts, ends = _block_groups(cadp)
 
     take = pa.array(order, pa.int64())
     cid = pc.take(cadp.column("ADDRESS_ID_CAD").combine_chunks(), take)
     vocab_vals: List[np.ndarray] = []
-    ccodes = np.empty((k, len(kcodes)), np.int64)
+    ccodes = np.empty((k, len(order)), np.int64)
     for i, (_, col, kind) in enumerate(fields):
         codes, uniq = pd.factorize(
             _field_values(cadp, col, kind, "c_").to_pandas(), sort=False)
         vocab_vals.append(np.asarray(uniq, dtype=object))
         ccodes[i] = codes[order]
-    ref = put_broadcast(
-        (np.asarray(kuniq, dtype=object), vocab_vals, ccodes, cid,
-         starts.astype(np.int64), ends))
+    ref = put_broadcast((kuniq, vocab_vals, ccodes, cid, starts, ends))
     state_key = ("fs_cmp_bcast", ref.ref.hex())
 
     left = spr.map_batches(
@@ -157,16 +178,10 @@ def _comparison_vectors_broadcast(
         if not keep.any():
             return empty
         b = b.filter(pa.array(keep))
-        g = g[keep]
-        cnt = ends[g] - starts[g]
-        total = int(cnt.sum())
-        if total == 0:
+        reps, cidx = _expand_pairs(g[keep], starts, ends)
+        if len(reps) == 0:
             return empty
-        reps = np.repeat(np.arange(len(g), dtype=np.int64), cnt)
-        off = np.arange(total, dtype=np.int64) - np.repeat(
-            np.cumsum(cnt) - cnt, cnt)
-        cidx = starts[g][reps] + off
-        pat = np.zeros(total, np.uint8)
+        pat = np.zeros(len(reps), np.uint8)
         for i, (_, col, kind) in enumerate(fields):
             sc = vocab_idx[i].get_indexer(
                 _field_values(b, col, kind, "s_")
@@ -417,16 +432,17 @@ def fs_value_weights(
     records agree on value ``v`` — instead of one global u.
 
     Distributed shape: two O(distinct values) count aggregates; the value
-    frequency table is vocabulary-sized, so it is `ray.put`-broadcast ONCE
-    and probed inside the scoring ``map_batches`` with a vectorized pandas
-    map — no per-pair shuffle join. Pairs that DISAGREE on the street get
-    weight 0 from this component (only the agreement evidence is
-    value-specific here); pattern and the agreement bit come along for
-    inspection. Output: (ids, street value, u_v, fs_value_weight).
+    frequency tables AND the cad block projection (bounded, the broadcast-plan
+    premise) are `ray.put`-broadcast ONCE, and each probe batch expands its
+    block pairs locally with per-worker cached hash probes — no per-pair
+    shuffle join, same plan as :func:`comparison_vectors`. Pairs that
+    DISAGREE on the street get weight 0 from this component (only the
+    agreement evidence is value-specific here). Output: (ids, street value,
+    u_v, fs_value_weight).
     """
-    from .matching import put_broadcast, resolve_broadcast
+    from .matching import _worker_state, put_broadcast, resolve_broadcast
 
-    def _freqs(reg, idc):
+    def _freqs(reg):
         def _proj(b: pa.Table) -> pa.Table:
             v = pc.fill_null(pc.cast(b.column(value_col), pa.string()), "")
             return pa.table({"v": v})
@@ -435,42 +451,72 @@ def fs_value_weights(
         counted.columns = ["v", "n"]
         return counted
 
-    fs, fc = _freqs(spr, "s"), _freqs(cad, "c")
-    ns_tot, nc_tot = int(fs.n.sum()), int(fc.n.sum())
-    fs_map = dict(zip(fs.v, fs.n / ns_tot))
-    fc_map = dict(zip(fc.v, fc.n / nc_tot))
-    ref = put_broadcast((fs_map, fc_map))
+    fsq, fcq = _freqs(spr), _freqs(cad)
+    fs_vals = np.asarray(fsq.v, dtype=object)
+    fs_freq = (fsq.n / int(fsq.n.sum())).to_numpy(np.float64)
 
-    # comparison_vectors drops the raw value, so build the joined projection
-    # directly with the street value carried through
+    cadp = _gather_cad_projection(cad, fields, block_col)
+    kuniq, order, starts, ends = _block_groups(cadp)
+    take = pa.array(order, pa.int64())
+    cid = pc.take(cadp.column("ADDRESS_ID_CAD").combine_chunks(), take)
+    ccodes, cuniq = pd.factorize(
+        cadp.column("c_" + value_col).to_pandas(), sort=False)
+    ccodes = ccodes[order]
+    # per-cad-row frequency of its street value in the FULL cad registry
+    fc_map = dict(zip(fcq.v, fcq.n / int(fcq.n.sum())))
+    cfreq = np.array([fc_map.get(v, 0.0) for v in cuniq],
+                     np.float64)[ccodes]
+    ref = put_broadcast((kuniq, np.asarray(cuniq, dtype=object), ccodes,
+                         cfreq, cid, starts, ends, fs_vals, fs_freq))
+    state_key = ("fs_val_bcast", ref.ref.hex())
+
+    def _build_state():
+        (kvals, cvals, ccodes, cfreq, cid, starts, ends,
+         fs_vals, fs_freq) = resolve_broadcast(ref)
+        return (pd.Index(kvals), pd.Index(cvals), ccodes, cfreq, cid,
+                starts, ends, pd.Index(fs_vals), fs_freq)
+
     left = spr.map_batches(
         _key_proj("ADDRESS_ID_SPR", fields, block_col, "s_"),
         batch_format="pyarrow")
-    right = cad.map_batches(
-        _key_proj("ADDRESS_ID_CAD", fields, block_col, "c_"),
-        batch_format="pyarrow")
-    npart = max(8, int(ray.cluster_resources().get("CPU", 8)))
-    joined = left.join(right, join_type="inner", num_partitions=npart,
-                       on=("s_k",), right_on=("c_k",))
+    empty = pa.table({
+        "ADDRESS_ID_SPR": pa.array([], cid.type),
+        "ADDRESS_ID_CAD": pa.array([], cid.type),
+        "street": pa.array([], pa.string()),
+        "street_agree": pa.array([], pa.bool_()),
+        "u_v": pa.array([], pa.float64()),
+        "fs_value_weight": pa.array([], pa.float64()),
+    })
 
     def _score(b: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        f_s, f_c = resolve_broadcast(ref)
-        sv = b.column("s_" + value_col).to_pandas()
-        cv = b.column("c_" + value_col).to_pandas()
-        agree = (sv == cv).to_numpy()
-        u_v = (sv.map(f_s).fillna(0.0).to_numpy()
-               * cv.map(f_c).fillna(0.0).to_numpy())
-        u_v = np.maximum(u_v, u_floor)
+        (key_idx, cval_idx, ccodes, cfreq, cid, starts, ends,
+         fs_idx, fs_freq) = _worker_state(state_key, _build_state)
+        g = key_idx.get_indexer(
+            b.column("s_k").to_numpy(zero_copy_only=False))
+        keep = g >= 0
+        if not keep.any():
+            return empty
+        b = b.filter(pa.array(keep))
+        reps, cidx = _expand_pairs(g[keep], starts, ends)
+        if len(reps) == 0:
+            return empty
+        sv = b.column("s_" + value_col).to_numpy(zero_copy_only=False)
+        sc = cval_idx.get_indexer(sv)           # cad-vocab code, -1 if absent
+        agree = sc[reps] == ccodes[cidx]
+        sfi = fs_idx.get_indexer(sv)            # spr value frequency
+        sfreq = np.where(sfi >= 0, fs_freq[np.maximum(sfi, 0)], 0.0)
+        u_v = np.maximum(sfreq[reps] * cfreq[cidx], u_floor)
         w = np.where(agree, np.log2(m_street / u_v), 0.0)
+        reps_a = pa.array(reps, pa.int64())
         return pa.table({
-            "ADDRESS_ID_SPR": b.column("ADDRESS_ID_SPR"),
-            "ADDRESS_ID_CAD": b.column("ADDRESS_ID_CAD"),
-            "street": pa.array(sv.to_numpy(), pa.string()),
+            "ADDRESS_ID_SPR": pc.take(
+                b.column("ADDRESS_ID_SPR").combine_chunks(), reps_a),
+            "ADDRESS_ID_CAD": pc.take(cid, pa.array(cidx, pa.int64())),
+            "street": pc.take(
+                b.column("s_" + value_col).combine_chunks(), reps_a),
             "street_agree": pa.array(agree),
             "u_v": pa.array(np.round(u_v, 12), pa.float64()),
             "fs_value_weight": pa.array(np.round(w, round_to), pa.float64()),
         })
 
-    return joined.map_batches(_score, batch_format="pyarrow")
+    return left.map_batches(_score, batch_format="pyarrow", batch_size=1024)
