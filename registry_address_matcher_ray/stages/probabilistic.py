@@ -12,10 +12,13 @@ log-likelihood-ratio match weight  sum_i [gamma_i ? log2(m_i/u_i)
 Distributed shape (100-TB-safe):
 
 - :func:`comparison_vectors` — candidate pairs come from the same house-number
-  equi-join blocking the fuzzy matcher uses; the join shuffle moves
-  O(rows) key-projected rows, and the per-batch field comparisons are
-  pyarrow kernels. Output is one row per candidate pair with its
-  pattern id (0..2^k-1).
+  blocking the fuzzy matcher uses, with the matcher's auto plan selection:
+  under the byte threshold the cad projection is broadcast once,
+  dictionary-encoded, and probe batches expand their block pairs locally
+  (per-worker cached hash probes, per-yield fan-out bounded by
+  ``MAX_EXPAND_PAIRS`` against hot block keys); above it a hash equi-join
+  shuffle moves O(rows) key-projected rows. Both plans are row-identical.
+  Output is one row per candidate pair with its pattern id (0..2^k-1).
 - :func:`fs_pattern_counts` — per-batch partial histogram (at most 2^k rows
   per batch leave the combiner) + one tiny groupby: the EM input is at most
   2^k rows regardless of corpus size.
@@ -109,6 +112,14 @@ def _block_groups(cadp: pa.Table):
             starts.astype(np.int64), ends)
 
 
+#: per-emit pair fan-out bound for the broadcast expansion: a hot block key
+#: (one house number covering a large cad slice) multiplies a probe batch by
+#: the block size, so expansion is chunked to ~this many pairs per yielded
+#: table (~150 MiB working set) regardless of skew — the broadcast plan's
+#: analogue of the shuffle plan's hot-block salting
+MAX_EXPAND_PAIRS = 4_000_000
+
+
 def _expand_pairs(g: np.ndarray, starts: np.ndarray, ends: np.ndarray):
     """Expand probe rows (group code per row, -1 pruned by the caller) to the
     per-pair (probe row index, cad row index) arrays."""
@@ -120,12 +131,31 @@ def _expand_pairs(g: np.ndarray, starts: np.ndarray, ends: np.ndarray):
     return reps, starts[g][reps] + off
 
 
+def _probe_slices(g: np.ndarray, starts: np.ndarray, ends: np.ndarray,
+                  max_pairs: int):
+    """Split kept probe rows into [lo, hi) runs whose summed block fan-out is
+    <= ``max_pairs`` (always >= 1 row per run, so a single ultra-hot row still
+    emits — as ONE table of its own rather than multiplying its neighbours)."""
+    cnt = (ends[g] - starts[g]).astype(np.int64)
+    lo = 0
+    n = len(g)
+    while lo < n:
+        acc = cnt[lo]
+        hi = lo + 1
+        while hi < n and acc + cnt[hi] <= max_pairs:
+            acc += cnt[hi]
+            hi += 1
+        yield lo, hi
+        lo = hi
+
+
 def _comparison_vectors_broadcast(
     spr: ray.data.Dataset,
     cad: ray.data.Dataset,
     fields,
     block_col: str,
     probe_batch_size: int,
+    max_expand_pairs: int,
 ) -> ray.data.Dataset:
     """Broadcast plan: the cad key projection is gathered once (bounded by the
     auto-plan byte threshold, the same premise as the matcher's broadcast
@@ -169,35 +199,39 @@ def _comparison_vectors_broadcast(
         return (pd.Index(kvals), [pd.Index(v) for v in vvals],
                 ccodes, cid, starts, ends)
 
-    def _emit(b: pa.Table) -> pa.Table:
+    def _emit(b: pa.Table):
         key_idx, vocab_idx, ccodes, cid, starts, ends = _worker_state(
             state_key, _build_state)
         g = key_idx.get_indexer(
             b.column("s_k").to_numpy(zero_copy_only=False))
         keep = g >= 0
         if not keep.any():
-            return empty
+            yield empty
+            return
         b = b.filter(pa.array(keep))
-        reps, cidx = _expand_pairs(g[keep], starts, ends)
-        if len(reps) == 0:
-            return empty
-        pat = np.zeros(len(reps), np.uint8)
-        for i, (_, col, kind) in enumerate(fields):
-            sc = vocab_idx[i].get_indexer(
-                _field_values(b, col, kind, "s_")
-                .to_numpy(zero_copy_only=False))
-            np.bitwise_or(
-                pat,
-                np.left_shift(sc[reps] == ccodes[i][cidx], k - 1 - i,
-                              dtype=np.uint8),
-                out=pat)
-        reps_a = pa.array(reps, pa.int64())
-        return pa.table({
-            "ADDRESS_ID_SPR": pc.take(
-                b.column("ADDRESS_ID_SPR").combine_chunks(), reps_a),
-            "ADDRESS_ID_CAD": pc.take(cid, pa.array(cidx, pa.int64())),
-            "pattern": pa.array(pat.astype(np.int64), pa.int64()),
-        })
+        g = g[keep]
+        scs = [vocab_idx[i].get_indexer(
+                   _field_values(b, col, kind, "s_")
+                   .to_numpy(zero_copy_only=False))
+               for i, (_, col, kind) in enumerate(fields)]
+        sid = b.column("ADDRESS_ID_SPR").combine_chunks()
+        for lo, hi in _probe_slices(g, starts, ends, max_expand_pairs):
+            reps, cidx = _expand_pairs(g[lo:hi], starts, ends)
+            if len(reps) == 0:
+                continue
+            reps += lo
+            pat = np.zeros(len(reps), np.uint8)
+            for i in range(k):
+                np.bitwise_or(
+                    pat,
+                    np.left_shift(scs[i][reps] == ccodes[i][cidx], k - 1 - i,
+                                  dtype=np.uint8),
+                    out=pat)
+            yield pa.table({
+                "ADDRESS_ID_SPR": pc.take(sid, pa.array(reps, pa.int64())),
+                "ADDRESS_ID_CAD": pc.take(cid, pa.array(cidx, pa.int64())),
+                "pattern": pa.array(pat.astype(np.int64), pa.int64()),
+            })
 
     return left.map_batches(
         _emit, batch_format="pyarrow", batch_size=probe_batch_size)
@@ -226,6 +260,7 @@ def comparison_vectors(
     plan: str = "auto",
     broadcast_threshold_bytes: int = 2 << 30,
     probe_batch_size: int = 1024,
+    max_expand_pairs: "int | None" = None,
 ) -> ray.data.Dataset:
     """Candidate pairs (house-number blocking, the fuzzy matcher's premise)
     with their k-field agreement ``pattern`` (int in [0, 2^k)).
@@ -249,7 +284,8 @@ def comparison_vectors(
                 else "shuffle")
     if plan == "broadcast":
         return _comparison_vectors_broadcast(
-            spr, cad, fields, block_col, probe_batch_size)
+            spr, cad, fields, block_col, probe_batch_size,
+            max_expand_pairs or MAX_EXPAND_PAIRS)
     if plan != "shuffle":
         raise ValueError("plan must be 'auto', 'broadcast' or 'shuffle'")
     if not num_partitions:
@@ -423,6 +459,7 @@ def fs_value_weights(
     value_col: str = "STREET_NORM",
     u_floor: float = 1e-9,
     round_to: int = 6,
+    max_expand_pairs: "int | None" = None,
 ) -> ray.data.Dataset:
     """Value-specific agreement weights (Winkler's frequency-based
     refinement of Fellegi-Sunter): agreeing on a RARE street name is far
@@ -451,6 +488,7 @@ def fs_value_weights(
         counted.columns = ["v", "n"]
         return counted
 
+    max_expand_pairs = max_expand_pairs or MAX_EXPAND_PAIRS
     fsq, fcq = _freqs(spr), _freqs(cad)
     fs_vals = np.asarray(fsq.v, dtype=object)
     fs_freq = (fsq.n / int(fsq.n.sum())).to_numpy(np.float64)
@@ -488,35 +526,40 @@ def fs_value_weights(
         "fs_value_weight": pa.array([], pa.float64()),
     })
 
-    def _score(b: pa.Table) -> pa.Table:
+    def _score(b: pa.Table):
         (key_idx, cval_idx, ccodes, cfreq, cid, starts, ends,
          fs_idx, fs_freq) = _worker_state(state_key, _build_state)
         g = key_idx.get_indexer(
             b.column("s_k").to_numpy(zero_copy_only=False))
         keep = g >= 0
         if not keep.any():
-            return empty
+            yield empty
+            return
         b = b.filter(pa.array(keep))
-        reps, cidx = _expand_pairs(g[keep], starts, ends)
-        if len(reps) == 0:
-            return empty
+        g = g[keep]
         sv = b.column("s_" + value_col).to_numpy(zero_copy_only=False)
         sc = cval_idx.get_indexer(sv)           # cad-vocab code, -1 if absent
-        agree = sc[reps] == ccodes[cidx]
         sfi = fs_idx.get_indexer(sv)            # spr value frequency
         sfreq = np.where(sfi >= 0, fs_freq[np.maximum(sfi, 0)], 0.0)
-        u_v = np.maximum(sfreq[reps] * cfreq[cidx], u_floor)
-        w = np.where(agree, np.log2(m_street / u_v), 0.0)
-        reps_a = pa.array(reps, pa.int64())
-        return pa.table({
-            "ADDRESS_ID_SPR": pc.take(
-                b.column("ADDRESS_ID_SPR").combine_chunks(), reps_a),
-            "ADDRESS_ID_CAD": pc.take(cid, pa.array(cidx, pa.int64())),
-            "street": pc.take(
-                b.column("s_" + value_col).combine_chunks(), reps_a),
-            "street_agree": pa.array(agree),
-            "u_v": pa.array(np.round(u_v, 12), pa.float64()),
-            "fs_value_weight": pa.array(np.round(w, round_to), pa.float64()),
-        })
+        sid = b.column("ADDRESS_ID_SPR").combine_chunks()
+        sval = b.column("s_" + value_col).combine_chunks()
+        for lo, hi in _probe_slices(g, starts, ends, max_expand_pairs):
+            reps, cidx = _expand_pairs(g[lo:hi], starts, ends)
+            if len(reps) == 0:
+                continue
+            reps += lo
+            agree = sc[reps] == ccodes[cidx]
+            u_v = np.maximum(sfreq[reps] * cfreq[cidx], u_floor)
+            w = np.where(agree, np.log2(m_street / u_v), 0.0)
+            reps_a = pa.array(reps, pa.int64())
+            yield pa.table({
+                "ADDRESS_ID_SPR": pc.take(sid, reps_a),
+                "ADDRESS_ID_CAD": pc.take(cid, pa.array(cidx, pa.int64())),
+                "street": pc.take(sval, reps_a),
+                "street_agree": pa.array(agree),
+                "u_v": pa.array(np.round(u_v, 12), pa.float64()),
+                "fs_value_weight": pa.array(np.round(w, round_to),
+                                            pa.float64()),
+            })
 
     return left.map_batches(_score, batch_format="pyarrow", batch_size=1024)

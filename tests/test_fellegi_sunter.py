@@ -48,6 +48,22 @@ def test_comparison_vectors_match_brute(fixtures_small, plan):
     assert len(got) > 0
 
 
+def test_broadcast_expansion_chunks_hot_block(fixtures_small, monkeypatch):
+    """A hot block key (every cad row in one house block) must still emit the
+    complete pair set when the per-yield fan-out bound is far below the
+    block's total expansion."""
+    import registry_address_matcher_ray.stages.probabilistic as P
+
+    monkeypatch.setattr(P, "MAX_EXPAND_PAIRS", 7)
+    spr, cad = _pre(fixtures_small)
+    got = P.comparison_vectors(
+        ray.data.from_arrow(spr), ray.data.from_arrow(cad),
+        plan="broadcast", probe_batch_size=1000).to_pandas()
+    exp = _brute_vectors(spr, cad)
+    key = lambda d, a, b: sorted(zip(d[a], d[b], d["pattern"]))
+    assert key(got, "ADDRESS_ID_SPR", "ADDRESS_ID_CAD") == key(exp, "spr", "cad")
+
+
 def test_comparison_vectors_auto_picks_broadcast_small(fixtures_small):
     # a kB-scale cad side must route to the broadcast plan and still agree
     spr, cad = _pre(fixtures_small)
