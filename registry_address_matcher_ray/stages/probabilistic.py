@@ -52,6 +52,7 @@ __all__ = [
     "fs_pattern_counts",
     "fs_em",
     "fs_match_weights",
+    "fs_value_weights",
 ]
 
 # (name, column, kind) — kind "exact" compares full values, "prefix4"
