@@ -268,6 +268,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def docs_tfidf_top3(sf_dir):
         return A.tfidf_top_terms(_read(sf_dir, "documents"), "doc_id", "text", 3)
 
+    def docs_bm25_top10(sf_dir):
+        from registry_address_matcher_ray.stages.search import bm25_topk
+        return bm25_topk(_read(sf_dir, "documents"), "doc_id", "text",
+                         "spark hash sort window", k=10)
+
     def docs_unigram_logprob(sf_dir):
         return A.unigram_logprob(_read(sf_dir, "documents"), "doc_id", "text")
 
@@ -1408,6 +1413,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_hash_embed_sparse": docs_hash_embed_sparse,
         "docs_pii_redact": docs_pii_redact,
         "docs_tfidf_top3": docs_tfidf_top3,
+        "docs_bm25_top10": docs_bm25_top10,
         "docs_lang_counts": docs_lang_counts,
         "docs_chunks": docs_chunks,
         "docs_source_mix": docs_source_mix,
@@ -2533,6 +2539,38 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
                        ORDER BY score DESC, token ASC) AS rn FROM scored)
             WHERE rn <= 3
+        """,
+        "docs_bm25_top10": """
+            WITH tok AS (
+                SELECT doc_id, token FROM (
+                    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+                    FROM documents) WHERE token <> ''),
+            q AS (SELECT unnest(['spark', 'hash', 'sort', 'window']) AS term),
+            nq AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+            adl AS (SELECT CAST(count(*) AS DOUBLE) / (SELECT n FROM nq)
+                        AS avgdl FROM tok),
+            dfq AS (SELECT q.term, count(DISTINCT tok.doc_id) AS d
+                    FROM q LEFT JOIN tok ON tok.token = q.term GROUP BY 1),
+            dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+                   FROM tok GROUP BY 1),
+            tf AS (SELECT tok.doc_id, tok.token, CAST(count(*) AS DOUBLE) AS tf
+                   FROM tok JOIN q ON q.term = tok.token GROUP BY 1, 2),
+            scored AS (
+                SELECT tf.doc_id,
+                       sum(ln(1.0 + ((SELECT n FROM nq) - dfq.d + 0.5)
+                                    / (dfq.d + 0.5))
+                           * (tf.tf * (1.2 + 1.0))
+                           / (tf.tf + 1.2 * (1.0 - 0.75
+                                + 0.75 * dl.dl / (SELECT avgdl FROM adl))))
+                           AS score
+                FROM tf
+                JOIN dfq ON dfq.term = tf.token
+                JOIN dl ON dl.doc_id = tf.doc_id
+                GROUP BY 1)
+            SELECT doc_id, round(score, 6) AS score
+            FROM (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                       AS rn FROM scored)
+            WHERE rn <= 10
         """,
         "events_tumbling_15m": """
             SELECT event_type, (epoch_us(ts) // 900000000) * 900 AS win_start,
