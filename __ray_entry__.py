@@ -452,6 +452,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _read(sf_dir, "part").select_columns(["p_partkey", "p_name"])
         return A.substring_filter(ds, ["p_name"], "re")
 
+    def part_soundex_keys(sf_dir):
+        from registry_address_matcher_ray.stages import blocking
+        return blocking.soundex_keys(_read(sf_dir, "part"),
+                                     "p_partkey", "p_name")
+
+    def part_phonetic_block_sizes(sf_dir):
+        from registry_address_matcher_ray.stages import blocking
+        return blocking.soundex_block_sizes(_read(sf_dir, "part"),
+                                            "p_partkey", "p_name")
+
     def orders_bucketized(sf_dir):
         ds = A.bucketize(
             _read(sf_dir, "orders"), "o_totalprice",
@@ -1498,6 +1508,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_union_filters": orders_union_filters,
         "distinct_returnflags": distinct_returnflags,
         "part_name_contains": part_name_contains,
+        "part_soundex_keys": part_soundex_keys,
+        "part_phonetic_block_sizes": part_phonetic_block_sizes,
         "orders_bucketized": orders_bucketized,
         "orders_customer_join": orders_customer_join,
         "lineitem_page": lineitem_page,
@@ -1954,6 +1966,9 @@ def oracle_sql() -> dict[str, str]:
     # registry fixtures are written (cached) the moment this is called, so the
     # oracle can read them regardless of Ray-side execution order
     p = _prep_registry_paths("/root/testdata/sf0.01")
+    from registry_address_matcher_ray.functions.phonetic import (
+        sql_soundex as _sql_soundex,
+    )
     _match_cols_sql = """
            s.ADDRESS_ID AS "ADDRESS_ID_SPR", s.STREET_NAME AS "STREET_NAME_SPR",
            s.HOUSE AS "HOUSE_SPR", s.BUILDING AS "BUILDING_SPR",
@@ -2691,6 +2706,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "part_name_contains": """
             SELECT p_partkey, p_name FROM part WHERE p_name ILIKE '%re%'
+        """,
+        # Soundex oracle expression GENERATED from functions/phonetic.py —
+        # one source of truth for the engine kernel and the SQL (urls.py
+        # pattern); see tests/test_phonetic.py for scalar/series/SQL parity.
+        "part_soundex_keys": f"""
+            WITH tok AS (
+                SELECT DISTINCT p_partkey, token FROM (
+                    SELECT p_partkey, unnest(string_split(p_name, ' '))
+                        AS token FROM part)
+                WHERE token <> '')
+            SELECT p_partkey, token, {_sql_soundex('token')} AS code FROM tok
+        """,
+        "part_phonetic_block_sizes": f"""
+            WITH tok AS (
+                SELECT DISTINCT p_partkey, token FROM (
+                    SELECT p_partkey, unnest(string_split(p_name, ' '))
+                        AS token FROM part)
+                WHERE token <> ''),
+            keys AS (SELECT DISTINCT p_partkey,
+                            {_sql_soundex('token')} AS code FROM tok)
+            SELECT code, CAST(count(*) AS BIGINT) AS n FROM keys GROUP BY 1
         """,
         "orders_bucketized": """
             SELECT CASE WHEN o_totalprice >= 300000 THEN 'Excellent'

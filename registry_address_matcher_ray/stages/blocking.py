@@ -611,3 +611,63 @@ def metablocking_cbs_pairs(
         })
 
     return weighted.map_batches(_prune, batch_format="pyarrow")
+
+
+def soundex_keys(
+    ds: ray.data.Dataset, id_col: str, text_col: str,
+) -> ray.data.Dataset:
+    """Distinct ``(id, token, code)`` phonetic blocking keys of ``text_col``.
+
+    Tokenize (lowercase-preserving space split, drop empties), then the
+    Soundex class key from :mod:`..functions.phonetic` — one zero-shuffle
+    ``map_batches``; dedup is batch-local, which is globally exact because a
+    record's tokens never span batches. Blocking on ``code`` instead of the
+    raw token makes the candidate join typo-tolerant (SMITH/SMYTH share a
+    block) at the cost of larger blocks — pair generation reuses the same
+    machinery as the exact keys (e.g. :func:`metablocking_cbs_pairs` or the
+    matcher's equality join on a derived column).
+    """
+    import pandas as pd
+
+    from ..functions.phonetic import soundex_series
+
+    def _keys(b: pa.Table) -> pa.Table:
+        v = pc.fill_null(pc.cast(b.column(text_col), pa.string()), "")
+        toks = pc.split_pattern(v, " ")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        ids = pc.take(b.column(id_col), parent)
+        keep = pc.not_equal(flat, "")
+        df = pd.DataFrame({id_col: ids.filter(keep).to_pandas(),
+                           "token": flat.filter(keep).to_pandas()})
+        df = df.drop_duplicates()
+        df["code"] = soundex_series(df["token"])
+        return pa.Table.from_pandas(df.reset_index(drop=True),
+                                    preserve_index=False)
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _keys, batch_format="pyarrow")
+
+
+def soundex_block_sizes(
+    ds: ray.data.Dataset, id_col: str, text_col: str,
+) -> ray.data.Dataset:
+    """Records per phonetic block: ``(code, n)`` with n = distinct ids.
+
+    The block-volume pre-pass a caller runs before committing to phonetic
+    blocking (same decision table as ``match_blocking_stats``) — one
+    vocabulary-sized groupby; distinct (id, code) partials are batch-local
+    exact for the same reason as :func:`soundex_keys`.
+    """
+    from ray.data.aggregate import Count
+
+    keys = soundex_keys(ds, id_col, text_col)
+
+    def _dedup(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = b.select([id_col, "code"]).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df.reset_index(drop=True),
+                                    preserve_index=False)
+
+    return (keys.map_batches(_dedup, batch_format="pyarrow")
+            .groupby("code").aggregate(Count(alias_name="n")))
