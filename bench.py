@@ -235,6 +235,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "doc_id", "text", 3).count()
         queries["tfidf_top3"] = round(time.time() - t0, 3)
 
+        from registry_address_matcher_ray.stages.search import bm25_topk
+        t0 = time.time()
+        bm25_topk(
+            rio.read_parquet_clean(docs_path, columns=["doc_id", "text"]),
+            "doc_id", "text", "spark hash sort window", k=10).count()
+        queries["bm25_top10"] = round(time.time() - t0, 3)
+
     ev_path = f"{sf_dir}/events.parquet"
     if os.path.exists(ev_path):
         t0 = time.time()
