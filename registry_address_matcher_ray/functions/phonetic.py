@@ -9,7 +9,10 @@ another blocking column for the same candidate-pair machinery.
 Variant implemented (documented precisely — parity between the engine and the
 DuckDB oracle is what the gate checks):
 
-1. uppercase, strip every non-``A-Z`` byte;
+1. keep only ASCII letters (``[A-Za-z]``), THEN uppercase — the filter runs
+   first so full-Unicode case mapping can never smuggle letters in (Python's
+   ``'ŉ'.upper()`` is ``'ʼN'``; DuckDB's is not — filtering first makes the
+   kernel locale-free, pinned by the hypothesis parity property);
 2. map each letter to its Soundex class
    (``BFPV->1 CGJKQSXZ->2 DT->3 L->4 MN->5 R->6 AEIOUYHW->0``);
 3. collapse runs of the SAME class (including the first letter's class, so a
@@ -36,12 +39,12 @@ __all__ = ["soundex", "soundex_series", "sql_soundex"]
 _ALPHA = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
 _CODES = "01230120022455012623010202"
 _TRANS = str.maketrans(_ALPHA, _CODES)
-_NON_ALPHA = re.compile(r"[^A-Z]")
+_NON_ALPHA = re.compile(r"[^A-Za-z]")
 
 
 def soundex(word: str) -> str:
     """Scalar reference form (the batch/SQL forms are parity-tested vs it)."""
-    u = _NON_ALPHA.sub("", (word or "").upper())
+    u = _NON_ALPHA.sub("", word or "").upper()
     if not u:
         return ""
     code = u.translate(_TRANS)
@@ -52,7 +55,7 @@ def soundex(word: str) -> str:
 
 def soundex_series(s: "pd.Series") -> "pd.Series":
     """Vectorized Soundex over a string Series (pandas C kernels only)."""
-    u = s.fillna("").str.upper().str.replace("[^A-Z]", "", regex=True)
+    u = s.fillna("").str.replace("[^A-Za-z]", "", regex=True).str.upper()
     code = u.str.translate(_TRANS)
     for d in "0123456":
         code = code.str.replace(f"{d}+", d, regex=True)
@@ -68,7 +71,7 @@ def sql_soundex(expr: str) -> str:
     digit (no backreferences), generated from the same class table as the
     Python forms.
     """
-    up = f"regexp_replace(upper({expr}), '[^A-Z]', '', 'g')"
+    up = f"upper(regexp_replace({expr}, '[^A-Za-z]', '', 'g'))"
     code = f"translate({up}, '{_ALPHA}', '{_CODES}')"
     for d in "0123456":
         code = f"regexp_replace({code}, '{d}+', '{d}', 'g')"

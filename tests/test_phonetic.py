@@ -60,3 +60,31 @@ def test_soundex_keys_stage():
         sizes = soundex_block_sizes(ds, "id", "name").to_pandas()
         sizes = dict(zip(sizes["code"], sizes["n"]))
         assert sizes == {"S530": 1, "R163": 1}
+
+
+# -- property parity on random strings (scalar is the spec; the vectorized
+#    pandas kernel and the generated DuckDB SQL must agree byte-for-byte)
+
+from hypothesis import given, settings, strategies as st
+
+_rand_words = st.lists(
+    st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+            max_size=24),
+    min_size=1, max_size=30)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_rand_words)
+def test_series_parity_property(words):
+    got = soundex_series(pd.Series(words, dtype=object))
+    assert list(got) == [soundex(w) for w in words]
+
+
+@settings(max_examples=25, deadline=None)
+@given(_rand_words)
+def test_sql_parity_property(words):
+    con = duckdb.connect()
+    con.register("w", pd.DataFrame({"token": pd.Series(words, dtype=object)}))
+    got = con.execute(
+        f"SELECT {sql_soundex('token')} AS code FROM w").fetchdf()["code"]
+    assert list(got) == [soundex(w) for w in words]
