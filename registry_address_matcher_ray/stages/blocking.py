@@ -655,19 +655,26 @@ def soundex_block_sizes(
     """Records per phonetic block: ``(code, n)`` with n = distinct ids.
 
     The block-volume pre-pass a caller runs before committing to phonetic
-    blocking (same decision table as ``match_blocking_stats``) — one
-    vocabulary-sized groupby; distinct (id, code) partials are batch-local
-    exact for the same reason as :func:`soundex_keys`.
+    blocking (same decision table as ``match_blocking_stats``). The
+    batch-local drop_duplicates is only a shuffle-volume COMBINER; the
+    ``groupby((id, code))`` makes the distinct GLOBAL, so the count stays
+    exact when Ray splits the keys output at arbitrary row offsets (blocks
+    over ``target_max_block_size``) or when ``id_col`` repeats across input
+    rows — batch locality is never assumed here.
     """
     from ray.data.aggregate import Count
 
     keys = soundex_keys(ds, id_col, text_col)
 
-    def _dedup(b: pa.Table) -> pa.Table:
+    def _partial(b: pa.Table) -> pa.Table:
         import pandas as pd
         df = b.select([id_col, "code"]).to_pandas().drop_duplicates()
         return pa.Table.from_pandas(df.reset_index(drop=True),
                                     preserve_index=False)
 
-    return (keys.map_batches(_dedup, batch_format="pyarrow")
+    distinct = (keys.map_batches(_partial, batch_format="pyarrow")
+                .groupby([id_col, "code"]).count())
+    return (distinct
+            .map_batches(lambda b: b.select(["code"]),
+                         batch_format="pyarrow")
             .groupby("code").aggregate(Count(alias_name="n")))

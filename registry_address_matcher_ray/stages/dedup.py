@@ -28,6 +28,7 @@ import ray
 import ray.data
 
 from ..functions import textfns
+from ..state import metrics as _metrics
 from . import blocking, cluster
 
 
@@ -339,6 +340,7 @@ def fingerprint_dedup_keep_longest(
 
 def _bucket_candidate_pairs(
     melted: ray.data.Dataset, bucket_col: str, id_col: str, max_group: int,
+    stage: str = "bucket_candidates",
 ) -> ray.data.Dataset:
     """Distinct id-ordered candidate pairs from bucket co-membership.
 
@@ -347,8 +349,12 @@ def _bucket_candidate_pairs(
     rows in buckets with >= 2 members (broadcast ``is_in`` filter on the hot bucket
     set; O(#duplicate buckets), logged) reach the per-group pairing, and pair dedup
     is a vectorized ``groupby(id_a, id_b).count()``. Buckets larger than
-    ``max_group`` are truncated deterministically (by id).
+    ``max_group`` are truncated deterministically (by id); truncation is counted
+    fire-and-forget on one zero-CPU metrics actor (``state.metrics``) and the
+    caller logs ONE end-of-stage summary under ``stage`` — never one line per
+    bucket.
     """
+    trunc_actor = _metrics.truncation_actor()
     counts = melted.groupby(bucket_col).count()
 
     def _gt1(batch: pa.Table) -> pa.Table:
@@ -372,12 +378,10 @@ def _bucket_candidate_pairs(
 
     def _pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) > max_group:
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "bucket %s truncated: %d members capped to %d "
-                "(%d rows dropped from candidate generation)",
-                g[bucket_col].iloc[0], len(g), max_group, len(g) - max_group)
+            n, cap = len(g), max_group
+            trunc_actor.add.remote(  # fire-and-forget, no hot-path log line
+                stage, 1, n - cap,
+                n * (n - 1) // 2 - cap * (cap - 1) // 2)
         ids = g[id_col].sort_values(kind="mergesort").head(max_group).tolist()
         rows = [(ids[i], ids[j])
                 for i in range(len(ids)) for j in range(i + 1, len(ids))]
@@ -492,7 +496,9 @@ def minhash_lsh_dedup(
 
     melted = banded.map_batches(_melt, batch_format="pyarrow")
     # pairs feed two consumers (candidate-id gather + verify) — materialize once
-    pairs = _bucket_candidate_pairs(melted, "bucket", id_col, max_group).materialize()
+    pairs = _bucket_candidate_pairs(melted, "bucket", id_col, max_group,
+                                    stage="minhash_lsh").materialize()
+    _metrics.log_truncation_summary("minhash_lsh")
 
     thr = float(jaccard_threshold)
     # Semi-join the text payloads down to the candidate-id set BEFORE any
@@ -591,7 +597,9 @@ def simhash_dedup(
         })
 
     melted = sigds.map_batches(_melt, batch_format="pyarrow")
-    pairs = _bucket_candidate_pairs(melted, "bucket", id_col, max_group).materialize()
+    pairs = _bucket_candidate_pairs(melted, "bucket", id_col, max_group,
+                                    stage="simhash").materialize()
+    _metrics.log_truncation_summary("simhash")
     thr = int(hamming_threshold)
 
     # signatures semi-joined to the candidate ids — O(candidate ids) broadcast,
@@ -1375,8 +1383,9 @@ def jaccard_join_exact(
 
     melted = ds.select_columns([id_col, text_col]).map_batches(
         _prefix, batch_format="pyarrow")
-    pairs = _bucket_candidate_pairs(melted, "bucket", id_col,
-                                    max_group).materialize()
+    pairs = _bucket_candidate_pairs(melted, "bucket", id_col, max_group,
+                                    stage="jaccard_prefix").materialize()
+    _metrics.log_truncation_summary("jaccard_prefix")
 
     cand_ids = _candidate_id_set(pairs)
     texts_ref = ray.put({

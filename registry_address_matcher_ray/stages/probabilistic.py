@@ -221,17 +221,21 @@ def _comparison_vectors_broadcast(
             if len(reps) == 0:
                 continue
             reps += lo
-            pat = np.zeros(len(reps), np.uint8)
+            # int64 accumulator (matches _pattern_array in the shuffle
+            # plan): uint8 silently overflowed for custom field sets with
+            # more than 8 comparison fields.
+            pat = np.zeros(len(reps), np.int64)
             for i in range(k):
                 np.bitwise_or(
                     pat,
-                    np.left_shift(scs[i][reps] == ccodes[i][cidx], k - 1 - i,
-                                  dtype=np.uint8),
+                    np.left_shift(
+                        (scs[i][reps] == ccodes[i][cidx]).astype(np.int64),
+                        k - 1 - i),
                     out=pat)
             yield pa.table({
                 "ADDRESS_ID_SPR": pc.take(sid, pa.array(reps, pa.int64())),
                 "ADDRESS_ID_CAD": pc.take(cid, pa.array(cidx, pa.int64())),
-                "pattern": pa.array(pat.astype(np.int64), pa.int64()),
+                "pattern": pa.array(pat, pa.int64()),
             })
 
     return left.map_batches(
@@ -280,8 +284,13 @@ def comparison_vectors(
     cost). ``probe_batch_size`` bounds the broadcast plan's per-task pair
     fan-out (a probe row emits one pair per blocked cad row)."""
     if plan == "auto":
-        nbytes = cad.size_bytes() or 0
-        plan = ("broadcast" if nbytes <= broadcast_threshold_bytes
+        # Unknown size (size_bytes() is None on some lazy plans) routes to
+        # the fail-safe shuffle plan: broadcast gathers the whole cad
+        # projection on the driver, so it must only run when the bound is
+        # KNOWN to hold.
+        nbytes = cad.size_bytes()
+        plan = ("broadcast"
+                if nbytes is not None and nbytes <= broadcast_threshold_bytes
                 else "shuffle")
     if plan == "broadcast":
         return _comparison_vectors_broadcast(
@@ -430,6 +439,13 @@ def fs_match_weights(
     wt = np.round(_weight_table(np.asarray(m, np.float64),
                                 np.asarray(u, np.float64)), round_to)
     if vecs is None:
+        # Loud, not silent: in the fs_pattern_counts -> fs_em ->
+        # fs_match_weights composition this re-runs the dominant candidate
+        # join; pass vecs=comparison_vectors(...).materialize() to share it.
+        import logging
+        logging.getLogger(__name__).info(
+            "fs_match_weights: vecs=None, running the candidate join "
+            "(pass a materialized comparison_vectors() to reuse one pass)")
         vecs = comparison_vectors(spr, cad, fields, block_col)
 
     dec_values = pa.array(["non_link", "possible", "link"], pa.string())
@@ -518,14 +534,20 @@ def fs_value_weights(
     left = spr.map_batches(
         _key_proj("ADDRESS_ID_SPR", fields, block_col, "s_"),
         batch_format="pyarrow")
-    empty = pa.table({
-        "ADDRESS_ID_SPR": pa.array([], cid.type),
-        "ADDRESS_ID_CAD": pa.array([], cid.type),
-        "street": pa.array([], pa.string()),
-        "street_agree": pa.array([], pa.bool_()),
-        "u_v": pa.array([], pa.float64()),
-        "fs_value_weight": pa.array([], pa.float64()),
-    })
+
+    def _empty_for(b: pa.Table) -> pa.Table:
+        # Sentinel built from the ACTUAL projected batch types (spr id /
+        # value columns may be large_string or a different id type than
+        # cad's) so no-hit batches unify with scored ones downstream.
+        return pa.table({
+            "ADDRESS_ID_SPR":
+                pa.array([], b.schema.field("ADDRESS_ID_SPR").type),
+            "ADDRESS_ID_CAD": pa.array([], cid.type),
+            "street": pa.array([], b.schema.field("s_" + value_col).type),
+            "street_agree": pa.array([], pa.bool_()),
+            "u_v": pa.array([], pa.float64()),
+            "fs_value_weight": pa.array([], pa.float64()),
+        })
 
     def _score(b: pa.Table):
         (key_idx, cval_idx, ccodes, cfreq, cid, starts, ends,
@@ -534,7 +556,7 @@ def fs_value_weights(
             b.column("s_k").to_numpy(zero_copy_only=False))
         keep = g >= 0
         if not keep.any():
-            yield empty
+            yield _empty_for(b)
             return
         b = b.filter(pa.array(keep))
         g = g[keep]

@@ -57,6 +57,13 @@ def bm25_topk(
         raise ValueError("query has no tokens")
     n_docs = ds.count()
     term_set = set(terms)
+    if n_docs == 0:
+        # empty corpus: no hits, same shape as the no-match path (avoids a
+        # ZeroDivisionError computing avgdl)
+        return ray.data.from_arrow(pa.table({
+            id_col: pa.array([], ds.schema().base_schema.field(id_col).type),
+            "score": pa.array([], pa.float64()),
+        }))
 
     def _stats_partial(df: "pd.DataFrame") -> "pd.DataFrame":
         s = df[text_col].fillna("").str.lower().str.split(" ").explode()

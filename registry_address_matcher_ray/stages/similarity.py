@@ -25,6 +25,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from ..state import metrics as _metrics
 from . import cluster
 
 
@@ -308,7 +309,9 @@ def embedding_neardup(
 
     melted = ds.select_columns([id_col, vec_col]).map_batches(
         _melt, batch_format="pyarrow")
-    cand = _bucket_candidate_pairs(melted, "bucket", id_col, max_group).materialize()
+    cand = _bucket_candidate_pairs(melted, "bucket", id_col, max_group,
+                                   stage="lsh_cosine").materialize()
+    _metrics.log_truncation_summary("lsh_cosine")
     if cand.count() == 0:
         pairs = ray.data.from_arrow(empty_pairs)
         return {"pairs": pairs,

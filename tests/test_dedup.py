@@ -491,3 +491,30 @@ def test_jaccard_join_exact_partition_invariance(docs, ray_session):
             .sort_values(["id_a", "id_b"]).reset_index(drop=True))
         outs.append(got)
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_minhash_truncation_counter(ray_session):
+    """Hot-bucket truncation is counted on ONE metrics actor (no per-bucket
+    log line); dropped-pair arithmetic matches C(n,2)-C(cap,2)."""
+    import time
+
+    from registry_address_matcher_ray.state import metrics as M
+
+    M.truncation_actor()
+    M.reset_truncation("minhash_lsh")
+    base = " ".join("tok%03d" % i for i in range(40))
+    df = pd.DataFrame({"doc_id": list(range(30)), "text": [base] * 30})
+    D.minhash_lsh_dedup(ray.data.from_pandas(df), "text", "doc_id",
+                        max_group=5)
+    snap = {}
+    for _ in range(50):  # adds are fire-and-forget: poll the actor mailbox
+        snap = M.truncation_snapshot().get("minhash_lsh", {})
+        if snap.get("buckets_truncated"):
+            break
+        time.sleep(0.2)
+    assert snap.get("buckets_truncated", 0) > 0
+    assert snap.get("rows_dropped", 0) > 0
+    # every truncated bucket holds all 30 ids capped to 5:
+    # drops C(30,2) - C(5,2) = 435 - 10 = 425 candidate pairs
+    assert snap["pairs_dropped"] == snap["buckets_truncated"] * 425
+    assert snap["rows_dropped"] == snap["buckets_truncated"] * 25
