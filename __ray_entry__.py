@@ -1381,6 +1381,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             pa.schema([("host", pa.string()), ("n_canonical", pa.int64())]))
         return pages.join(canon, join_type="inner", num_partitions=4, on=("host",))
 
+    def docs_global_shuffle(sf_dir):
+        """Deterministic seeded global corpus shuffle (stages/sampling.py
+        global_shuffle): rank under ORDER BY md5(seed || id) — the standard
+        pre-training order-randomization step, SQL-exact."""
+        from registry_address_matcher_ray.stages import sampling as S
+
+        return S.global_shuffle(
+            _read(sf_dir, "documents").select_columns(["doc_id"]),
+            "doc_id", seed="s42")
+
+    def docs_shuffled_shards(sf_dir):
+        """Interleaved training shards over the global shuffle: shard =
+        pos % 8 (round-robin over shuffled order — every shard a uniform
+        corpus sample), pos_in_shard = pos // 8."""
+        from registry_address_matcher_ray.stages import sampling as S
+
+        return S.shuffled_shards(
+            _read(sf_dir, "documents").select_columns(["doc_id"]),
+            "doc_id", seed="s42", num_shards=8)
+
     # Dict ORDER is part of the contract: the driver's CORRECTNESS gate checks
     # the FIRST 50 entries only, so the flagship linkage family, one
     # representative per §2.13 training-data family, and the core analytics
@@ -1388,7 +1408,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ops (LSH/HLL/media; pytest-gated, no exact SQL oracle) and redundant
     # same-family variants follow after position 50.
     return {
-        # -- flagship linkage family (the product; reference address.py:332-726)
+        # Dict order IS the driver window: positions 1-50 get rows+schema+
+        # hash rows in CORRECTNESS_r{N}. Round-4 rotation (VERDICT r3 #2):
+        # 15 pinned flagship linkage entries, then 35 oracle-bearing queries
+        # that never had a driver row in rounds 1-3 (plus the new global-
+        # shuffle family). Everything demoted below 50 stays green via
+        # scripts/check_driver.py locally.
+        # -- pinned flagship linkage family (reference address.py:332-726)
         "match_pairs": match_pairs,
         "match_pairs_shuffle_plan": match_pairs_shuffle_plan,
         "match_clusters": match_clusters,
@@ -1404,9 +1430,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_fs_patterns": match_fs_patterns,
         "match_fs_weights": match_fs_weights,
         "match_exact_full": match_exact_full,
+        # -- rotation: never-driver-checked oracle-bearing queries
+        "docs_global_shuffle": docs_global_shuffle,
+        "docs_shuffled_shards": docs_shuffled_shards,
+        "match_fs_value_weights": match_fs_value_weights,
+        "spr_swoosh_round0": spr_swoosh_round0,
+        "match_sorted_neighborhood": match_sorted_neighborhood,
+        "match_metablocking": match_metablocking,
+        "spr_street_edit1": spr_street_edit1,
+        "web_pagerank": web_pagerank,
+        "events_heavy_hitters": events_heavy_hitters,
+        "docs_substring_dup": docs_substring_dup,
+        "match_threshold_sweep": match_threshold_sweep,
+        "match_exact_key_p2": match_exact_key_p2,
+        "match_clusters_delta": match_clusters_delta,
+        "match_cluster_sizes": match_cluster_sizes,
+        "match_blocking_compare": match_blocking_compare,
+        "docs_decontaminate_stats": docs_decontaminate_stats,
+        "match_exact_pairs": match_exact_pairs,
+        "unmatched_exact_spr": unmatched_exact_spr,
+        "docs_fingerprint_dedup": docs_fingerprint_dedup,
+        "docs_token_docfreq": docs_token_docfreq,
+        "web_pagerank_dist": web_pagerank_dist,
+        "hosts_page_stats": hosts_page_stats,
+        "docs_unigram_logprob": docs_unigram_logprob,
+        "docs_bigram_logprob": docs_bigram_logprob,
+        "pages_url_canonical": pages_url_canonical,
+        "pages_url_latest": pages_url_latest,
+        "pages_per_host_cap": pages_per_host_cap,
+        "crawl_snapshot_diff": crawl_snapshot_diff,
+        "docs_split_assign": docs_split_assign,
+        "embeddings_cosine_join": embeddings_cosine_join,
+        "part_soundex_keys": part_soundex_keys,
+        "part_phonetic_block_sizes": part_phonetic_block_sizes,
+        "docs_ngram_jaccard_matrix": docs_ngram_jaccard_matrix,
+        "events_sliding_1h15m": events_sliding_1h15m,
+        "docs_repetition_stats": docs_repetition_stats,
+        # ---------------- position 51+ (beyond the driver's window):
+        # r1-r3-proven entries and pytest-gated approximate ops
         "engine_variant_exact": engine_variant_exact,
         "spr_token_block_sizes": spr_token_block_sizes,
-        # -- §2.13 training-data family, one per sub-family
         "docs_exact_dedup": docs_exact_dedup,
         "docs_keep_longest_dedup": docs_keep_longest_dedup,
         "docs_line_dedup": docs_line_dedup,
@@ -1431,7 +1494,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dsir_weights": docs_dsir_weights,
         "docs_weighted_sample": docs_weighted_sample,
         "docs_quality_metrics": docs_quality_metrics,
-        # -- core analytics / relational ops
         "lineitem_agg": lineitem_agg,
         "lineitem_rollup": lineitem_rollup,
         "lineitem_nation_revenue": lineitem_nation_revenue,
@@ -1441,44 +1503,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_running_price": orders_running_price,
         "events_sessionized": events_sessionized,
         "events_orders_range_count": events_orders_range_count,
-        # crawl-URL family representative (canonical-URL dedup — the web-scale
-        # pre-pass of the north-star pipeline)
         "pages_url_dedup": pages_url_dedup,
-        # ---------------- position 51+ (beyond the driver's window) ----------
-        "pages_url_canonical": pages_url_canonical,
-        "pages_url_latest": pages_url_latest,
-        "pages_per_host_cap": pages_per_host_cap,
-        "crawl_snapshot_diff": crawl_snapshot_diff,
-        # same-family variants demoted below the driver's 50-query window
-        "docs_substring_dup": docs_substring_dup,
-        "docs_decontaminate_stats": docs_decontaminate_stats,
         "match_fs_em_params": match_fs_em_params,
-        "match_threshold_sweep": match_threshold_sweep,
-        "match_exact_key_p2": match_exact_key_p2,
-        "match_clusters_delta": match_clusters_delta,
-        "match_cluster_sizes": match_cluster_sizes,
-        "match_blocking_compare": match_blocking_compare,
-        "match_fs_value_weights": match_fs_value_weights,
-        "spr_swoosh_round0": spr_swoosh_round0,
         "spr_swoosh_entities": spr_swoosh_entities,
-        "spr_street_edit1": spr_street_edit1,
-        "match_metablocking": match_metablocking,
         "events_type_counts_cms": events_type_counts_cms,
-        "docs_ngram_jaccard_matrix": docs_ngram_jaccard_matrix,
-        "embeddings_cosine_join": embeddings_cosine_join,
-        "docs_split_assign": docs_split_assign,
-        "unmatched_exact_spr": unmatched_exact_spr,
         "match_one_to_one": match_one_to_one,
-        "match_sorted_neighborhood": match_sorted_neighborhood,
-        "match_exact_pairs": match_exact_pairs,
-        "docs_fingerprint_dedup": docs_fingerprint_dedup,
-        "docs_token_docfreq": docs_token_docfreq,
-        "web_pagerank": web_pagerank,
-        "web_pagerank_dist": web_pagerank_dist,
-        "hosts_page_stats": hosts_page_stats,
-        "docs_unigram_logprob": docs_unigram_logprob,
         "docs_unigram_logprob_joinplan": docs_unigram_logprob_joinplan,
-        "docs_bigram_logprob": docs_bigram_logprob,
         "docs_bigram_logprob_joinplan": docs_bigram_logprob_joinplan,
         "orders_prio_price_quantiles": orders_prio_price_quantiles,
         "events_type_counts": events_type_counts,
@@ -1492,7 +1522,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_outliers": events_value_outliers,
         "events_hourly_moving_avg": events_hourly_moving_avg,
         "events_props_field": events_props_field,
-        "events_sliding_1h15m": events_sliding_1h15m,
         "events_daily_users": events_daily_users,
         "orders_cust_priorities": orders_cust_priorities,
         "events_user_trailing_avg": events_user_trailing_avg,
@@ -1500,7 +1529,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_late_flags": events_late_flags,
         "segments_without_top_orders": segments_without_top_orders,
         "events_users_approx": events_users_approx,
-        "events_heavy_hitters": events_heavy_hitters,
         "events_type_users_approx": events_type_users_approx,
         "events_value_quantiles_sketch": events_value_quantiles_sketch,
         "docs_streaming_dedup": docs_streaming_dedup,
@@ -1508,8 +1536,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_union_filters": orders_union_filters,
         "distinct_returnflags": distinct_returnflags,
         "part_name_contains": part_name_contains,
-        "part_soundex_keys": part_soundex_keys,
-        "part_phonetic_block_sizes": part_phonetic_block_sizes,
         "orders_bucketized": orders_bucketized,
         "orders_customer_join": orders_customer_join,
         "lineitem_page": lineitem_page,
@@ -1532,7 +1558,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_top_tokens": docs_top_tokens,
         "docs_hash_sample": docs_hash_sample,
         "docs_source_stats": docs_source_stats,
-        "docs_repetition_stats": docs_repetition_stats,
         "lineitem_weighted_discount": lineitem_weighted_discount,
         "events_tumbling_15m": events_tumbling_15m,
         "lineitem_topk": lineitem_topk,
@@ -3036,6 +3061,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Efraimidis-Spirakis weighted sample: fixed md5 uniforms make the
         # draw deterministic; identical pow() expression -> identical keys
+        # seeded global shuffle: rank under ORDER BY md5(seed||id) with id
+        # tiebreak — DuckDB md5 of the identical concatenated string equals
+        # hashlib.md5 in stages/sampling.global_shuffle
+        "docs_global_shuffle": """
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                        ORDER BY md5('s42' || CAST(doc_id AS VARCHAR)),
+                                 doc_id) - 1 AS BIGINT) AS shuffle_pos
+            FROM documents
+        """,
+        "docs_shuffled_shards": """
+            WITH r AS (
+                SELECT doc_id,
+                       row_number() OVER (
+                           ORDER BY md5('s42' || CAST(doc_id AS VARCHAR)),
+                                    doc_id) - 1 AS p
+                FROM documents)
+            SELECT doc_id,
+                   CAST(p AS BIGINT) AS shuffle_pos,
+                   CAST(p % 8 AS BIGINT) AS shard,
+                   CAST(p // 8 AS BIGINT) AS pos_in_shard
+            FROM r
+        """,
         "docs_weighted_sample": """
             SELECT doc_id, n_chars FROM (
                 SELECT doc_id, n_chars,

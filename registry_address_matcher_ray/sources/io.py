@@ -320,3 +320,59 @@ def read_ipc(path: str, columns: Optional[Iterable[str]] = None) -> ray.data.Dat
     idx = ray.data.from_arrow(pa.table({"path": pa.array(files)}))
     return idx.repartition(max(1, len(files))).map_batches(
         _load, batch_format="pyarrow")
+
+
+def write_sharded_resumable(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    shard_col: str = "shard",
+) -> dict:
+    """Parquet sink over a PRECOMPUTED integer shard column with per-shard
+    atomic commit + resume — the output half of the training-corpus shuffle
+    (``stages.sampling.shuffled_shards`` assigns the column; this writes
+    ``out_dir/shard=N/``).
+
+    Same commit protocol as :func:`write_partitioned_resumable`: committed
+    shards (``_SUCCESS`` marker present) are filtered out streaming at the
+    read side, the remainder is written once via Ray's native
+    ``partition_cols`` writer into a staging dir, and each shard directory
+    is renamed into place atomically. A crashed run re-invokes with the
+    same inputs and skips finished shards. Within-shard row order across
+    file fragments is restored by sorting on the ``pos_in_shard`` column
+    the sharder emits (documented contract; parquet files are fragments).
+
+    Returns ``{"written": [...], "skipped": [...], "out_dir": out_dir}``.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    done = {
+        d for d in os.listdir(out_dir)
+        if d.startswith(f"{shard_col}=")
+        and os.path.exists(os.path.join(out_dir, d, "_SUCCESS"))
+    }
+    done_ids = {int(d.split("=", 1)[1]) for d in done}
+
+    def _skip_done(b: pa.Table) -> pa.Table:
+        if not done_ids:
+            return b
+        vals = b.column(shard_col).to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(~np.isin(vals, list(done_ids))))
+
+    pending = ds.map_batches(_skip_done, batch_format="pyarrow")
+    staging = tempfile.mkdtemp(prefix=".staging-", dir=out_dir)
+    written: list = []
+    try:
+        pending.write_parquet(staging, partition_cols=[shard_col])
+        for d in sorted(os.listdir(staging)):
+            if not d.startswith(f"{shard_col}="):
+                continue
+            target = os.path.join(out_dir, d)
+            if os.path.exists(target):  # stale uncommitted remnant
+                shutil.rmtree(target)
+            os.rename(os.path.join(staging, d), target)
+            with open(os.path.join(target, "_SUCCESS"), "w"):
+                pass
+            written.append(d)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return {"written": written, "skipped": sorted(done),
+            "out_dir": out_dir}

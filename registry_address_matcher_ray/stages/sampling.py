@@ -286,3 +286,70 @@ def weighted_sample(
     out = keyed.sort(["_sk", id_col], descending=[True, False]).limit(k)
     return out.map_batches(lambda b: b.select([id_col, weight_col]),
                            batch_format="pyarrow")
+
+
+def global_shuffle(
+    ds: ray.data.Dataset,
+    id_col: str,
+    seed: str = "0",
+    pos_col: str = "shuffle_pos",
+) -> ray.data.Dataset:
+    """Deterministic seeded GLOBAL corpus shuffle — the standard final step
+    of a training-data pipeline (dedup/filter stages leave source locality
+    in the row order; training needs it destroyed).
+
+    Every row gets ``pos_col`` = its dense 0-based rank under
+    ``ORDER BY md5(seed || id), id`` — a seeded pseudo-random permutation
+    that is reproducible across runs, machines and parallelism levels, and
+    exactly SQL-checkable (DuckDB:
+    ``row_number() OVER (ORDER BY md5(seed || CAST(id AS VARCHAR)), id)``).
+    The id tiebreak makes the order total even under md5 collisions.
+
+    Scale shape: the ONE all-to-all here is the range-partitioning sort on
+    the 32-hex key — exactly the exchange a corpus shuffle requires, no way
+    around moving every row once. Rank assignment rides
+    :func:`analytics.global_rank`'s O(#blocks) block-offset metadata pass;
+    no row-level data reaches the driver. Key material is 32 bytes + ids —
+    payload columns ride the same sort exchange exactly once.
+    """
+    from .analytics import global_rank
+
+    def _key(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_pylist()
+        k = pa.array(
+            [hashlib.md5((seed + str(v)).encode()).hexdigest() for v in ids],
+            pa.string())
+        return b.append_column("_sk", k)
+
+    keyed = ds.map_batches(_key, batch_format="pyarrow")
+    ranked = global_rank(keyed, ["_sk", id_col], rank_col=pos_col)
+    return ranked.drop_columns(["_sk"])
+
+
+def shuffled_shards(
+    ds: ray.data.Dataset,
+    id_col: str,
+    seed: str = "0",
+    num_shards: int = 8,
+    pos_col: str = "shuffle_pos",
+) -> ray.data.Dataset:
+    """Interleaved training shards over the seeded global shuffle:
+    ``shard = pos % num_shards`` (round-robin over the SHUFFLED order, so
+    every shard is itself a uniform sample of the corpus with sources
+    interleaved) and ``pos_in_shard = pos // num_shards`` (the within-shard
+    training order, stable across file fragments). Compose with
+    :func:`token_shards` when shards must be ~equal tokens instead of
+    ~equal docs."""
+    import pyarrow.compute as pc
+
+    out = global_shuffle(ds, id_col, seed, pos_col)
+
+    def _shard(b: pa.Table) -> pa.Table:
+        pos = pc.cast(b.column(pos_col), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return (b.append_column("shard",
+                                pa.array(pos % num_shards, pa.int64()))
+                 .append_column("pos_in_shard",
+                                pa.array(pos // num_shards, pa.int64())))
+
+    return out.map_batches(_shard, batch_format="pyarrow")

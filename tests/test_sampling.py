@@ -169,3 +169,83 @@ def test_weighted_sample_deterministic_and_biased(ray_session):
     df2 = pd.DataFrame({"id": [1, 2, 3], "w": [0.0, -5.0, None]})
     got2 = S2.weighted_sample(ray.data.from_pandas(df2), "id", "w", k=3).to_pandas()
     assert len(got2) == 0
+
+
+def test_global_shuffle_matches_sequential_and_partition_invariant(ray_session):
+    """global_shuffle = rank under ORDER BY md5(seed||id), id — identical to
+    a sequential transcription, and invariant to input partitioning."""
+    import hashlib
+
+    from registry_address_matcher_ray.stages import sampling as S2
+
+    df = pd.DataFrame({"id": list(range(300)), "payload": list(range(300))})
+    exp_order = sorted(
+        df["id"], key=lambda v: (hashlib.md5(("s7" + str(v)).encode())
+                                 .hexdigest(), v))
+    exp_pos = {v: i for i, v in enumerate(exp_order)}
+    outs = []
+    for parts in (1, 8):
+        ds = rd.from_pandas(df).repartition(parts)
+        got = (S2.global_shuffle(ds, "id", seed="s7")
+               .to_pandas().sort_values("id").reset_index(drop=True))
+        outs.append(got)
+        assert list(got["shuffle_pos"]) == [exp_pos[v] for v in got["id"]]
+        assert "payload" in got.columns  # payload rides the shuffle
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # a different seed produces a different permutation
+    other = (S2.global_shuffle(rd.from_pandas(df), "id", seed="s8")
+             .to_pandas().sort_values("id").reset_index(drop=True))
+    assert list(other["shuffle_pos"]) != list(outs[0]["shuffle_pos"])
+
+
+def test_shuffled_shards_interleave(ray_session):
+    """shard = pos % n (round-robin interleave), pos_in_shard = pos // n;
+    shard sizes differ by at most one doc."""
+    from registry_address_matcher_ray.stages import sampling as S2
+
+    df = pd.DataFrame({"id": list(range(101))})
+    got = (S2.shuffled_shards(rd.from_pandas(df), "id", seed="x",
+                              num_shards=4)
+           .to_pandas().sort_values("shuffle_pos").reset_index(drop=True))
+    assert list(got["shard"]) == [p % 4 for p in got["shuffle_pos"]]
+    assert list(got["pos_in_shard"]) == [p // 4 for p in got["shuffle_pos"]]
+    sizes = got.groupby("shard").size()
+    assert sizes.max() - sizes.min() <= 1
+
+
+def test_write_sharded_resumable_roundtrip_and_resume(ray_session, tmp_path):
+    """The interleaved shard writer commits per shard atomically; a re-run
+    skips committed shards; the read-back corpus is complete and within-shard
+    order is restored by pos_in_shard."""
+    import os
+
+    from registry_address_matcher_ray.sources.io import write_sharded_resumable
+    from registry_address_matcher_ray.stages import sampling as S2
+
+    df = pd.DataFrame({"id": list(range(60)),
+                       "text": [f"doc {i}" for i in range(60)]})
+    out = str(tmp_path / "shards")
+    sharded = S2.shuffled_shards(rd.from_pandas(df), "id", seed="w",
+                                 num_shards=3)
+    r1 = write_sharded_resumable(sharded, out, "shard")
+    assert sorted(r1["written"]) == ["shard=0", "shard=1", "shard=2"]
+    for d in r1["written"]:
+        assert os.path.exists(os.path.join(out, d, "_SUCCESS"))
+    # simulate a crashed run missing one shard: drop its marker + dir
+    import shutil
+    shutil.rmtree(os.path.join(out, "shard=2"))
+    r2 = write_sharded_resumable(
+        S2.shuffled_shards(rd.from_pandas(df), "id", seed="w",
+                           num_shards=3), out, "shard")
+    assert r2["written"] == ["shard=2"]
+    assert sorted(r2["skipped"]) == ["shard=0", "shard=1"]
+    back = rd.read_parquet(out).to_pandas()
+    assert sorted(back["id"]) == list(range(60))
+    # within-shard training order: pos_in_shard sorts each shard into the
+    # global shuffled order restricted to that shard
+    full = sharded.to_pandas()
+    for s, g in back.groupby(back["shuffle_pos"] % 3):
+        exp = (full[full["shard"] == s].sort_values("pos_in_shard")["id"]
+               .tolist())
+        got = g.sort_values("pos_in_shard")["id"].tolist()
+        assert got == exp
