@@ -1268,18 +1268,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return EV.engine_variant_matches(spr_p, cad_ref)
 
     def media_real_decode(sf_dir):
-        """REAL (library-free) decode path: PPM gradient images -> pixel-true
-        features via the pure-numpy codec (functions/codecs.py). Rows-only
-        driver check; pixel exactness is pinned in tests/test_multimodal.py."""
+        """REAL (library-free) decode path: PPM + PNG gradient images (PNG
+        rows cycle all 5 scanline filters) -> pixel-true features via the
+        pure-stdlib codec (functions/codecs.py). Rows-only driver check;
+        pixel exactness is pinned in tests/test_multimodal.py."""
         import ray.data
 
         from registry_address_matcher_ray.stages import multimodal as M
 
         n = max(20, int(_sf_of(sf_dir) * 2000))
         tbl = M.synth_decodable_media(n, "ppm", seed=3)
-        return M.decode_images(
-            ray.data.from_arrow(tbl).materialize(), codec="real", dim=64
-        ).select_columns(["media_id", "width", "height", "features"])
+        png = M.synth_decodable_media(max(10, n // 2), "png", seed=4)
+        ds = (ray.data.from_arrow(tbl).union(ray.data.from_arrow(png))
+              .materialize())
+        return M.decode_images(ds, codec="real", dim=64).select_columns(
+            ["media_id", "width", "height", "features"])
 
     def media_image_features(sf_dir):
         """Actor-pool image decode/feature stage over opaque binary payloads."""

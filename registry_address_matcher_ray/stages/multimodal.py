@@ -15,11 +15,12 @@ payloads. Design contract here:
   from a SHA-256 of the payload (stable across runs and parallelism — testable
   plumbing for formats whose codecs aren't in this container);
 - ``codec="real"`` GENUINELY decodes the library-free formats via
-  ``functions/codecs.py`` — PPM(P6)/24-bit-BMP pixels and PCM16 WAV samples —
-  and computes real features (channel stats + grayscale grid; framed FFT band
-  energies). Compressed formats (JPEG/PNG/MP4) raise ``ValueError`` inside the
-  stage, and video frame sampling raises ``NotImplementedError`` at actor
-  construction — marking exactly where PIL/libav plugs in.
+  ``functions/codecs.py`` — PPM(P6)/24-bit-BMP/8-bit-PNG pixels (PNG via
+  stdlib zlib + numpy scanline unfiltering, all 5 filter types) and PCM16 WAV
+  samples — and computes real features (channel stats + grayscale grid;
+  framed FFT band energies). JPEG raises ``ValueError`` inside the stage, and
+  video frame sampling raises ``NotImplementedError`` at actor construction —
+  marking exactly where PIL/libav plugs in.
 """
 
 from __future__ import annotations
@@ -297,15 +298,16 @@ def synth_media(n: int, kind: str = "image", seed: int = 0) -> pa.Table:
 
 
 def synth_decodable_media(n: int, kind: str = "ppm", seed: int = 0) -> pa.Table:
-    """Synthetic REAL-decodable media table: PPM/BMP gradient images or WAV
-    sine payloads (pure-numpy encoders from ``functions/codecs.py``)."""
+    """Synthetic REAL-decodable media table: PPM/BMP/PNG gradient images or
+    WAV sine payloads (pure-stdlib/numpy encoders from
+    ``functions/codecs.py``; PNG rows cycle through all 5 filter types)."""
     from ..functions import codecs
 
     rng = np.random.default_rng(seed)
     ids = [f"{kind}-{i:06d}" for i in range(n)]
-    if kind in ("ppm", "bmp"):
+    if kind in ("ppm", "bmp", "png"):
         payloads, ws, hs = [], [], []
-        enc = codecs.encode_ppm if kind == "ppm" else codecs.encode_bmp
+        enc = {"ppm": codecs.encode_ppm, "bmp": codecs.encode_bmp}.get(kind)
         for i in range(n):
             w, h = int(rng.integers(8, 64)), int(rng.integers(8, 64))
             yy, xx = np.mgrid[0:h, 0:w]
@@ -314,7 +316,8 @@ def synth_decodable_media(n: int, kind: str = "ppm", seed: int = 0) -> pa.Table:
                 (yy * 255 // max(h - 1, 1)),
                 np.full((h, w), int(rng.integers(0, 256))),
             ], axis=2).astype(np.uint8)
-            payloads.append(enc(img))
+            payloads.append(codecs.encode_png(img, filter_type=i % 5)
+                            if kind == "png" else enc(img))
             ws.append(w)
             hs.append(h)
         return pa.table({

@@ -170,3 +170,92 @@ def test_real_video_still_raises(ray_session):
 
     with pytest.raises(NotImplementedError):
         M.FrameSampleActor(codec="real")
+
+
+def test_png_roundtrip_all_filters():
+    """encode_png -> decode_png is pixel-exact for every scanline filter
+    type (0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth) and odd shapes."""
+    import numpy as np
+
+    from registry_address_matcher_ray.functions import codecs
+
+    rng = np.random.default_rng(21)
+    for ft in range(5):
+        for (h, w) in [(1, 1), (2, 3), (13, 7), (48, 31)]:
+            img = rng.integers(0, 256, (h, w, 3), np.uint8)
+            enc = codecs.encode_png(img, filter_type=ft)
+            assert (codecs.decode_png(enc) == img).all()
+            assert (codecs.decode_image(enc) == img).all()
+
+
+def test_png_color_types_and_gates():
+    """Gray / palette / RGBA / gray+alpha decode to the documented RGB
+    projection; 16-bit, interlaced and CRC-corrupt files raise."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from registry_address_matcher_ray.functions import codecs
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+    def mk(ctype, raw_rows, extra=b"", depth=8, interlace=0):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, ctype, 0, 0, interlace)
+        raw = b"".join(b"\x00" + r for r in raw_rows)
+        return (sig + chunk(b"IHDR", ihdr) + extra
+                + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+    g = np.array([[0, 128], [255, 7]], np.uint8)
+    d = codecs.decode_png(mk(0, [g[0].tobytes(), g[1].tobytes()]))
+    assert (d[:, :, 0] == g).all() and (d[:, :, 2] == g).all()
+
+    pal = np.array([[10, 20, 30], [200, 100, 50], [0, 0, 255]], np.uint8)
+    idx = np.array([[0, 1], [2, 1]], np.uint8)
+    d = codecs.decode_png(mk(3, [idx[0].tobytes(), idx[1].tobytes()],
+                             extra=chunk(b"PLTE", pal.tobytes())))
+    assert (d == pal[idx]).all()
+
+    rgba = np.arange(16, dtype=np.uint8).reshape(2, 2, 4)
+    d = codecs.decode_png(mk(6, [rgba[0].tobytes(), rgba[1].tobytes()]))
+    assert (d == rgba[:, :, :3]).all()
+
+    ga = np.arange(8, dtype=np.uint8).reshape(2, 2, 2)
+    d = codecs.decode_png(mk(4, [ga[0].tobytes(), ga[1].tobytes()]))
+    assert (d[:, :, 0] == ga[:, :, 0]).all()
+
+    with pytest.raises(ValueError, match="bit depth"):
+        codecs.decode_png(mk(2, [b"\x00" * 12, b"\x00" * 12], depth=16))
+    with pytest.raises(ValueError, match="interlace"):
+        codecs.decode_png(mk(2, [b"\x00" * 6, b"\x00" * 6], interlace=1))
+    bad = bytearray(codecs.encode_png(np.zeros((2, 2, 3), np.uint8)))
+    bad[-5] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        codecs.decode_png(bytes(bad))
+
+
+def test_real_decode_stage_handles_png(ray_session):
+    """The actor-pool decode stage consumes PNG payloads (all 5 filters via
+    the synth cycle) and features are pixel-exact functions of the image."""
+    import numpy as np
+    import ray.data
+
+    from registry_address_matcher_ray.functions import codecs
+    from registry_address_matcher_ray.stages import multimodal as M
+
+    tbl = M.synth_decodable_media(10, "png", seed=17)
+    out = (M.decode_images(ray.data.from_arrow(tbl), codec="real", dim=64)
+           .to_pandas().set_index("media_id"))
+    assert len(out) == 10
+    for i in range(10):
+        mid = tbl.column("media_id")[i].as_py()
+        img = codecs.decode_png(tbl.column("payload")[i].as_py())
+        f = np.asarray(out.loc[mid, "features"], dtype=np.float32)
+        assert f[0] == np.float32(img.shape[1] / 4096.0)
+        assert abs(f[2] - img[:, :, 0].astype(np.float32).mean() / 255.0) \
+            < 1e-6
