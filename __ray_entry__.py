@@ -1384,6 +1384,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             pa.schema([("host", pa.string()), ("n_canonical", pa.int64())]))
         return pages.join(canon, join_type="inner", num_partitions=4, on=("host",))
 
+    def docs_quality_train(sf_dir):
+        """Train -> infer wiring for the learned quality filter: silver
+        labels (n_chars >= 300), distributed fixed-iteration logistic GD
+        (per-batch gradient partials + driver fold,
+        stages/analytics.quality_classifier_train), then inference with the
+        LEARNED weights. Rows-only driver check; fit parity vs an
+        independent numpy implementation is pytest-pinned."""
+        import pyarrow.compute as _pc
+
+        docs = _read(sf_dir, "documents")
+
+        def _lab(b: pa.Table) -> pa.Table:
+            y = _pc.cast(_pc.greater_equal(b.column("n_chars"), 300),
+                         pa.int64())
+            return pa.table({"doc_id": b.column("doc_id"),
+                             "text": b.column("text"), "label": y})
+
+        labeled = docs.map_batches(_lab, batch_format="pyarrow")
+        fit = A.quality_classifier_train(labeled, "text", "label", iters=30)
+        return A.quality_classifier(docs, "text", "doc_id",
+                                    weights=fit["weights"])
+
     def docs_global_shuffle(sf_dir):
         """Deterministic seeded global corpus shuffle (stages/sampling.py
         global_shuffle): rank under ORDER BY md5(seed || id) — the standard
@@ -1536,6 +1558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quantiles_sketch": events_value_quantiles_sketch,
         "docs_streaming_dedup": docs_streaming_dedup,
         "docs_streaming_dedup_count": docs_streaming_dedup_count,
+        "docs_quality_train": docs_quality_train,
         "orders_union_filters": orders_union_filters,
         "distinct_returnflags": distinct_returnflags,
         "part_name_contains": part_name_contains,

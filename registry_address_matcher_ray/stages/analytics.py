@@ -2197,6 +2197,116 @@ def quality_classifier(
     return ds.map_batches(_score, batch_format="pyarrow")
 
 
+def _quality_feature_matrix(batch: pa.Table, text_col: str) -> np.ndarray:
+    """(n, 5) design matrix [1, ln(1+n_tokens), avg_token_len,
+    stopword_ratio, alpha_ratio] — the exact basis
+    :func:`quality_classifier` scores, so trained weights plug straight in."""
+    from ..functions import textfns
+
+    texts = batch.column(text_col).to_pylist()
+    X = np.ones((len(texts), 5), dtype=np.float64)
+    for i, t in enumerate(texts):
+        q = textfns.quality_features(t)
+        X[i, 1] = np.log1p(q["n_tokens"])
+        X[i, 2] = q["avg_token_len"]
+        X[i, 3] = q["stopword_ratio"]
+        X[i, 4] = q["alpha_ratio"]
+    return X
+
+
+def quality_classifier_train(
+    ds: ray.data.Dataset,
+    text_col: str,
+    label_col: str,
+    iters: int = 60,
+    lr: float = 0.5,
+    l2: float = 1e-6,
+) -> dict:
+    """Distributed TRAINING for :func:`quality_classifier` — the CCNet-style
+    learned-filter fit the inference op was waiting for.
+
+    Full-batch logistic regression by fixed-iteration gradient descent over
+    the same 4 text features (+ intercept) the inference stage scores, so
+    ``quality_classifier(ds, ..., weights=fit["weights"])`` wires train ->
+    infer directly. Deterministic: zero init, fixed ``iters``/``lr``,
+    features STANDARDIZED from a one-pass distributed moment fold (then the
+    final weights are mapped back to raw-feature space).
+
+    Scale shape (the engine idiom for iterative fits, same as
+    ``probabilistic.fs_em``): the feature matrix is computed ONCE into a
+    materialized 6-column float dataset; each iteration is one streaming
+    pass emitting a SINGLE (grad[5], loss, n) partial row per batch, folded
+    on the driver (O(#batches) rows, never row-level data); the weight
+    vector — 5 floats — ships back per iteration via closure capture.
+    Partial sums make the result partition-invariant up to float-summation
+    association (asserted at 1e-9 in pytest, not bit-exact by nature).
+
+    Returns ``{"weights": [w0..w4] raw-space, "loss": per-iter mean NLL,
+    "n": rows}``.
+    """
+    def _feats(batch: pa.Table) -> pa.Table:
+        X = _quality_feature_matrix(batch, text_col)
+        y = pc.cast(batch.column(label_col), pa.float64())
+        cols = {f"x{j}": pa.array(X[:, j], pa.float64()) for j in range(5)}
+        cols["y"] = y
+        return pa.table(cols)
+
+    feats = ds.select_columns([text_col, label_col]).map_batches(
+        _feats, batch_format="pyarrow").materialize()
+
+    # one-pass moments for standardization (population std; x0 stays 1)
+    def _moments(b: pa.Table) -> pa.Table:
+        out = {"n": pa.array([float(b.num_rows)], pa.float64())}
+        for j in range(1, 5):
+            x = b.column(f"x{j}").to_numpy(zero_copy_only=False)
+            out[f"s{j}"] = pa.array([x.sum()], pa.float64())
+            out[f"q{j}"] = pa.array([(x * x).sum()], pa.float64())
+        return pa.table(out)
+
+    mom = feats.map_batches(_moments, batch_format="pyarrow").to_pandas().sum()
+    n = float(mom["n"])
+    if n == 0:
+        raise ValueError("quality_classifier_train: empty input")
+    mean = np.zeros(5)
+    std = np.ones(5)
+    for j in range(1, 5):
+        mean[j] = mom[f"s{j}"] / n
+        var = max(mom[f"q{j}"] / n - mean[j] ** 2, 0.0)
+        std[j] = math.sqrt(var) if var > 1e-24 else 1.0
+
+    w = np.zeros(5, dtype=np.float64)  # standardized space
+    losses = []
+    for _ in range(iters):
+        w_now = w.copy()
+
+        def _grad(b: pa.Table, _w=w_now) -> pa.Table:
+            X = np.stack([b.column(f"x{j}").to_numpy(zero_copy_only=False)
+                          for j in range(5)], axis=1)
+            Xs = (X - mean) / std
+            y = b.column("y").to_numpy(zero_copy_only=False)
+            z = Xs @ _w
+            p = 1.0 / (1.0 + np.exp(-z))
+            g = Xs.T @ (p - y)
+            # stable NLL: log(1+e^z) - y*z  ==  max(z,0) + log1p(e^-|z|) - y*z
+            nll = (np.maximum(z, 0.0) + np.log1p(np.exp(-np.abs(z)))
+                   - y * z).sum()
+            cols = {f"g{j}": pa.array([g[j]], pa.float64())
+                    for j in range(5)}
+            cols["nll"] = pa.array([nll], pa.float64())
+            return pa.table(cols)
+
+        part = feats.map_batches(_grad, batch_format="pyarrow").to_pandas().sum()
+        g = np.array([part[f"g{j}"] for j in range(5)]) / n + l2 * w
+        losses.append(float(part["nll"]) / n)
+        w = w - lr * g
+
+    # map standardized-space weights back to raw feature space
+    raw = np.zeros(5)
+    raw[1:] = w[1:] / std[1:]
+    raw[0] = w[0] - float((w[1:] * mean[1:] / std[1:]).sum())
+    return {"weights": raw.tolist(), "loss": losses, "n": int(n)}
+
+
 # ---------------------------------------------------------------------------
 # Exact heavy hitters: Misra-Gries mergeable summaries + verified recount.
 # Not in the reference; standard frequent-items machinery (Misra & Gries 1982;

@@ -794,3 +794,77 @@ def test_count_min_sketch_bounds_and_invariance(ray_session):
     assert (est[:10] == t[:10]).all()
     # total mass per row is preserved exactly
     assert sks[0].sum(axis=1).tolist() == [20_000] * 4
+
+
+def _mk_quality_docs(n=240, seed=5):
+    """Docs whose keep/drop label correlates with real text quality."""
+    rng = np.random.default_rng(seed)
+    stop = ["the", "and", "of", "to", "in", "is", "it", "that"]
+    rows = []
+    for i in range(n):
+        good = i % 2 == 0
+        if good:
+            words = [stop[int(rng.integers(0, len(stop)))]
+                     if rng.random() < 0.3 else
+                     "".join(rng.choice(list("abcdefg"), size=5))
+                     for _ in range(40)]
+        else:
+            words = ["x0#!" + str(int(rng.integers(0, 9)))
+                     for _ in range(int(rng.integers(2, 8)))]
+        rows.append({"doc_id": i, "text": " ".join(words),
+                     "label": 1 if good else 0})
+    return pd.DataFrame(rows)
+
+
+def _train_reference(df, iters=60, lr=0.5, l2=1e-6):
+    """Independent sequential implementation of the same fit (numpy only)."""
+    from registry_address_matcher_ray.functions import textfns
+
+    X = np.ones((len(df), 5))
+    for i, t in enumerate(df["text"]):
+        q = textfns.quality_features(t)
+        X[i, 1:] = (np.log1p(q["n_tokens"]), q["avg_token_len"],
+                    q["stopword_ratio"], q["alpha_ratio"])
+    y = df["label"].to_numpy(dtype=np.float64)
+    mean = X.mean(axis=0)
+    std = X.std(axis=0)
+    mean[0], std[0] = 0.0, 1.0
+    std[std <= 1e-12] = 1.0
+    Xs = (X - mean) / std
+    w = np.zeros(5)
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-(Xs @ w)))
+        g = Xs.T @ (p - y) / len(df) + l2 * w
+        w = w - lr * g
+    raw = np.zeros(5)
+    raw[1:] = w[1:] / std[1:]
+    raw[0] = w[0] - float((w[1:] * mean[1:] / std[1:]).sum())
+    return raw
+
+
+def test_quality_classifier_train_matches_independent_fit(ray_session):
+    df = _mk_quality_docs()
+    ds = ray.data.from_pandas(df).repartition(5)
+    fit = A.quality_classifier_train(ds, "text", "label")
+    exp = _train_reference(df)
+    np.testing.assert_allclose(fit["weights"], exp, rtol=1e-9, atol=1e-12)
+    # loss decreases over the fit
+    assert fit["loss"][-1] < fit["loss"][0]
+    assert fit["n"] == len(df)
+
+
+def test_quality_classifier_train_partition_invariant_and_wires_inference(
+        ray_session):
+    df = _mk_quality_docs()
+    fits = [A.quality_classifier_train(
+                ray.data.from_pandas(df).repartition(p), "text", "label")
+            for p in (1, 8)]
+    np.testing.assert_allclose(fits[0]["weights"], fits[1]["weights"],
+                               rtol=1e-9, atol=1e-12)
+    # train -> infer: the learned filter separates the planted classes
+    scored = A.quality_classifier(
+        ray.data.from_pandas(df), "text", "doc_id",
+        weights=fits[0]["weights"]).to_pandas()
+    merged = scored.merge(df[["doc_id", "label"]], on="doc_id")
+    acc = ((merged["quality_label"] == "keep") == (merged["label"] == 1)).mean()
+    assert acc >= 0.95
