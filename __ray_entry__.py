@@ -1384,6 +1384,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             pa.schema([("host", pa.string()), ("n_canonical", pa.int64())]))
         return pages.join(canon, join_type="inner", num_partitions=4, on=("host",))
 
+    def docs_bpe_token_shards(sf_dir):
+        """Token-budget shards measured in TRAINED-BPE tokens: distributed
+        merge-table training (stages/tokenizer.bpe_train), broadcast ranks,
+        per-worker memoized greedy encoding, then the same prefix-scan
+        sharding as docs_token_shards. Rows-only: SQL cannot express the
+        merge fixpoint; train/encode parity vs an independent sequential
+        implementation is pytest-pinned (tests/test_tokenizer.py)."""
+        from registry_address_matcher_ray.stages import sampling as S
+        from registry_address_matcher_ray.stages import tokenizer as T
+
+        docs = _read(sf_dir, "documents")
+        fit = T.bpe_train(docs, "text", num_merges=120)
+        counts = T.bpe_token_counts(docs, "text", "doc_id", fit["merges"]) \
+            .map_batches(lambda b: b.rename_columns(["doc_id", "n_tokens"]),
+                         batch_format="pyarrow")
+        return S.token_shards(docs, "text", "doc_id", budget=5_000,
+                              counts=counts)
+
     def docs_quality_train(sf_dir):
         """Train -> infer wiring for the learned quality filter: silver
         labels (n_chars >= 300), distributed fixed-iteration logistic GD
@@ -1559,6 +1577,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_streaming_dedup": docs_streaming_dedup,
         "docs_streaming_dedup_count": docs_streaming_dedup_count,
         "docs_quality_train": docs_quality_train,
+        "docs_bpe_token_shards": docs_bpe_token_shards,
         "orders_union_filters": orders_union_filters,
         "distinct_returnflags": distinct_returnflags,
         "part_name_contains": part_name_contains,

@@ -203,12 +203,18 @@ def token_shards(
     text_col: str,
     id_col: str,
     budget: int = 10_000,
+    counts: "ray.data.Dataset | None" = None,
 ) -> "ray.data.Dataset":
     """Assign each doc to a token-budget shard: shard = floor(exclusive
     running token count / budget) under ``ORDER BY id`` — how a corpus is
     cut into ~equal-token output files for training. Rides the distributed
     prefix scan (:func:`analytics.global_running_sum`): one sort + an
     O(#blocks) metadata pass, no row ever reaches the driver.
+
+    ``counts`` overrides the default whitespace counting with a precomputed
+    ``(id_col, n_tokens)`` dataset — e.g. trained-BPE counts from
+    :func:`..stages.tokenizer.bpe_token_counts`, so shards measure the
+    tokens the model will actually see.
 
     Output: ``(id_col, n_tokens, shard)``.
     """
@@ -223,7 +229,8 @@ def token_shards(
         return pa.table({id_col: batch.column(id_col),
                          "n_tokens": pa.array(n, pa.int64())})
 
-    counted = ds.map_batches(_ntok, batch_format="pyarrow")
+    counted = (counts if counts is not None
+               else ds.map_batches(_ntok, batch_format="pyarrow"))
     running = global_running_sum(counted, [id_col], "n_tokens",
                                  out_col="_run", scale=1)
 
