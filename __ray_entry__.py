@@ -1384,6 +1384,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             pa.schema([("host", pa.string()), ("n_canonical", pa.int64())]))
         return pages.join(canon, join_type="inner", num_partitions=4, on=("host",))
 
+    def docs_pack_sequences(sf_dir):
+        """Context-window sequence packing (next-fit within exact
+        prefix-scan shards; stages/sampling.pack_sequences). Rows-only:
+        next-fit carries sequential state SQL window functions cannot
+        express; parity with a sequential transcription is pytest-pinned
+        (tests/test_sampling.py)."""
+        from registry_address_matcher_ray.stages import sampling as S
+
+        return S.pack_sequences(_read(sf_dir, "documents"), "text",
+                                "doc_id", seq_len=128, shard_budget=5_000)
+
+    def docs_pmi_collocations(sf_dir):
+        """Top-20 adjacent-bigram collocations by PMI (Church-Hanks) —
+        corpus phrase mining with one vocab-sized counted shuffle, a single
+        word-keyed join and a pair regroup (stages/analytics.py
+        pmi_collocations)."""
+        return A.pmi_collocations(_read(sf_dir, "documents"), "text",
+                                  top_k=20, min_count=3)
+
     def docs_bpe_token_shards(sf_dir):
         """Token-budget shards measured in TRAINED-BPE tokens: distributed
         merge-table training (stages/tokenizer.bpe_train), broadcast ranks,
@@ -1578,6 +1597,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_streaming_dedup_count": docs_streaming_dedup_count,
         "docs_quality_train": docs_quality_train,
         "docs_bpe_token_shards": docs_bpe_token_shards,
+        "docs_pmi_collocations": docs_pmi_collocations,
+        "docs_pack_sequences": docs_pack_sequences,
         "orders_union_filters": orders_union_filters,
         "distinct_returnflags": distinct_returnflags,
         "part_name_contains": part_name_contains,
@@ -3106,6 +3127,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Efraimidis-Spirakis weighted sample: fixed md5 uniforms make the
         # draw deterministic; identical pow() expression -> identical keys
+        # PMI collocations: identical tokenization to the bigram-LM oracles;
+        # pmi expression order matches the engine verbatim (round BEFORE the
+        # top-k sort on both sides)
+        "docs_pmi_collocations": """
+            WITH toks AS (
+                SELECT list_filter(string_split(lower(text), ' '),
+                                   t -> t <> '') AS ts
+                FROM documents),
+            uni AS (SELECT unnest(ts) AS w FROM toks),
+            uc AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+            nu AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM uc),
+            bg AS (SELECT unnest(list_transform(range(1, len(ts)),
+                           i -> ts[i] || ' ' || ts[i + 1])) AS bigram
+                   FROM toks WHERE len(ts) >= 2),
+            bc AS (SELECT bigram, count(*) AS c FROM bg GROUP BY 1),
+            nb AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM bc),
+            cand AS (SELECT split_part(bigram, ' ', 1) AS w1,
+                            split_part(bigram, ' ', 2) AS w2,
+                            c AS cb
+                     FROM bc WHERE c >= 3),
+            scored AS (
+                SELECT cand.w1, cand.w2, CAST(cand.cb AS BIGINT) AS n,
+                       round(log2((CAST(cand.cb AS DOUBLE) / nb.n)
+                                  / ((CAST(u1.c AS DOUBLE) / nu.n)
+                                     * (CAST(u2.c AS DOUBLE) / nu.n))),
+                             6) AS pmi
+                FROM cand
+                CROSS JOIN nb CROSS JOIN nu
+                JOIN uc u1 ON u1.w = cand.w1
+                JOIN uc u2 ON u2.w = cand.w2)
+            SELECT w1, w2, n, pmi FROM scored
+            ORDER BY pmi DESC, w1, w2 LIMIT 20
+        """,
         # seeded global shuffle: rank under ORDER BY md5(seed||id) with id
         # tiebreak — DuckDB md5 of the identical concatenated string equals
         # hashlib.md5 in stages/sampling.global_shuffle

@@ -337,6 +337,38 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     queries["fs_linkage"] = round(time.time() - t0, 3)
     extras["fs_pairs_weighted"] = n_fs
 
+    # ---- round-4 graft operator additions
+    if os.path.exists(docs_path):
+        import shutil as _sh
+
+        from registry_address_matcher_ray.stages import sampling as SA
+        from registry_address_matcher_ray.stages import tokenizer as TK
+
+        # training-prep finale: seeded global shuffle -> interleaved shards
+        # -> resumable partitioned parquet
+        t0 = time.time()
+        out_dir = "/tmp/ram_ray_bench/shuffled_shards"
+        _sh.rmtree(out_dir, ignore_errors=True)
+        rio.write_sharded_resumable(
+            SA.shuffled_shards(rio.read_parquet_clean(docs_path),
+                               "doc_id", seed="bench", num_shards=16),
+            out_dir)
+        queries["global_shuffle_write"] = round(time.time() - t0, 3)
+
+        # trained-BPE tokenizer: merge-table fit + corpus token count
+        from ray.data.aggregate import Sum as _Sum
+
+        t0 = time.time()
+        fit_bpe = TK.bpe_train(
+            rio.read_parquet_clean(docs_path, columns=["text"]),
+            "text", num_merges=200)
+        total_tok = TK.bpe_token_counts(
+            rio.read_parquet_clean(docs_path, columns=["doc_id", "text"]),
+            "text", "doc_id", fit_bpe["merges"]) \
+            .aggregate(_Sum("n_bpe_tokens", alias_name="s"))["s"]
+        queries["bpe_train_count"] = round(time.time() - t0, 3)
+        extras["bpe_corpus_tokens"] = int(total_tok)
+
     result = {
         "metric": "linkage_pages_sec",
         "value": queries["linkage_pages"],

@@ -2197,6 +2197,149 @@ def quality_classifier(
     return ds.map_batches(_score, batch_format="pyarrow")
 
 
+def pmi_collocations(
+    ds: ray.data.Dataset,
+    text_col: str,
+    top_k: int = 20,
+    min_count: int = 5,
+    ndigits: int = 6,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Top-``top_k`` adjacent-bigram collocations by pointwise mutual
+    information: ``pmi = log2((cb/nb) / ((c1/nu) * (c2/nu)))`` over
+    lowercased whitespace tokens — the standard corpus phrase-mining pass
+    (Church & Hanks 1990).
+
+    Scale shape: ONE tokenize pass emits per-batch partial unigram+bigram
+    counts under a tagged key (vocab-sized shuffle, never O(tokens)); the
+    corpus totals are one tiny aggregate over the counted table. The
+    unigram-count attach is JOIN-FREE (the metablocking route —
+    ``Dataset.join`` in Ray 2.49 intermittently mis-resolves key columns
+    when both inputs derive from one upstream): candidates melt to
+    (word key, packed pair, position) rows, unigram counts ride the SAME
+    melt as position-0 rows, one ``groupby(word)`` attaches the count, and
+    a ``groupby(pair)`` re-assembles (c1, c2). Top-k is a sort+limit over
+    candidates. Ties break (pmi desc, w1 asc, w2 asc); pmi is rounded to
+    ``ndigits`` BEFORE the sort in both the engine and the SQL oracle.
+    """
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table):
+        uni: Counter = Counter()
+        bi: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            ws = [w for w in (t or "").lower().split(" ") if w]
+            uni.update(ws)
+            bi.update(a + " " + b for a, b in zip(ws, ws[1:]))
+        return pa.table({
+            "kind": pa.array(["u"] * len(uni) + ["b"] * len(bi), pa.string()),
+            "w": pa.array(list(uni.keys()) + list(bi.keys()), pa.string()),
+            "cnt": pa.array(list(uni.values()) + list(bi.values()),
+                            pa.int64()),
+        })
+
+    # ensure_arrow_schema: the hash aggregate emits column-less empty blocks
+    # that make a downstream join's key FieldRef unresolvable
+    counted = ensure_arrow_schema(
+        ds.select_columns([text_col])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby(["kind", "w"]).aggregate(Sum("cnt", alias_name="c")),
+        pa.schema([("kind", pa.string()), ("w", pa.string()),
+                   ("c", pa.int64())])).materialize()
+    totals = {r["kind"]: int(r["sum"]) for r in
+              counted.groupby("kind").sum("c").map_batches(
+                  lambda b: b.rename_columns(["kind", "sum"]),
+                  batch_format="pyarrow").iter_rows()}
+    nu, nb = float(totals.get("u", 0)), float(totals.get("b", 0))
+    if nb == 0:
+        return ray.data.from_arrow(pa.table({
+            "w1": pa.array([], pa.string()), "w2": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()), "pmi": pa.array([], pa.float64()),
+        }))
+
+    def _melt(b: pa.Table) -> pa.Table:
+        # position-0 rows: unigram counts keyed by word; position-1/2 rows:
+        # candidate bigrams keyed by their first/second word
+        u = b.filter(pc.equal(b.column("kind"), "u"))
+        cb_ = b.filter(pc.and_(pc.equal(b.column("kind"), "b"),
+                               pc.greater_equal(b.column("c"), min_count)))
+        parts = pc.split_pattern(cb_.column("w"), " ")
+        n, nuni = cb_.num_rows, u.num_rows
+        keys, pairs, cnts = [], [], []
+        if nuni:
+            keys.append(u.column("w").combine_chunks())
+            pairs.append(pa.array([""] * nuni, pa.string()))
+            cnts.append(u.column("c").combine_chunks())
+        if n:
+            keys += [pc.list_element(parts, 0).combine_chunks(),
+                     pc.list_element(parts, 1).combine_chunks()]
+            pairs += [cb_.column("w").combine_chunks()] * 2
+            cnts += [cb_.column("c").combine_chunks()] * 2
+        if not keys:
+            return pa.table({"key": pa.array([], pa.string()),
+                             "pair": pa.array([], pa.string()),
+                             "pos": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        return pa.table({
+            "key": pa.concat_arrays(keys),
+            "pair": pa.concat_arrays(pairs),
+            "pos": pa.array([0] * nuni + [1] * n + [2] * n, pa.int64()),
+            "cnt": pa.concat_arrays(
+                [pc.cast(c, pa.int64()) for c in cnts]),
+        })
+
+    melted = counted.map_batches(_melt, batch_format="pyarrow")
+
+    def _attach(g: "pd.DataFrame") -> "pd.DataFrame":
+        # one word group: exactly one pos-0 row (the unigram count — every
+        # candidate word occurs as a unigram by construction)
+        import pandas as pd
+        cu = int(g.loc[g["pos"] == 0, "cnt"].iloc[0])
+        out = g[g["pos"] > 0]
+        if not len(out):
+            return pd.DataFrame({"pair": pd.Series([], dtype=object),
+                                 "cb": pd.Series([], dtype="int64"),
+                                 "c1": pd.Series([], dtype="int64"),
+                                 "c2": pd.Series([], dtype="int64")})
+        pos1 = (out["pos"] == 1).to_numpy()
+        return pd.DataFrame({
+            "pair": out["pair"].to_numpy(),
+            "cb": out["cnt"].to_numpy(dtype="int64"),
+            "c1": np.where(pos1, cu, 0).astype("int64"),
+            "c2": np.where(pos1, 0, cu).astype("int64"),
+        })
+
+    attached = melted.groupby("key").map_groups(_attach, batch_format="pandas")
+    agg = ensure_arrow_schema(
+        attached.groupby("pair").aggregate(Max("cb", alias_name="cb"),
+                                           Max("c1", alias_name="c1"),
+                                           Max("c2", alias_name="c2")),
+        pa.schema([("pair", pa.string()), ("cb", pa.int64()),
+                   ("c1", pa.int64()), ("c2", pa.int64())]))
+
+    def _pmi(b: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(b.column("pair"), " ")
+        cb = b.column("cb").to_numpy(zero_copy_only=False).astype(np.float64)
+        c1 = b.column("c1").to_numpy(zero_copy_only=False).astype(np.float64)
+        c2 = b.column("c2").to_numpy(zero_copy_only=False).astype(np.float64)
+        pmi = np.round(np.log2((cb / nb) / ((c1 / nu) * (c2 / nu))), ndigits)
+        return pa.table({
+            "w1": pc.list_element(parts, 0),
+            "w2": pc.list_element(parts, 1),
+            "n": pc.cast(b.column("cb"), pa.int64()),
+            "pmi": pa.array(pmi, pa.float64()),
+        })
+
+    scored = ensure_arrow_schema(
+        agg.map_batches(_pmi, batch_format="pyarrow"),
+        pa.schema([("w1", pa.string()), ("w2", pa.string()),
+                   ("n", pa.int64()), ("pmi", pa.float64())]))
+    return scored.sort(["pmi", "w1", "w2"],
+                       descending=[True, False, False]).limit(top_k)
+
+
 def _quality_feature_matrix(batch: pa.Table, text_col: str) -> np.ndarray:
     """(n, 5) design matrix [1, ln(1+n_tokens), avg_token_len,
     stopword_ratio, alpha_ratio] — the exact basis

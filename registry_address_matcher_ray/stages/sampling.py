@@ -360,3 +360,58 @@ def shuffled_shards(
                                 pa.array(pos // num_shards, pa.int64())))
 
     return out.map_batches(_shard, batch_format="pyarrow")
+
+
+def pack_sequences(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    seq_len: int = 2048,
+    shard_budget: int = 1_000_000,
+    counts: "ray.data.Dataset | None" = None,
+) -> "ray.data.Dataset":
+    """Context-window sequence packing: assign each doc (ordered by id) to a
+    fixed-``seq_len`` training sequence by NEXT-FIT — a sequence closes when
+    the next doc would overflow it; docs longer than ``seq_len`` get a
+    sequence of their own (the consumer truncates/splits downstream).
+
+    Next-fit carries sequential state (the current fill), which cannot ride
+    a plain prefix scan, so the engine uses the standard corpus-scale shape:
+    docs are first cut into ``shard_budget``-token shards (the exact
+    prefix-scan :func:`token_shards`), and packing runs INDEPENDENTLY per
+    shard via ``groupby(shard).map_groups`` — embarrassingly parallel and
+    deterministic at any partitioning. Sequence ids are globally unique and
+    reconstructible: ``seq_id = shard * 2^32 + local_seq``. The shard-local
+    boundary costs at most one under-filled sequence per shard (bounded,
+    documented waste — the same trade every sharded packer makes).
+
+    ``counts`` overrides whitespace token counting (e.g. trained-BPE counts).
+    Output: ``(id_col, n_tokens, seq_id, seq_pos)`` with ``seq_pos`` the
+    doc's index inside its sequence.
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    sharded = token_shards(ds, text_col, id_col, budget=shard_budget,
+                           counts=counts)
+
+    def _pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        shard = int(g["shard"].iloc[0])
+        seq_ids = np.empty(len(g), np.int64)
+        seq_pos = np.empty(len(g), np.int64)
+        local, fill, pos = 0, 0, 0
+        for i, n in enumerate(g["n_tokens"].to_numpy()):
+            if fill > 0 and fill + n > seq_len:
+                local += 1
+                fill, pos = 0, 0
+            seq_ids[i] = (shard << 32) + local
+            seq_pos[i] = pos
+            fill += int(n)
+            pos += 1
+        out = g[[id_col, "n_tokens"]].copy()
+        out["seq_id"] = seq_ids
+        out["seq_pos"] = seq_pos
+        return out
+
+    return sharded.groupby("shard").map_groups(_pack, batch_format="pandas")

@@ -868,3 +868,35 @@ def test_quality_classifier_train_partition_invariant_and_wires_inference(
     merged = scored.merge(df[["doc_id", "label"]], on="doc_id")
     acc = ((merged["quality_label"] == "keep") == (merged["label"] == 1)).mean()
     assert acc >= 0.95
+
+
+def test_pmi_collocations_matches_pandas(ray_session):
+    """PMI top-k equals a pandas transcription (counts, formula, ties)."""
+    rng = np.random.default_rng(31)
+    vocab = ["new", "york", "san", "francisco", "the", "bay", "area", "data"]
+    texts = [" ".join(rng.choice(vocab, size=int(rng.integers(3, 12))))
+             for _ in range(80)]
+    df = pd.DataFrame({"doc_id": range(80), "text": texts})
+    got = (A.pmi_collocations(ray.data.from_pandas(df).repartition(4),
+                              "text", top_k=10, min_count=2)
+           .to_pandas().reset_index(drop=True))
+
+    from collections import Counter
+    uni, bi = Counter(), Counter()
+    for t in texts:
+        ws = t.lower().split(" ")
+        uni.update(ws)
+        bi.update(a + " " + b for a, b in zip(ws, ws[1:]))
+    nu, nb = float(sum(uni.values())), float(sum(bi.values()))
+    rows = []
+    for bg, cb in bi.items():
+        if cb < 2:
+            continue
+        w1, w2 = bg.split(" ")
+        pmi = np.round(np.log2((cb / nb) / ((uni[w1] / nu) * (uni[w2] / nu))), 6)
+        rows.append((w1, w2, cb, pmi))
+    exp = (pd.DataFrame(rows, columns=["w1", "w2", "n", "pmi"])
+           .sort_values(["pmi", "w1", "w2"], ascending=[False, True, True],
+                        kind="mergesort").head(10).reset_index(drop=True))
+    exp["n"] = exp["n"].astype("int64")
+    pd.testing.assert_frame_equal(got, exp)

@@ -249,3 +249,49 @@ def test_write_sharded_resumable_roundtrip_and_resume(ray_session, tmp_path):
                .tolist())
         got = g.sort_values("pos_in_shard")["id"].tolist()
         assert got == exp
+
+
+def test_pack_sequences_matches_sequential_next_fit(ray_session):
+    """Within-shard packing equals a sequential next-fit transcription;
+    partition-invariant; oversize docs get their own sequence."""
+    from registry_address_matcher_ray.stages import sampling as S2
+
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame({
+        "id": list(range(150)),
+        "text": [" ".join(["w"] * int(rng.integers(1, 40))) for _ in range(150)],
+    })
+    df.loc[17, "text"] = " ".join(["w"] * 100)  # oversize doc (> seq_len)
+    outs = []
+    for parts in (1, 8):
+        got = (S2.pack_sequences(rd.from_pandas(df).repartition(parts),
+                                 "text", "id", seq_len=64,
+                                 shard_budget=500)
+               .to_pandas().sort_values("id").reset_index(drop=True))
+        outs.append(got)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    got = outs[0]
+
+    # sequential reference: shard by exclusive running sum, then next-fit
+    ntok = df["text"].str.split(" ").str.len().to_numpy()
+    run = np.concatenate([[0], np.cumsum(ntok)[:-1]])
+    shard = run // 500
+    exp_seq, exp_pos = [], []
+    cur_shard, local, fill, pos = -1, 0, 0, 0
+    for i in range(len(df)):
+        if shard[i] != cur_shard:
+            cur_shard, local, fill, pos = shard[i], 0, 0, 0
+        if fill > 0 and fill + ntok[i] > 64:
+            local += 1
+            fill, pos = 0, 0
+        exp_seq.append((int(shard[i]) << 32) + local)
+        exp_pos.append(pos)
+        fill += int(ntok[i])
+        pos += 1
+    assert list(got["seq_id"]) == exp_seq
+    assert list(got["seq_pos"]) == exp_pos
+    # every sequence respects seq_len unless it is a single oversize doc
+    agg = got.groupby("seq_id")["n_tokens"].agg(["sum", "count"])
+    bad = agg[(agg["sum"] > 64) & (agg["count"] > 1)]
+    assert len(bad) == 0
+    assert got.loc[got["id"] == 17, "n_tokens"].iloc[0] == 100
