@@ -1384,6 +1384,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
             pa.schema([("host", pa.string()), ("n_canonical", pa.int64())]))
         return pages.join(canon, join_type="inner", num_partitions=4, on=("host",))
 
+    def docs_training_prep(sf_dir):
+        """Flagship training-prep pipeline end-to-end: exact dedup ->
+        quality filter -> seeded global shuffle -> resumable interleaved
+        shard write, read back as (doc_id, shard, pos) rows
+        (pipelines/training_prep.py). Rows-only: the composition is
+        pytest-pinned stage-by-stage (tests/test_training_prep.py)."""
+        import tempfile
+
+        import ray.data as _rd
+
+        from registry_address_matcher_ray.pipelines.training_prep import (
+            run_training_prep,
+        )
+
+        out = tempfile.mkdtemp(prefix="prep-", dir="/tmp")
+        run_training_prep(_read(sf_dir, "documents"), out,
+                          quality_weights=(-3.8, 0.4, 0.1, 2.0, 2.0),
+                          seed="drv", num_shards=8)
+        import pyarrow.compute as _pc
+
+        def _proj(b: pa.Table) -> pa.Table:
+            # hive partition values may be inferred as strings on read-back
+            return pa.table({
+                "doc_id": b.column("doc_id"),
+                "shuffle_pos": _pc.cast(b.column("shuffle_pos"), pa.int64()),
+                "shard": _pc.cast(b.column("shard"), pa.int64()),
+                "pos_in_shard": _pc.cast(b.column("pos_in_shard"),
+                                         pa.int64()),
+            })
+
+        return _rd.read_parquet(out).map_batches(_proj,
+                                                 batch_format="pyarrow")
+
     def docs_pack_sequences(sf_dir):
         """Context-window sequence packing (next-fit within exact
         prefix-scan shards; stages/sampling.pack_sequences). Rows-only:
@@ -1599,6 +1632,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bpe_token_shards": docs_bpe_token_shards,
         "docs_pmi_collocations": docs_pmi_collocations,
         "docs_pack_sequences": docs_pack_sequences,
+        "docs_training_prep": docs_training_prep,
         "orders_union_filters": orders_union_filters,
         "distinct_returnflags": distinct_returnflags,
         "part_name_contains": part_name_contains,
@@ -3127,6 +3161,53 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Efraimidis-Spirakis weighted sample: fixed md5 uniforms make the
         # draw deterministic; identical pow() expression -> identical keys
+        # full training-prep PIPELINE oracle: exact-dedup winners (min id per
+        # text) -> the same quality-feature z >= 0 rule as
+        # docs_quality_classifier -> seeded md5 shuffle rank -> shards
+        "docs_training_prep": r"""
+            WITH dedup AS (
+                SELECT doc_id, text FROM (
+                    SELECT doc_id, text,
+                           row_number() OVER (PARTITION BY text
+                                              ORDER BY doc_id) AS rn
+                    FROM documents) WHERE rn = 1
+            ), t AS (
+                SELECT doc_id,
+                       regexp_extract_all(text, '\S+') AS toks,
+                       length(text) AS n,
+                       length(regexp_replace(text, '[^A-Za-zԱ-և]', '', 'g'))
+                           AS alpha
+                FROM dedup
+            ), f AS (
+                SELECT doc_id,
+                       len(toks) AS ntok,
+                       CASE WHEN len(toks) = 0 THEN 0.0
+                            ELSE list_sum(list_transform(toks, x -> length(x)))
+                                 * 1.0 / len(toks) END AS mtl,
+                       CASE WHEN len(toks) = 0 THEN 0.0
+                            ELSE len(list_filter(toks, x -> lower(x) IN
+                                ('the','a','an','and','or','of','to','in','is',
+                                 'are','was','were','be','been','it','this',
+                                 'that','for','on','with','as','at','by','from')))
+                                 * 1.0 / len(toks) END AS stopr,
+                       CASE WHEN n = 0 THEN 0.0
+                            ELSE alpha * 1.0 / n END AS alphar
+                FROM t
+            ), kept AS (
+                SELECT doc_id FROM f
+                WHERE -3.8 + 0.4 * ln(1 + ntok) + 0.1 * mtl
+                           + 2.0 * stopr + 2.0 * alphar >= 0.0
+            ), r AS (
+                SELECT doc_id,
+                       row_number() OVER (
+                           ORDER BY md5('drv' || CAST(doc_id AS VARCHAR)),
+                                    doc_id) - 1 AS p
+                FROM kept)
+            SELECT doc_id, CAST(p AS BIGINT) AS shuffle_pos,
+                   CAST(p % 8 AS BIGINT) AS shard,
+                   CAST(p // 8 AS BIGINT) AS pos_in_shard
+            FROM r
+        """,
         # PMI collocations: identical tokenization to the bigram-LM oracles;
         # pmi expression order matches the engine verbatim (round BEFORE the
         # top-k sort on both sides)

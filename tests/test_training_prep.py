@@ -1,0 +1,99 @@
+"""End-to-end training-prep pipeline (pipelines/training_prep.py): dedup ->
+decontaminate -> quality filter -> seeded shuffle -> resumable shard write."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from registry_address_matcher_ray.pipelines.training_prep import (
+    run_training_prep,
+)
+
+
+def _mk_corpus():
+    rng = np.random.default_rng(41)
+    stop = ["the", "and", "of", "to", "in", "is"]
+    rows = []
+    for i in range(120):
+        words = [stop[int(rng.integers(0, len(stop)))]
+                 if rng.random() < 0.3 else
+                 "".join(rng.choice(list("abcdefgh"), size=6))
+                 for _ in range(30)]
+        rows.append({"doc_id": i, "text": " ".join(words)})
+    # planted exact duplicates: 5 docs copy doc 0..4 (higher ids lose)
+    for j in range(5):
+        rows.append({"doc_id": 200 + j, "text": rows[j]["text"]})
+    # garbage docs the quality filter should drop (distinct texts so the
+    # exact-dedup stage keeps them all)
+    for j in range(6):
+        rows.append({"doc_id": 300 + j, "text": f"x#!{j}"})
+    return pd.DataFrame(rows)
+
+
+def test_training_prep_end_to_end(ray_session, tmp_path):
+    df = _mk_corpus()
+    bench = pd.DataFrame({
+        "doc_id": [900],
+        # contaminate doc 10: share its first 8 tokens
+        "text": [" ".join(df.loc[10, "text"].split()[:8])],
+    })
+    out = str(tmp_path / "prep")
+    res = run_training_prep(
+        rd.from_pandas(df), out,
+        benchmark=rd.from_pandas(bench),
+        quality_weights=(-3.8, 0.4, 0.1, 2.0, 2.0),
+        seed="t", num_shards=4, counts=True)
+    assert sorted(res["written"]) == [f"shard={i}" for i in range(4)]
+    back = rd.read_parquet(out).to_pandas()
+
+    # expected survivors: exact-dedup winners (min id), minus the
+    # contaminated doc, minus quality-dropped garbage
+    surv = df.sort_values("doc_id").drop_duplicates("text", keep="first")
+    surv = surv[surv.doc_id != 10]
+    surv = surv[~surv.doc_id.isin(range(300, 306))]
+    assert sorted(back["doc_id"]) == sorted(surv["doc_id"])
+    # shuffle order is the seeded md5 permutation over the survivors
+    exp_order = sorted(
+        surv["doc_id"],
+        key=lambda v: (hashlib.md5(("t" + str(v)).encode()).hexdigest(), v))
+    got = back.sort_values("shuffle_pos")
+    assert list(got["doc_id"]) == exp_order
+    # hive partition values may read back as strings
+    assert (got["shard"].astype("int64").to_numpy() ==
+            got["shuffle_pos"].to_numpy() % 4).all()
+    # stage counts recorded
+    c = res["counts"]
+    assert c["after_exact_dedup"] == 120 + 6
+    assert c["after_decontaminate"] == 120 + 6 - 1
+    assert c["after_quality_filter"] == len(surv)
+
+    # resume: drop one shard, re-run -> only that shard rewritten
+    import shutil, os
+    shutil.rmtree(os.path.join(out, "shard=1"))
+    res2 = run_training_prep(
+        rd.from_pandas(df), out,
+        benchmark=rd.from_pandas(bench),
+        quality_weights=(-3.8, 0.4, 0.1, 2.0, 2.0),
+        seed="t", num_shards=4)
+    assert res2["written"] == ["shard=1"]
+    back2 = rd.read_parquet(out).to_pandas()
+    assert sorted(back2["doc_id"]) == sorted(back["doc_id"])
+
+
+def test_training_prep_trained_quality(ray_session, tmp_path):
+    """train_quality_on wires the distributed fit into the filter stage."""
+    df = _mk_corpus()
+    df["label"] = (df["doc_id"] < 300).astype("int64")  # garbage = 0
+    out = str(tmp_path / "prep2")
+    res = run_training_prep(
+        rd.from_pandas(df), out, train_quality_on="label",
+        seed="t2", num_shards=2, counts=True)
+    assert len(res["counts"]["trained_quality_weights"]) == 5
+    back = rd.read_parquet(out).to_pandas()
+    # the learned filter separates the planted classes: garbage gone,
+    # real docs (dedup winners) kept
+    assert not set(range(300, 306)) & set(back["doc_id"])
+    assert res["counts"]["after_quality_filter"] >= 115
