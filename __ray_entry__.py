@@ -1384,6 +1384,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
             pa.schema([("host", pa.string()), ("n_canonical", pa.int64())]))
         return pages.join(canon, join_type="inner", num_partitions=4, on=("host",))
 
+    def docs_neardup_against(sf_dir):
+        """Cross-corpus near-dup filter (stages/dedup.minhash_dedup_against):
+        the deterministic md5 train split plays the existing training set,
+        the rest plays the new crawl; returns the new rows surviving the
+        LSH+verify filter. Rows-only (LSH approximate); recall/cross-only
+        semantics are pytest-pinned (tests/test_dedup.py)."""
+        import hashlib as _hl
+
+        docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+        def _half(is_ref):
+            def _f(b: pa.Table) -> pa.Table:
+                keep = [( _hl.md5(str(v).encode()).hexdigest()[:4] < "8000")
+                        == is_ref
+                        for v in b.column("doc_id").to_pylist()]
+                return b.filter(pa.array(keep, pa.bool_()))
+            return _f
+
+        ref = docs.map_batches(_half(True), batch_format="pyarrow")
+        new = docs.map_batches(_half(False), batch_format="pyarrow")
+        return D.minhash_dedup_against(new, ref, "text", "doc_id",
+                                       jaccard_threshold=0.6)["filtered"]
+
     def docs_training_prep(sf_dir):
         """Flagship training-prep pipeline end-to-end: exact dedup ->
         quality filter -> seeded global shuffle -> resumable interleaved
@@ -1633,6 +1656,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pmi_collocations": docs_pmi_collocations,
         "docs_pack_sequences": docs_pack_sequences,
         "docs_training_prep": docs_training_prep,
+        "docs_neardup_against": docs_neardup_against,
         "orders_union_filters": orders_union_filters,
         "distinct_returnflags": distinct_returnflags,
         "part_name_contains": part_name_contains,

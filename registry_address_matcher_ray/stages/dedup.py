@@ -551,6 +551,169 @@ def minhash_lsh_dedup(
     return {"pairs": verified, "clusters": clusters}
 
 
+def minhash_dedup_against(
+    new_ds: ray.data.Dataset,
+    ref_ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.8,
+    max_group: int = 200,
+    seed: int = 1729,
+) -> Dict[str, ray.data.Dataset]:
+    """CROSS-corpus near-dup filter: drop rows of ``new_ds`` that are
+    MinHash-LSH near-duplicates of anything in ``ref_ds`` — the "don't
+    re-ingest what the training set already contains" pass a recurring
+    crawl runs before appending a new snapshot.
+
+    Same machinery as :func:`minhash_lsh_dedup` (identical seeded band
+    keys on BOTH sides, ids-only melt, hot-bucket cap counted on the
+    truncation metrics actor, candidate-bounded exact-Jaccard verify) but
+    pair generation emits ONLY cross-side (ref_id, new_id) pairs — within-
+    corpus duplicates are out of scope here. Both corpora must share the
+    id column type; ids may collide across corpora (the verify keys texts
+    by side).
+
+    Returns ``{"pairs": (id_a=ref, id_b=new, jaccard) verified distinct,
+    "filtered": new_ds rows with no verified ref near-dup}``.
+    """
+    def _banded(ds):
+        return blocking.add_minhash_bands(
+            ds.select_columns([id_col, text_col]), text_col,
+            num_perm=num_perm, bands=bands, shingle_k=shingle_k, seed=seed)
+
+    def _melt_side(side: int):
+        def _melt(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            idc = batch.column(id_col)
+            if isinstance(idc, pa.ChunkedArray):
+                idc = idc.combine_chunks()
+            bkey = np.empty(n * bands, dtype=np.int64)
+            for b in range(bands):
+                h = batch.column(f"band_{b}").to_numpy(zero_copy_only=False)
+                bkey[b * n:(b + 1) * n] = (
+                    h.astype("int64") * np.int64(31)) ^ np.int64(b * 0x9E3779B9)
+            return pa.table({
+                "bucket": pa.array(bkey, pa.int64()),
+                id_col: pa.chunked_array([idc] * bands) if bands else idc,
+                "side": pa.array(np.full(n * bands, side, np.int8)),
+            })
+        return _melt
+
+    melted = (_banded(ref_ds).map_batches(_melt_side(0),
+                                          batch_format="pyarrow")
+              .union(_banded(new_ds).map_batches(_melt_side(1),
+                                                 batch_format="pyarrow")))
+
+    trunc_actor = _metrics.truncation_actor()
+
+    def _cross_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        refs = g.loc[g["side"] == 0, id_col].drop_duplicates()
+        news = g.loc[g["side"] == 1, id_col].drop_duplicates()
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype=g[id_col].dtype),
+                              "id_b": pd.Series([], dtype=g[id_col].dtype)})
+        if refs.empty or news.empty:
+            return empty
+        nr, nn = len(refs), len(news)
+        if nr > max_group or nn > max_group:
+            kept_r, kept_n = min(nr, max_group), min(nn, max_group)
+            trunc_actor.add.remote(
+                "minhash_cross", 1, (nr - kept_r) + (nn - kept_n),
+                nr * nn - kept_r * kept_n)
+        refs = refs.sort_values(kind="mergesort").head(max_group).to_numpy()
+        news = news.sort_values(kind="mergesort").head(max_group).to_numpy()
+        return pd.DataFrame({
+            "id_a": np.repeat(refs, len(news)),
+            "id_b": np.tile(news, len(refs)),
+        })
+
+    pairs = (melted.groupby("bucket")
+             .map_groups(_cross_pairs, batch_format="pandas")
+             .map_batches(lambda df: df.drop_duplicates(["id_a", "id_b"]),
+                          batch_format="pandas")).materialize()
+    _metrics.log_truncation_summary("minhash_cross")
+
+    thr = float(jaccard_threshold)
+    # candidate-bounded text gather, keyed by SIDE (ids may collide)
+    ids_a, ids_b = [], []
+    for b in pairs.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            ids_a.append(b.column("id_a").combine_chunks())
+            ids_b.append(b.column("id_b").combine_chunks())
+    if not ids_a:
+        empty_pairs = ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64())}))
+        return {"pairs": empty_pairs, "filtered": new_ds}
+    ref_ids = pc.unique(pa.concat_arrays(ids_a))
+    new_ids = pc.unique(pa.concat_arrays(ids_b))
+    texts: Dict = {}
+    for side, src, idset in (("r", ref_ds, ref_ids), ("n", new_ds, new_ids)):
+        for b in _semi_join_ids_arrow(
+                src.select_columns([id_col, text_col]), id_col, idset
+        ).iter_batches(batch_format="pyarrow"):
+            for r in zip(b.column(id_col).to_pylist(),
+                         b.column(text_col).to_pylist()):
+                texts[(side, r[0])] = r[1]
+    texts_ref = ray.put(texts)
+
+    class _XVerifyState:
+        def __init__(self):
+            self.texts = ray.get(texts_ref)
+            self.ngrams: Dict = {}
+
+        def _ng(self, key):
+            s = self.ngrams.get(key)
+            if s is None:
+                s = textfns.ngram_set(self.texts.get(key) or "")
+                self.ngrams[key] = s
+            return s
+
+    vkey = ("minhash-xverify", texts_ref.hex())
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        from .matching import _worker_state
+
+        st = _worker_state(vkey, _XVerifyState)
+        a = batch.column("id_a").to_pylist()
+        b = batch.column("id_b").to_pylist()
+        jac = [textfns.jaccard(st._ng(("r", x)), st._ng(("n", y)))
+               for x, y in zip(a, b)]
+        out = pa.table({
+            "id_a": batch.column("id_a"),
+            "id_b": batch.column("id_b"),
+            "jaccard": pa.array(jac, pa.float64()),
+        })
+        return out.filter(pc.greater_equal(out.column("jaccard"), thr))
+
+    sch = new_ds.schema()
+    id_type = dict(zip(sch.names, sch.types))[id_col]
+    verified = _distinct_pairs_with_value(
+        pairs.map_batches(_verify, batch_format="pyarrow"),
+        "jaccard", id_type,
+    ).materialize()
+
+    # drop matched new ids (broadcast set bounded by near-dup volume)
+    matched = []
+    for b in verified.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            matched.append(b.column("id_b").combine_chunks())
+    if matched:
+        drop_ref = ray.put(pc.unique(pa.concat_arrays(matched)))
+
+        def _keep(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.invert(pc.is_in(
+                batch.column(id_col), value_set=ray.get(drop_ref))))
+
+        filtered = new_ds.map_batches(_keep, batch_format="pyarrow")
+    else:
+        filtered = new_ds
+    return {"pairs": verified, "filtered": filtered}
+
+
 def simhash_dedup(
     ds: ray.data.Dataset,
     text_col: str,

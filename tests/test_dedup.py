@@ -518,3 +518,49 @@ def test_minhash_truncation_counter(ray_session):
     # drops C(30,2) - C(5,2) = 435 - 10 = 425 candidate pairs
     assert snap["pairs_dropped"] == snap["buckets_truncated"] * 425
     assert snap["rows_dropped"] == snap["buckets_truncated"] * 25
+
+
+def test_minhash_dedup_against_cross_corpus(ray_session):
+    """Cross-corpus near-dup filter: new docs that copy (or nearly copy)
+    reference docs are dropped; unrelated docs survive; no within-corpus
+    pairs are emitted."""
+    base = _mk_docs(n=60, dup_groups=0, seed=101)
+    ref = base.iloc[:40][["doc_id", "text"]].reset_index(drop=True)
+    rng = np.random.default_rng(7)
+    new_rows = []
+    # 5 exact copies of ref docs, 5 near copies (one word swapped), 10 fresh
+    for j in range(5):
+        new_rows.append({"doc_id": 1000 + j, "text": ref.loc[j, "text"]})
+    for j in range(5):
+        toks = ref.loc[10 + j, "text"].split()
+        toks[int(rng.integers(0, len(toks)))] = "zulu"
+        new_rows.append({"doc_id": 1100 + j, "text": " ".join(toks)})
+    fresh = base.iloc[40:50][["doc_id", "text"]]
+    for _, r in fresh.iterrows():
+        new_rows.append({"doc_id": int(r.doc_id) + 2000, "text": r.text})
+    new = pd.DataFrame(new_rows)
+
+    res = D.minhash_dedup_against(
+        ray.data.from_pandas(new).repartition(3),
+        ray.data.from_pandas(ref).repartition(2),
+        "text", "doc_id", jaccard_threshold=0.5)
+    pairs = res["pairs"].to_pandas()
+    filtered = res["filtered"].to_pandas()
+    # every copy/near-copy is caught and dropped; the 10 fresh docs survive
+    dropped = set(new["doc_id"]) - set(filtered["doc_id"])
+    assert dropped == set(range(1000, 1005)) | set(range(1100, 1105))
+    # pairs are strictly cross-corpus (id_a in ref, id_b in new)
+    assert set(pairs["id_a"]) <= set(ref["doc_id"])
+    assert set(pairs["id_b"]) <= set(new["doc_id"])
+    assert (pairs["jaccard"] >= 0.5).all()
+
+
+def test_minhash_dedup_against_no_matches(ray_session):
+    """Disjoint corpora: nothing dropped, empty pair set."""
+    a = _mk_docs(n=20, dup_groups=0, seed=5)[["doc_id", "text"]]
+    b = _mk_docs(n=20, dup_groups=0, seed=99)[["doc_id", "text"]]
+    res = D.minhash_dedup_against(
+        ray.data.from_pandas(a), ray.data.from_pandas(b),
+        "text", "doc_id")
+    assert res["pairs"].count() == 0
+    assert sorted(res["filtered"].to_pandas()["doc_id"]) == sorted(a["doc_id"])
