@@ -97,3 +97,31 @@ def test_training_prep_trained_quality(ray_session, tmp_path):
     # real docs (dedup winners) kept
     assert not set(range(300, 306)) & set(back["doc_id"])
     assert res["counts"]["after_quality_filter"] >= 115
+
+
+def test_prep_job_cli(tmp_path):
+    """The ray-job-submit entrypoint runs end-to-end in a fresh process
+    (parquet in -> shard dirs out -> one JSON summary line)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    df = _mk_corpus()
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), src)
+    out = str(tmp_path / "shards")
+    env = dict(os.environ, RAY_ADDRESS="local")
+    r = subprocess.run(
+        [sys.executable, "-m", "registry_address_matcher_ray.prep_job",
+         "--docs", src, "--out", out, "--num-shards", "2", "--seed", "cli",
+         "--quality-weights", "-3.8", "0.4", "0.1", "2.0", "2.0"],
+        capture_output=True, text=True, timeout=300, env=env,
+        cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert sorted(summary["written"]) == ["shard=0", "shard=1"]
+    assert os.path.exists(os.path.join(out, "shard=0", "_SUCCESS"))
