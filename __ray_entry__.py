@@ -283,6 +283,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "documents"), "doc_id", "text",
             vocab_broadcast_limit=0)
 
+    def docs_perplexity_buckets(sf_dir):
+        """CCNet head/middle/tail split at the 1/3 and 2/3 nearest-rank
+        quantiles of the per-doc unigram avg logprob (Wenzek 2020 §3.3;
+        stages/analytics.perplexity_buckets)."""
+        return A.perplexity_buckets(
+            _read(sf_dir, "documents"), "doc_id", "text")
+
+    def docs_temperature_mix(sf_dir):
+        """Temperature-scaled source mixing weights w_s = c_s^0.7 / sum
+        (Conneau & Lample 2019 §3.1; stages/analytics.temperature_mix)."""
+        return A.temperature_mix(_read(sf_dir, "documents"), "source",
+                                 alpha=0.7)
+
+    def pages_boilerplate_removed(sf_dir):
+        """CCNet/RefinedWeb boilerplate rule over EXTRACTED page text: drop
+        non-blank lines occurring in >= 2 distinct pages (shared template
+        lines; stages/dedup.boilerplate_removed). The documents fixture has
+        single-line texts, so the crawl pages are the honest input here."""
+        from registry_address_matcher_ray.sources.io import read_parquet_clean
+        from registry_address_matcher_ray.stages import blocking
+
+        p = _registry_paths(sf_dir)
+        pages = read_parquet_clean(p["pages"], columns=["url", "html"])
+        ext = blocking.extract_pages(pages).map_batches(
+            lambda b: pa.table({"url": b.column("url"),
+                                "text": b.column("extracted_text")}),
+            batch_format="pyarrow",
+        )
+        return D.boilerplate_removed(ext, "text", "url", max_df=2)
+
+    def supplier_via_sql(sf_dir):
+        """S1/S3 live-DB ingest path (sources/sqldb.py): the supplier table
+        served from sqlite through ray.data.read_sql, 4 range-disjoint
+        shards (reference src/database/connection.py:8-28 transport,
+        re-expressed as parallel read tasks)."""
+        import hashlib
+
+        from registry_address_matcher_ray.sources import sqldb
+
+        db = "/tmp/ram_sqldb_%s.db" % hashlib.md5(
+            sf_dir.encode()).hexdigest()[:10]
+        if not os.path.exists(db):
+            tmp = db + ".building"
+            sqldb.dataset_to_sqlite(
+                os.path.join(sf_dir, "supplier.parquet"), tmp, "supplier")
+            os.replace(tmp, db)
+        fac = sqldb.connection_factory("sqlite", database=db)
+        return sqldb.read_sql_sharded("supplier", fac, "s_suppkey",
+                                      num_shards=4)
+
     def docs_bigram_logprob(sf_dir):
         return A.bigram_logprob(_read(sf_dir, "documents"), "doc_id", "text")
 
@@ -1578,6 +1628,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_per_host_cap": pages_per_host_cap,
         "crawl_snapshot_diff": crawl_snapshot_diff,
         "docs_split_assign": docs_split_assign,
+        # -- round-4 new ops (sqldb connector, CCNet bucketing/boilerplate,
+        #    temperature mix) take window slots; the four entries they
+        #    displace move below 50 and rotate back in next round
+        "supplier_via_sql": supplier_via_sql,
+        "docs_perplexity_buckets": docs_perplexity_buckets,
+        "docs_temperature_mix": docs_temperature_mix,
+        "pages_boilerplate_removed": pages_boilerplate_removed,
         "embeddings_cosine_join": embeddings_cosine_join,
         "part_soundex_keys": part_soundex_keys,
         "part_phonetic_block_sizes": part_phonetic_block_sizes,
@@ -1888,6 +1945,27 @@ def _prep_pages_records_path(sf_dir: str) -> str:
         recs = recs.append_column(
             "_ord", pc.cast(recs.column("ADDRESS_ID"), "string"))
         pq.write_table(recs, out + ".tmp")
+        os.replace(out + ".tmp", out)
+    return out
+
+
+def _pages_text_path(sf_dir: str) -> str:
+    """Extracted page text (url, text) as parquet, driver-side.
+
+    Same pattern as :func:`_prep_pages_records_path`: the html->text
+    extraction is the SAME pure-Arrow batch function the Ray pipeline uses
+    (``stages/blocking._extract_batch``), so DuckDB oracles over line-level
+    page ops check the SQL-expressible semantics on identical text."""
+    raw = _registry_paths(sf_dir)
+    out = os.path.join(os.path.dirname(raw["pages"]), "pre_pages_text.parquet")
+    if not os.path.exists(out):
+        from registry_address_matcher_ray.stages import blocking
+
+        ext = blocking._extract_batch(pq.read_table(raw["pages"]))
+        pq.write_table(
+            pa.table({"url": ext.column("url"),
+                      "text": ext.column("extracted_text")}),
+            out + ".tmp")
         os.replace(out + ".tmp", out)
     return out
 
@@ -2922,6 +3000,74 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_unigram_logprob": _unigram_sql,
         "docs_unigram_logprob_joinplan": _unigram_sql,
+        # CCNet bucketing: lp CTE is _unigram_sql verbatim; thresholds use
+        # the engine's nearest-rank rule rank = max(1, ceil(q*n)) one-based,
+        # with q the same double literals (1.0/3.0, 2.0/3.0)
+        "docs_perplexity_buckets": """
+            WITH tok AS (
+                SELECT doc_id, token FROM (
+                    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+                    FROM documents) WHERE token <> ''),
+            cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+            tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok),
+            lp AS (
+                SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                       round(avg(ln(CAST(cnt.c AS DOUBLE) / tot.n)), 6)
+                           AS avg_logprob
+                FROM tok JOIN cnt ON cnt.token = tok.token CROSS JOIN tot
+                GROUP BY tok.doc_id),
+            nq AS (SELECT count(*) AS n FROM lp),
+            offs AS (SELECT
+                greatest(1, CAST(ceil((1.0/3.0) * n) AS BIGINT)) AS o1,
+                greatest(1, CAST(ceil((2.0/3.0) * n) AS BIGINT)) AS o2
+                FROM nq),
+            ranked AS (SELECT avg_logprob,
+                              row_number() OVER (ORDER BY avg_logprob) AS rk
+                       FROM lp),
+            th AS (SELECT
+                (SELECT avg_logprob FROM ranked, offs WHERE rk = o1) AS t_lo,
+                (SELECT avg_logprob FROM ranked, offs WHERE rk = o2) AS t_hi)
+            SELECT lp.doc_id, lp.n_tokens, lp.avg_logprob,
+                   CASE WHEN lp.avg_logprob <= th.t_lo THEN 'tail'
+                        WHEN lp.avg_logprob <= th.t_hi THEN 'middle'
+                        ELSE 'head' END AS bucket
+            FROM lp CROSS JOIN th
+        """,
+        "docs_temperature_mix": """
+            WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+                       FROM documents GROUP BY 1),
+            t AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS tot,
+                         sum(pow(CAST(n_docs AS DOUBLE), 0.7)) AS ptot
+                  FROM c)
+            SELECT source, n_docs,
+                   round(n_docs / tot, 6) AS natural_share,
+                   round(pow(CAST(n_docs AS DOUBLE), 0.7) / ptot, 6) AS weight
+            FROM c CROSS JOIN t
+        """,
+        # boilerplate removal: same line explosion as docs_line_dedup, over
+        # the driver-extracted page text (identical batch fn as the engine);
+        # drop lines in >= 2 distinct pages instead of keeping first
+        # occurrences
+        "pages_boilerplate_removed": rf"""
+            WITH p AS (SELECT url, text
+                       FROM read_parquet('{_pages_text_path("/root/testdata/sf0.01")}')),
+            lines AS (
+                SELECT url,
+                       unnest(string_split(text, chr(10))) AS line,
+                       generate_subscripts(string_split(text, chr(10)), 1) AS line_no
+                FROM p
+            ), boiler AS (
+                SELECT line FROM lines WHERE line <> ''
+                GROUP BY line HAVING count(DISTINCT url) >= 2
+            )
+            SELECT l.url, string_agg(l.line, chr(10) ORDER BY l.line_no) AS text
+            FROM lines l LEFT JOIN boiler b ON l.line = b.line
+            WHERE b.line IS NULL
+            GROUP BY l.url
+        """,
+        "supplier_via_sql": """
+            SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+        """,
         "docs_bigram_logprob": _bigram_sql,
         "docs_bigram_logprob_joinplan": _bigram_sql,
         "web_pagerank": _pagerank_sql,

@@ -1,0 +1,189 @@
+"""Live SQL database connectors (reference S1 MySQL / S3 Supabase / S4 factory).
+
+The reference ingests registries over live DB connections
+(``/root/reference/src/database/connection.py:8-28`` builds a connection
+factory; ``address.py`` S1/S3 readers pull whole tables through it). Earlier
+rounds covered the *semantics* with parquet files; this module closes the
+transport gap with real connectors built on ``ray.data.read_sql``:
+
+- :func:`connection_factory` — the S4 equivalent: returns a zero-argument
+  callable producing a DB-API connection, the exact shape
+  ``ray.data.read_sql`` wants. In this sandbox the only available engine is
+  stdlib ``sqlite3``; the factory is engine-keyed so a MySQL/Postgres driver
+  drops in as one more branch with no caller changes.
+- :func:`read_sql_table` — one-query ingest (small tables, dimension sides).
+- :func:`read_sql_sharded` — the scale path: N independent ``WHERE
+  <shard_expr> % N = i`` reads that land as N parallel read tasks, so a
+  100 TB table streams through N connections instead of one cursor. Each
+  shard is its own Ray read task; downstream stages consume blocks as they
+  arrive (no driver materialization).
+- :func:`write_sql_table` — sink. SQLite is single-writer, so the sandbox
+  implementation streams ``iter_batches`` driver-side in bounded batches
+  (documented); a server DB would instead use per-block writer actors.
+
+Registry ingest through a connector still runs the same required-column
+validation as the parquet path (``io.validate_registry_schema``).
+"""
+
+from __future__ import annotations
+
+import sqlite3
+from typing import Callable, Iterable, Optional
+
+import ray.data
+
+from .io import validate_registry_schema
+
+__all__ = [
+    "connection_factory",
+    "read_sql_table",
+    "read_sql_sharded",
+    "read_registry_sql",
+    "write_sql_table",
+    "dataset_to_sqlite",
+]
+
+
+def connection_factory(engine: str = "sqlite", **params) -> Callable[[], object]:
+    """Build a zero-arg DB-API connection factory (reference S4,
+    ``src/database/connection.py:8-28``).
+
+    ``ray.data.read_sql`` calls the factory once per read task, worker-side —
+    connections are never pickled, only the factory closure is. Supported
+    engines in this sandbox: ``sqlite`` (stdlib). ``mysql``/``postgres``
+    branches raise with the driver name they need, so the API surface is the
+    full S4 shape while staying honest about what this container can run.
+    """
+    if engine == "sqlite":
+        db_path = params["database"]
+
+        def _connect() -> sqlite3.Connection:
+            # One connection per read task; read-only usage, no shared state.
+            return sqlite3.connect(db_path)
+
+        return _connect
+    if engine in ("mysql", "postgres", "postgresql", "supabase"):
+        raise NotImplementedError(
+            f"{engine} connector needs its DB-API driver (mysql-connector / "
+            "psycopg2), not installed in this container; the sqlite branch "
+            "exercises the identical ray.data.read_sql path."
+        )
+    raise ValueError(f"unknown engine: {engine}")
+
+
+def read_sql_table(
+    sql: str, factory: Callable[[], object], **read_kwargs
+) -> ray.data.Dataset:
+    """Ingest one SQL query as a Dataset (single read task — use for small
+    or dimension tables; :func:`read_sql_sharded` for big ones)."""
+    return ray.data.read_sql(sql, factory, **read_kwargs)
+
+
+def read_sql_sharded(
+    table: str,
+    factory: Callable[[], object],
+    shard_expr: str,
+    num_shards: int,
+    columns: Optional[Iterable[str]] = None,
+) -> ray.data.Dataset:
+    """Parallel SQL ingest: ``num_shards`` independent range-disjoint reads.
+
+    Each shard runs ``SELECT <cols> FROM <table> WHERE (<shard_expr>) % N = i``
+    as its own Ray read task, so the table streams through N concurrent
+    cursors and downstream stages start before the last shard finishes.
+    ``shard_expr`` must be integer-valued and stable (a PK or a hash of one);
+    the shards partition the table exactly — every row lands in exactly one
+    shard, so the union is the table with no dedup step needed.
+
+    At 100 TB this is the difference between one cursor bottleneck and a
+    read stage that scales with the DB's replica fan-out.
+    """
+    if num_shards < 1:
+        raise ValueError("num_shards must be >= 1")
+    cols = ", ".join(columns) if columns else "*"
+    shards = [
+        ray.data.read_sql(
+            f"SELECT {cols} FROM {table} "
+            f"WHERE (({shard_expr}) % {num_shards} + {num_shards}) % {num_shards} = {i}",
+            factory,
+        )
+        for i in range(num_shards)
+    ]
+    ds = shards[0]
+    for s in shards[1:]:
+        ds = ds.union(s)
+    return ds
+
+
+def read_registry_sql(
+    table: str,
+    factory: Callable[[], object],
+    shard_expr: str,
+    num_shards: int = 4,
+    registry_name: str = "registry",
+) -> ray.data.Dataset:
+    """Registry ingest over a live connection with the same required-column
+    validation as the parquet path (S1/S3 semantics end-to-end)."""
+    ds = read_sql_sharded(table, factory, shard_expr, num_shards)
+    validate_registry_schema(ds.schema(), registry_name)
+    return ds
+
+
+def _sql_type(t) -> str:
+    import pyarrow.types as pt
+
+    if pt.is_integer(t) or pt.is_boolean(t):
+        return "INTEGER"
+    if pt.is_floating(t) or pt.is_decimal(t):
+        return "REAL"
+    return "TEXT"
+
+
+def write_sql_table(
+    ds: ray.data.Dataset,
+    table: str,
+    db_path: str,
+    batch_size: int = 10_000,
+    replace: bool = True,
+) -> int:
+    """Stream a Dataset into a sqlite table; returns rows written.
+
+    SQLite is single-writer, so this sink streams ``iter_batches`` on the
+    driver — bounded memory (one batch at a time), but serial. A server DB
+    (MySQL/Postgres) would instead fan out per-block writer actors; the
+    schema/DDL half below is engine-agnostic.
+    """
+    schema = ds.schema()
+    cols = schema.names
+    ddl_cols = ", ".join(
+        f'"{c}" {_sql_type(t)}' for c, t in zip(cols, schema.types)
+    )
+    placeholders = ", ".join("?" for _ in cols)
+    con = sqlite3.connect(db_path)
+    try:
+        if replace:
+            con.execute(f'DROP TABLE IF EXISTS "{table}"')
+        con.execute(f'CREATE TABLE IF NOT EXISTS "{table}" ({ddl_cols})')
+        n = 0
+        for batch in ds.iter_batches(batch_size=batch_size, batch_format="pandas"):
+            for c in batch.columns:
+                # sqlite3 has no temporal bind type: store ISO-8601 TEXT.
+                if str(batch[c].dtype).startswith("datetime64"):
+                    batch[c] = batch[c].astype(str)
+            rows = list(batch.itertuples(index=False, name=None))
+            con.executemany(
+                f'INSERT INTO "{table}" VALUES ({placeholders})', rows
+            )
+            n += len(rows)
+        con.commit()
+        return n
+    finally:
+        con.close()
+
+
+def dataset_to_sqlite(parquet_path: str, db_path: str, table: str) -> int:
+    """Materialize a parquet table into sqlite (test/demo fixture builder —
+    the sandbox stand-in for 'the data already lives in the DB')."""
+    from .io import read_parquet_clean
+
+    return write_sql_table(read_parquet_clean(parquet_path), table, db_path)

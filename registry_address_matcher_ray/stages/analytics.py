@@ -1230,6 +1230,78 @@ def unigram_logprob(
     return agg.map_batches(_fin, batch_format="pyarrow")
 
 
+def perplexity_buckets(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    cuts: Sequence[float] = (1.0 / 3.0, 2.0 / 3.0),
+    ndigits: int = 6,
+) -> ray.data.Dataset:
+    """CCNet-style head/middle/tail perplexity bucketing (Wenzek et al. 2020
+    §3.3): score every document under the corpus LM, then split the corpus at
+    the ``cuts`` quantiles of the score — 'head' is the most-in-distribution
+    (highest avg logprob = lowest perplexity) third, 'tail' the least.
+
+    Composition, all stages already scale-proven: :func:`unigram_logprob`
+    (vocab-sized shuffle only) -> :func:`exact_quantiles` (one distributed
+    sort, O(len(cuts)) rows to the driver — nearest-rank, so thresholds are
+    actual data values and match DuckDB ``quantile_disc`` bitwise) -> one
+    stateless ``map_batches`` comparing each doc to the two broadcast floats.
+    Tie rule: ``avg_logprob <= t`` goes to the lower bucket, deterministic.
+    Output: ``(id_col, n_tokens, avg_logprob, bucket)``.
+    """
+    lp = unigram_logprob(ds, id_col, text_col, ndigits=ndigits).materialize()
+    qs = exact_quantiles(lp, "avg_logprob", list(cuts))
+    t_lo, t_hi = (qs[cuts[0]], qs[cuts[1]])
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        v = batch.column("avg_logprob")
+        bucket = pc.if_else(
+            pc.less_equal(v, t_lo), "tail",
+            pc.if_else(pc.less_equal(v, t_hi), "middle", "head"),
+        )
+        return batch.append_column("bucket", pc.cast(bucket, pa.string()))
+
+    return lp.map_batches(_bucket, batch_format="pyarrow")
+
+
+def temperature_mix(
+    ds: ray.data.Dataset, source_col: str, alpha: float = 0.7, ndigits: int = 6
+) -> ray.data.Dataset:
+    """Temperature-scaled source-mixing weights (the multilingual-sampling
+    rule of Conneau & Lample 2019 §3.1, standard for balancing corpus mixes):
+    ``w_s = c_s^alpha / sum_s c_s^alpha``. ``alpha < 1`` upweights small
+    sources relative to their natural share.
+
+    One vocabulary-of-sources-sized ``groupby`` (per-batch partial counts),
+    then the normalization runs on the driver over O(#sources) rows — at any
+    corpus scale #sources is tiny. Output ``(source, n_docs, natural_share,
+    weight)`` with floats rounded to ``ndigits``.
+    """
+    import pandas as pd
+
+    def _cnt(df: "pd.DataFrame") -> "pd.DataFrame":
+        vc = df[source_col].value_counts()
+        return pd.DataFrame({source_col: vc.index, "_c": vc.to_numpy()})
+
+    counts = (
+        ds.select_columns([source_col])
+        .map_batches(_cnt, batch_format="pandas")
+        .groupby(source_col)
+        .aggregate(Sum("_c", alias_name="n_docs"))
+        .to_pandas()
+    )
+    n = counts["n_docs"].to_numpy(dtype="int64")
+    pw = np.power(n.astype("float64"), alpha)
+    out = pd.DataFrame({
+        "source": counts[source_col],
+        "n_docs": n,
+        "natural_share": np.round(n / n.sum(), ndigits),
+        "weight": np.round(pw / pw.sum(), ndigits),
+    }).sort_values("source").reset_index(drop=True)
+    return ray.data.from_pandas(out)
+
+
 def bigram_logprob(
     ds: ray.data.Dataset, id_col: str, text_col: str, ndigits: int = 6,
     vocab_broadcast_limit: Optional[int] = None,

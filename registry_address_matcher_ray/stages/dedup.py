@@ -944,6 +944,100 @@ def line_dedup(
     return kept.groupby(id_col).map_groups(_rebuild, batch_format="pandas")
 
 
+def boilerplate_removed(
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    max_df: int,
+    num_partitions: int = 16,
+    broadcast_limit: int = 2_000_000,
+) -> ray.data.Dataset:
+    """CCNet/RefinedWeb-style boilerplate line removal: drop every non-blank
+    line that occurs in ``max_df`` or more DISTINCT documents (nav bars,
+    cookie banners, footers — the complement of :func:`line_dedup`, which
+    keeps first occurrences; this keeps none).
+
+    Scale shape: explode to one row per line (rows are whole documents, so
+    per-batch ``(doc, line)`` dedup for the document-frequency count is
+    exact) -> ``groupby(line).sum`` over batch-partial df counts -> filter to
+    the boilerplate set. The set is small by construction (only lines shared
+    by >= ``max_df`` docs), so winner resolution auto-selects like
+    :func:`exact_dedup`: up to ``broadcast_limit`` lines it is ``ray.put``
+    once and each exploded batch filters locally (NO shuffle); above the
+    limit it falls back to an *equi-join* against the exploded lines. Blank
+    lines are structural and always kept; a doc whose every line is removed
+    drops out (same GROUP BY semantics as :func:`line_dedup`).
+    """
+
+    from ray.data.aggregate import Sum
+
+    def _explode(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[id_col]].copy()
+        out["line"] = df[text_col].fillna("").str.split("\n")
+        out = out.explode("line")
+        out["line"] = out["line"].fillna("")
+        out["line_no"] = out.groupby(level=0).cumcount()
+        return out.reset_index(drop=True)
+
+    exploded = ds.map_batches(_explode, batch_format="pandas").materialize()
+
+    def _df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        pairs = df.loc[df["line"] != "", [id_col, "line"]].drop_duplicates()
+        counts = pairs["line"].value_counts()
+        return pd.DataFrame({"line": counts.index, "_c": counts.to_numpy()})
+
+    from .analytics import ensure_arrow_schema
+
+    boiler = ensure_arrow_schema(
+        exploded.map_batches(_df_partial, batch_format="pandas")
+        .groupby("line")
+        .aggregate(Sum("_c", alias_name="_boiler"))
+        .filter(expr=f"_boiler >= {int(max_df)}"),
+        pa.schema([("line", pa.string()), ("_boiler", pa.int64())]),
+    ).materialize()
+
+    n_boiler = boiler.count()
+    if n_boiler == 0:
+        # nothing to strip; the identity result is exact (normalize text
+        # nulls the way _explode would)
+        def _ident(b: pa.Table) -> pa.Table:
+            return pa.table({
+                id_col: b.column(id_col),
+                text_col: pc.fill_null(pc.cast(b.column(text_col),
+                                               pa.string()), ""),
+            })
+
+        return ds.map_batches(_ident, batch_format="pyarrow")
+
+    if n_boiler <= broadcast_limit:
+        ref = ray.put(frozenset(
+            boiler.select_columns(["line"]).to_pandas()["line"]))
+
+        def _drop(b: pa.Table) -> pa.Table:
+            lines = b.column("line").to_pandas()
+            return b.filter(pa.array(~lines.isin(ray.get(ref)).to_numpy()))
+
+        kept = exploded.map_batches(_drop, batch_format="pyarrow")
+    else:
+        joined = exploded.join(
+            boiler, join_type="left_outer", num_partitions=num_partitions,
+            on=("line",), right_on=("line",),
+        )
+        kept = joined.map_batches(
+            lambda b: b.filter(pc.is_null(b.column("_boiler"))),
+            batch_format="pyarrow",
+        )
+
+    def _rebuild(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("line_no")
+        return pd.DataFrame({
+            id_col: [df[id_col].iloc[0]],
+            text_col: ["\n".join(df["line"])],
+        })
+
+    return kept.groupby(id_col).map_groups(_rebuild, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # Exact-substring duplication (Lee et al. 2022, "Deduplicating Training Data
 # Makes Language Models Better" — the ExactSubstr criterion, expressed as a

@@ -1,0 +1,116 @@
+"""Round-4 corpus ops: boilerplate removal (both plans), CCNet perplexity
+buckets, temperature mixing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from registry_address_matcher_ray.stages import analytics as A
+from registry_address_matcher_ray.stages import dedup as D
+
+
+@pytest.fixture(scope="module")
+def lined_docs():
+    rows = [
+        (1, "keep one\nCOOKIE BANNER\nunique a"),
+        (2, "COOKIE BANNER\nunique b\n\nNAV BAR"),
+        (3, "NAV BAR\nunique c\nCOOKIE BANNER"),
+        (4, "only unique here"),
+        (5, "COOKIE BANNER"),  # every line removed -> doc drops out
+    ]
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+def _expected_boiler(df, max_df):
+    lines = df.assign(line=df["text"].str.split("\n")).explode("line")
+    dfreq = (lines[lines["line"] != ""].drop_duplicates(["doc_id", "line"])
+             .groupby("line").size())
+    boiler = set(dfreq[dfreq >= max_df].index)
+    out = {}
+    for doc, g in lines.groupby("doc_id"):
+        kept = [l for l in g["line"] if l == "" or l not in boiler]
+        if kept:
+            out[doc] = "\n".join(kept)
+    return out
+
+
+@pytest.mark.parametrize("broadcast_limit", [2_000_000, 0])
+def test_boilerplate_removed_both_plans(lined_docs, broadcast_limit):
+    ds = ray.data.from_pandas(lined_docs)
+    got = D.boilerplate_removed(
+        ds, "text", "doc_id", max_df=2,
+        broadcast_limit=broadcast_limit).to_pandas()
+    want = _expected_boiler(lined_docs, 2)
+    assert dict(zip(got["doc_id"], got["text"])) == want
+    assert 5 not in set(got["doc_id"])  # all-boilerplate doc dropped
+    assert "COOKIE BANNER" not in "\n".join(got["text"])
+
+
+def test_boilerplate_empty_set_is_identity(lined_docs):
+    ds = ray.data.from_pandas(lined_docs)
+    got = D.boilerplate_removed(ds, "text", "doc_id", max_df=99).to_pandas()
+    want = lined_docs.sort_values("doc_id").reset_index(drop=True)
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["doc_id", "text"]], want)
+
+
+def test_perplexity_buckets_match_numpy():
+    rng = np.random.RandomState(7)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, size=rng.randint(3, 12)))
+             for _ in range(90)]
+    df = pd.DataFrame({"doc_id": np.arange(90), "text": texts})
+    got = A.perplexity_buckets(
+        ray.data.from_pandas(df), "doc_id", "text").to_pandas()
+
+    # independent reference
+    toks = df.assign(t=df["text"].str.lower().str.split(" ")).explode("t")
+    toks = toks[toks["t"] != ""]
+    cnt = toks["t"].value_counts()
+    total = float(len(toks))
+    lp = toks.assign(lp=np.log(toks["t"].map(cnt).astype(float) / total))
+    agg = lp.groupby("doc_id")["lp"].mean().round(6)
+    n = len(agg)
+    import math
+    s = np.sort(agg.to_numpy())
+    t_lo = s[max(0, math.ceil(n / 3.0) - 1)]
+    t_hi = s[max(0, math.ceil(2 * n / 3.0) - 1)]
+
+    m = got.set_index("doc_id")
+    assert np.allclose(m["avg_logprob"].sort_index(), agg.sort_index())
+    for doc, row in m.iterrows():
+        v = row["avg_logprob"]
+        want = "tail" if v <= t_lo else ("middle" if v <= t_hi else "head")
+        assert row["bucket"] == want
+    # all three buckets populated and ordered by construction
+    assert set(m["bucket"]) == {"head", "middle", "tail"}
+
+
+def test_perplexity_buckets_partition_invariant():
+    df = pd.DataFrame({
+        "doc_id": np.arange(40),
+        "text": [f"a b c w{i % 7}" for i in range(40)],
+    })
+    a = A.perplexity_buckets(
+        ray.data.from_pandas(df), "doc_id", "text").to_pandas()
+    b = A.perplexity_buckets(
+        ray.data.from_pandas(df).repartition(13), "doc_id", "text").to_pandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_temperature_mix():
+    df = pd.DataFrame({"source": ["big"] * 80 + ["mid"] * 16 + ["small"] * 4})
+    got = A.temperature_mix(
+        ray.data.from_pandas(df), "source", alpha=0.5).to_pandas()
+    got = got.set_index("source")
+    assert got["n_docs"].to_dict() == {"big": 80, "mid": 16, "small": 4}
+    pw = np.sqrt(np.array([80.0, 16.0, 4.0]))
+    w = pw / pw.sum()
+    assert np.allclose(got.loc[["big", "mid", "small"], "weight"], np.round(w, 6))
+    # alpha < 1 upweights the small source vs its natural share
+    assert (got.loc["small", "weight"] > got.loc["small", "natural_share"])
+    assert abs(got["weight"].sum() - 1.0) < 1e-5
