@@ -594,6 +594,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return D.contamination_stats(ds, _bench_slice(ds), "text", "doc_id",
                                      k=8)
 
+    def docs_overlap_contamination(sf_dir):
+        """PaLM App.-D overlap-fraction rule at k=8, frac=0.7 (stages/
+        dedup.py overlap_contamination): dropped when >= 70% of a doc's
+        8-gram windows hit the benchmark slice — exact integer threshold
+        compare, no float rounding."""
+        ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+        return D.overlap_contamination(ds, _bench_slice(ds), "text",
+                                       "doc_id", k=8, frac=0.7)
+
     def docs_weighted_sample(sf_dir):
         """Deterministic weighted sample w/o replacement (Efraimidis-
         Spirakis keys from md5 uniforms; stages/sampling.py weighted_sample)
@@ -1650,6 +1659,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_line_dedup": docs_line_dedup,
         "docs_substring_rewrite": docs_substring_rewrite,
         "docs_decontaminated": docs_decontaminated,
+        "docs_overlap_contamination": docs_overlap_contamination,
         "docs_jaccard_join_exact": docs_jaccard_join_exact,
         "embeddings_knn": embeddings_knn,
         "embeddings_ivf_knn": embeddings_ivf_knn,
@@ -3303,6 +3313,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
                    CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit_shingles,
                    coalesce(h.n_hit, 0) > 0 AS contaminated
+            FROM tok t LEFT JOIN hits h USING (doc_id)
+        """,
+        # PaLM overlap fraction: stats CTEs as above; integer threshold
+        # compare (n_hit * 1e6 >= 700000 * n_windows), zero-window docs kept
+        "docs_overlap_contamination": """
+            WITH bench AS (
+                SELECT text FROM documents
+                WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) >= 'e666'
+            ), btok AS (
+                SELECT string_split(coalesce(lower(text), ''), ' ') AS ts
+                FROM bench
+            ), bsh AS (
+                SELECT DISTINCT array_to_string(ts[pos:pos+7], ' ') AS s
+                FROM (SELECT ts, unnest(generate_series(1, len(ts) - 7)) AS pos
+                      FROM btok)
+            ), tok AS (
+                SELECT doc_id, string_split(coalesce(lower(text), ''), ' ') AS ts
+                FROM documents
+            ), csh AS (
+                SELECT doc_id, array_to_string(ts[pos:pos+7], ' ') AS s
+                FROM (SELECT doc_id, ts,
+                             unnest(generate_series(1, len(ts) - 7)) AS pos
+                      FROM tok)
+            ), hits AS (
+                SELECT doc_id, count(*) AS n_hit
+                FROM csh JOIN bsh USING (s) GROUP BY doc_id
+            )
+            SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
+                   CAST(greatest(len(t.ts) - 7, 0) AS BIGINT) AS n_windows,
+                   CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit_shingles,
+                   (greatest(len(t.ts) - 7, 0) > 0 AND
+                    coalesce(h.n_hit, 0) * 1000000 >=
+                        700000 * greatest(len(t.ts) - 7, 0)) AS dropped
             FROM tok t LEFT JOIN hits h USING (doc_id)
         """,
         "docs_decontaminated": """

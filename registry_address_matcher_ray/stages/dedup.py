@@ -1550,6 +1550,48 @@ def contamination_stats(
     return joined.map_batches(_finish, batch_format="pyarrow")
 
 
+def overlap_contamination(
+    ds: ray.data.Dataset,
+    benchmark: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    frac: float = 0.7,
+    **kwargs,
+) -> ray.data.Dataset:
+    """PaLM-style overlap-FRACTION contamination (Chowdhery et al. 2022
+    App. D — "70% of 8-grams seen at least once in training"): a document is
+    dropped when at least ``frac`` of its k-token windows hit the benchmark
+    shingle set, rather than on ANY single hit (the GPT-3 App. C rule of
+    :func:`contamination_stats`).
+
+    Built entirely on :func:`contamination_stats` (same plan auto-selection,
+    same scale shape) plus one stateless batch map. The threshold compare is
+    EXACT integer arithmetic — ``n_hit * 10^6 >= round(frac*10^6) *
+    n_windows`` — so there is no float rounding to diverge from a SQL oracle.
+    Output: ``(id_col, n_tokens, n_windows, n_hit_shingles, dropped)``;
+    zero-window docs (< k tokens) are never dropped.
+    """
+    stats = contamination_stats(ds, benchmark, text_col, id_col, k=k,
+                                **kwargs)
+    fnum = int(round(frac * 1_000_000))
+
+    def _flag(b: pa.Table) -> pa.Table:
+        ntok = b.column("n_tokens").to_numpy(zero_copy_only=False)
+        nhit = b.column("n_hit_shingles").to_numpy(zero_copy_only=False)
+        nwin = np.maximum(ntok - k + 1, 0)
+        dropped = (nwin > 0) & (nhit * 1_000_000 >= fnum * nwin)
+        return pa.table({
+            id_col: b.column(id_col),
+            "n_tokens": b.column("n_tokens"),
+            "n_windows": pa.array(nwin, pa.int64()),
+            "n_hit_shingles": b.column("n_hit_shingles"),
+            "dropped": pa.array(dropped),
+        })
+
+    return stats.map_batches(_flag, batch_format="pyarrow")
+
+
 def decontaminate(
     ds: ray.data.Dataset,
     benchmark: ray.data.Dataset,

@@ -114,3 +114,43 @@ def test_temperature_mix():
     # alpha < 1 upweights the small source vs its natural share
     assert (got.loc["small", "weight"] > got.loc["small", "natural_share"])
     assert abs(got["weight"].sum() - 1.0) < 1e-5
+
+
+def test_overlap_contamination_palm_rule():
+    # benchmark contains doc 0's exact text; doc 1 shares half its windows;
+    # doc 2 shares nothing; doc 3 is shorter than k (never dropped)
+    base = " ".join(f"w{i}" for i in range(20))          # 20 tokens, 13 windows
+    half = " ".join(f"w{i}" for i in range(10)) + " " + \
+           " ".join(f"x{i}" for i in range(10))          # windows 1-3 hit
+    corpus = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [base, half, "totally different text here", "tiny doc"],
+    })
+    bench = pd.DataFrame({"doc_id": [100], "text": [base]})
+    got = D.overlap_contamination(
+        ray.data.from_pandas(corpus), ray.data.from_pandas(bench),
+        "text", "doc_id", k=8, frac=0.7,
+    ).to_pandas().set_index("doc_id").sort_index()
+
+    assert got.loc[0, "n_windows"] == 13 and got.loc[0, "n_hit_shingles"] == 13
+    assert bool(got.loc[0, "dropped"])                  # 100% >= 70%
+    assert got.loc[1, "n_hit_shingles"] == 3            # windows at pos 0..2
+    assert not bool(got.loc[1, "dropped"])              # 3/13 < 70%
+    assert got.loc[2, "n_hit_shingles"] == 0 and not bool(got.loc[2, "dropped"])
+    assert got.loc[3, "n_windows"] == 0 and not bool(got.loc[3, "dropped"])
+
+
+def test_overlap_contamination_integer_threshold_exact():
+    # exactly at the boundary: 7 hits / 10 windows at frac=0.7 -> dropped;
+    # 6 hits at frac=0.7 -> kept (no float round-off at the boundary)
+    toks = [f"t{i}" for i in range(17)]                  # 17 tokens, 10 windows
+    doc = " ".join(toks)
+    # benchmark covering windows 0..6 = tokens 0..13
+    bench_text = " ".join(toks[:14])
+    got = D.overlap_contamination(
+        ray.data.from_pandas(pd.DataFrame({"doc_id": [1], "text": [doc]})),
+        ray.data.from_pandas(pd.DataFrame({"doc_id": [9], "text": [bench_text]})),
+        "text", "doc_id", k=8, frac=0.7,
+    ).to_pandas()
+    assert got.loc[0, "n_hit_shingles"] == 7
+    assert bool(got.loc[0, "dropped"])
