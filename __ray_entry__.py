@@ -1327,10 +1327,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return EV.engine_variant_matches(spr_p, cad_ref)
 
     def media_real_decode(sf_dir):
-        """REAL (library-free) decode path: PPM + PNG gradient images (PNG
-        rows cycle all 5 scanline filters) -> pixel-true features via the
-        pure-stdlib codec (functions/codecs.py). Rows-only driver check;
-        pixel exactness is pinned in tests/test_multimodal.py."""
+        """REAL (library-free) decode path: PPM + PNG + baseline JPEG
+        gradient images (PNG rows cycle all 5 scanline filters; JPEG rows
+        alternate 4:4:4/4:2:0) -> pixel-true features via the pure-stdlib
+        codecs (functions/codecs.py, functions/jpeg.py). Rows-only driver
+        check; pixel exactness is pinned in tests/test_multimodal.py and
+        tests/test_jpeg.py."""
         import ray.data
 
         from registry_address_matcher_ray.stages import multimodal as M
@@ -1338,8 +1340,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         n = max(20, int(_sf_of(sf_dir) * 2000))
         tbl = M.synth_decodable_media(n, "ppm", seed=3)
         png = M.synth_decodable_media(max(10, n // 2), "png", seed=4)
+        jpg = M.synth_decodable_media(max(10, n // 2), "jpeg", seed=5)
         ds = (ray.data.from_arrow(tbl).union(ray.data.from_arrow(png))
-              .materialize())
+              .union(ray.data.from_arrow(jpg)).materialize())
         return M.decode_images(ds, codec="real", dim=64).select_columns(
             ["media_id", "width", "height", "features"])
 

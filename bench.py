@@ -369,6 +369,30 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         queries["bpe_train_count"] = round(time.time() - t0, 3)
         extras["bpe_corpus_tokens"] = int(total_tok)
 
+        # CCNet perplexity bucketing (unigram LM -> exact terciles -> label)
+        t0 = time.time()
+        A.perplexity_buckets(
+            rio.read_parquet_clean(docs_path, columns=["doc_id", "text"]),
+            "doc_id", "text").count()
+        queries["perplexity_buckets"] = round(time.time() - t0, 3)
+
+        # PaLM overlap-fraction decontamination vs the md5-test slice
+        import hashlib as _hl2
+
+        import pyarrow as _pa2
+
+        def _bench_f(b):
+            keep = [_hl2.md5(str(v).encode()).hexdigest()[:4] >= "e666"
+                    for v in b.column("doc_id").to_pylist()]
+            return b.filter(_pa2.array(keep))
+
+        t0 = time.time()
+        _docs = rio.read_parquet_clean(docs_path, columns=["doc_id", "text"])
+        D.overlap_contamination(
+            _docs, _docs.map_batches(_bench_f, batch_format="pyarrow"),
+            "text", "doc_id", k=8, frac=0.7).count()
+        queries["overlap_contamination"] = round(time.time() - t0, 3)
+
     result = {
         "metric": "linkage_pages_sec",
         "value": queries["linkage_pages"],

@@ -254,16 +254,21 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """payload -> (H, W, 3) uint8 RGB. PPM(P6), 24-bit BMP, 8-bit PNG."""
+    """payload -> (H, W, 3) uint8 RGB. PPM(P6), 24-bit BMP, 8-bit PNG,
+    baseline JPEG (SOF0; progressive still raises — functions/jpeg.py)."""
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise ValueError(
-        "unsupported image format (PPM P6 / 24-bit BMP / 8-bit PNG; JPEG "
-        "needs an external codec)")
+        "unsupported image format (PPM P6 / 24-bit BMP / 8-bit PNG / "
+        "baseline JPEG)")
 
 
 def resize_nearest(arr: np.ndarray, target_w: int, target_h: int) -> np.ndarray:

@@ -16,11 +16,12 @@ payloads. Design contract here:
   plumbing for formats whose codecs aren't in this container);
 - ``codec="real"`` GENUINELY decodes the library-free formats via
   ``functions/codecs.py`` — PPM(P6)/24-bit-BMP/8-bit-PNG pixels (PNG via
-  stdlib zlib + numpy scanline unfiltering, all 5 filter types) and PCM16 WAV
-  samples — and computes real features (channel stats + grayscale grid;
-  framed FFT band energies). JPEG raises ``ValueError`` inside the stage, and
-  video frame sampling raises ``NotImplementedError`` at actor construction —
-  marking exactly where PIL/libav plugs in.
+  stdlib zlib + numpy scanline unfiltering, all 5 filter types), baseline
+  JPEG (SOF0, 4:4:4/4:2:2/4:2:0, restart markers — ``functions/jpeg.py``;
+  progressive SOF2 still raises) and PCM16 WAV samples — and computes real
+  features (channel stats + grayscale grid; framed FFT band energies).
+  Video frame sampling raises ``NotImplementedError`` at actor
+  construction — marking exactly where libav plugs in.
 """
 
 from __future__ import annotations
@@ -298,14 +299,16 @@ def synth_media(n: int, kind: str = "image", seed: int = 0) -> pa.Table:
 
 
 def synth_decodable_media(n: int, kind: str = "ppm", seed: int = 0) -> pa.Table:
-    """Synthetic REAL-decodable media table: PPM/BMP/PNG gradient images or
-    WAV sine payloads (pure-stdlib/numpy encoders from
-    ``functions/codecs.py``; PNG rows cycle through all 5 filter types)."""
+    """Synthetic REAL-decodable media table: PPM/BMP/PNG/JPEG gradient images
+    or WAV sine payloads (pure-stdlib/numpy encoders from
+    ``functions/codecs.py`` and ``functions/jpeg.py``; PNG rows cycle through
+    all 5 filter types, JPEG rows alternate 4:4:4 / 4:2:0)."""
     from ..functions import codecs
+    from ..functions.jpeg import encode_jpeg
 
     rng = np.random.default_rng(seed)
     ids = [f"{kind}-{i:06d}" for i in range(n)]
-    if kind in ("ppm", "bmp", "png"):
+    if kind in ("ppm", "bmp", "png", "jpeg"):
         payloads, ws, hs = [], [], []
         enc = {"ppm": codecs.encode_ppm, "bmp": codecs.encode_bmp}.get(kind)
         for i in range(n):
@@ -316,8 +319,14 @@ def synth_decodable_media(n: int, kind: str = "ppm", seed: int = 0) -> pa.Table:
                 (yy * 255 // max(h - 1, 1)),
                 np.full((h, w), int(rng.integers(0, 256))),
             ], axis=2).astype(np.uint8)
-            payloads.append(codecs.encode_png(img, filter_type=i % 5)
-                            if kind == "png" else enc(img))
+            if kind == "png":
+                payloads.append(codecs.encode_png(img, filter_type=i % 5))
+            elif kind == "jpeg":
+                payloads.append(encode_jpeg(
+                    img, quality=90,
+                    subsampling="444" if i % 2 == 0 else "420"))
+            else:
+                payloads.append(enc(img))
             ws.append(w)
             hs.append(h)
         return pa.table({

@@ -1,0 +1,105 @@
+"""Baseline JPEG codec (functions/jpeg.py): encode->decode roundtrips across
+subsampling modes and restart intervals, spec-level byte checks, and the
+honest gates (progressive, 12-bit)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from registry_address_matcher_ray.functions import codecs
+from registry_address_matcher_ray.functions.jpeg import decode_jpeg, encode_jpeg
+
+
+def _gradient(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack([
+        xx * 255 // max(w - 1, 1),
+        yy * 255 // max(h - 1, 1),
+        (xx + yy) * 255 // max(w + h - 2, 1),
+    ], axis=-1).astype(np.uint8)
+
+
+@pytest.mark.parametrize("sub", ["444", "420"])
+@pytest.mark.parametrize("ri", [0, 3])
+def test_roundtrip_smooth_image(sub, ri):
+    img = _gradient(40, 56)
+    data = encode_jpeg(img, quality=90, subsampling=sub, restart_interval=ri)
+    dec = decode_jpeg(data)
+    assert dec.shape == img.shape and dec.dtype == np.uint8
+    err = np.abs(dec.astype(int) - img.astype(int))
+    # 4:2:0 box-averages chroma; smooth gradients stay within a few LSBs
+    assert err.max() <= (3 if sub == "444" else 8)
+    assert err.mean() < 2.0
+
+
+def test_roundtrip_nonmultiple_of_8_and_gray():
+    img = _gradient(13, 21)  # forces edge padding in both axes
+    dec = decode_jpeg(encode_jpeg(img, quality=92))
+    assert dec.shape == (13, 21, 3)
+    # chroma quantization at q92 allows a few LSBs of error
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 6
+
+    g = (np.mgrid[0:24, 0:24][0] * 10).astype(np.uint8)
+    d = decode_jpeg(encode_jpeg(g, quality=95))
+    assert d.shape == (24, 24, 3)
+    assert (d[..., 0] == d[..., 1]).all() and (d[..., 0] == d[..., 2]).all()
+    assert np.abs(d[..., 0].astype(int) - g.astype(int)).max() <= 1
+
+
+def test_constant_block_is_near_exact():
+    # constant image = DC-only blocks; quantization noise is at most 1 LSB
+    c = np.full((16, 24, 3), 77, np.uint8)
+    d = decode_jpeg(encode_jpeg(c, quality=50))
+    assert np.abs(d.astype(int) - c.astype(int)).max() <= 1
+
+
+def test_noise_roundtrip_exercises_entropy_paths():
+    # dense AC coefficients (ZRL, long runs, high categories) at q=95
+    rng = np.random.RandomState(11)
+    nz = rng.randint(0, 256, (24, 24, 3)).astype(np.uint8)
+    d = decode_jpeg(encode_jpeg(nz, quality=95))
+    assert d.shape == nz.shape
+    # lossy, but must be recognizably the same image
+    assert np.abs(d.astype(int) - nz.astype(int)).mean() < 10.0
+
+
+def test_restart_markers_present_and_parsed():
+    img = _gradient(32, 32)
+    data = encode_jpeg(img, quality=85, restart_interval=1)
+    assert b"\xff\xdd" in data                  # DRI segment
+    assert any(bytes([0xFF, 0xD0 + i]) in data for i in range(8))  # RSTn
+    base = decode_jpeg(encode_jpeg(img, quality=85))
+    with_rst = decode_jpeg(data)
+    # restart markers change framing only, not reconstructed pixels
+    assert (base == with_rst).all()
+
+
+def test_progressive_and_bad_input_raise():
+    img = _gradient(16, 16)
+    data = bytearray(encode_jpeg(img))
+    # flip SOF0 (FFC0) into SOF2 (FFC2): progressive must be a loud gate
+    i = bytes(data).index(b"\xff\xc0")
+    data[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(bytes(data))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"not a jpeg")
+
+
+def test_sof_dimensions_and_sampling_bytes():
+    # spec-level check of the emitted SOF0 segment, independent of decode
+    img = _gradient(40, 56)
+    data = encode_jpeg(img, subsampling="420")
+    i = data.index(b"\xff\xc0")
+    prec, h, w, nc = struct.unpack(">BHHB", data[i + 4:i + 10])
+    assert (prec, h, w, nc) == (8, 40, 56, 3)
+    assert data[i + 11] == 0x22                 # Y sampling 2x2
+    assert data[i + 14] == 0x11                 # Cb 1x1
+
+
+def test_decode_image_dispatches_jpeg():
+    img = _gradient(16, 16)
+    dec = codecs.decode_image(encode_jpeg(img, quality=92))
+    assert dec.shape == (16, 16, 3)
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 4

@@ -96,12 +96,15 @@ def test_codec_wav_roundtrip():
     assert np.allclose(dec * 32768.0, samples, atol=0.51)
 
 
-def test_codec_rejects_compressed_formats():
+def test_codec_rejects_unknown_and_truncated_formats():
     import pytest
 
     from registry_address_matcher_ray.functions import codecs
 
     with pytest.raises(ValueError, match="unsupported image format"):
+        codecs.decode_image(b"GIF89a not supported")
+    # JPEG now dispatches to functions/jpeg.py; malformed bytes still raise
+    with pytest.raises(ValueError):
         codecs.decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
 
 
