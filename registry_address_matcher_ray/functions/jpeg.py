@@ -450,12 +450,9 @@ def _fdct_quant(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
     blocks = plane.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
     coef = np.einsum("km,bymn,ln->bykl", _C, blocks, _C, optimize=True)
     qd = np.round(coef / q[None, None]).astype(np.int64)
-    return qd.reshape(by, bx, 64)[..., _ZIGZAG_INV]
-
-
-# forward zigzag: coefficient at block position _ZIGZAG[i] is i-th in scan —
-# for encoding we need scan[i] = flat_block[_ZIGZAG[i]]
-_ZIGZAG_INV = _ZIGZAG
+    # scan[i] = flat_block[_ZIGZAG[i]]: gathering by _ZIGZAG IS the forward
+    # zigzag (the decoder's scatter blk[_ZIGZAG] = zz is its exact inverse)
+    return qd.reshape(by, bx, 64)[..., _ZIGZAG]
 
 
 def encode_jpeg(arr: np.ndarray, quality: int = 85,
