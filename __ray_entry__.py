@@ -1365,6 +1365,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = ray.data.from_arrow(M.synth_media(n, "video", seed=42))
         return M.sample_frames(ds, every_ms=5000, max_frames=8)
 
+    def media_real_frames(sf_dir):
+        """REAL video path: MJPEG-AVI containers parsed by the RIFF walker,
+        frames decoded by the baseline JPEG codec, digests over DECODED RGB
+        pixels (functions/avi.py; rows-only — pixel parity is pinned in
+        tests/test_multimodal.py)."""
+        import ray.data
+        from registry_address_matcher_ray.stages import multimodal as M
+
+        n = max(10, int(_sf_of(sf_dir) * 1000))
+        ds = ray.data.from_arrow(M.synth_decodable_media(n, "avi", seed=6))
+        return M.sample_frames(ds, codec="real", every_ms=400, max_frames=4)
+
     # ---------- crawl-URL family (Common-Crawl canonical-URL dedup) ----------
 
     def _crawl_urls_ds(sf_dir):
@@ -1746,6 +1758,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_real_decode": media_real_decode,
         "media_image_features": media_image_features,
         "media_frame_sample": media_frame_sample,
+        "media_real_frames": media_real_frames,
         "docs_token_counts": docs_token_counts,
         "docs_text_quality": docs_text_quality,
         "orders_price_quantiles_cont": orders_price_quantiles_cont,

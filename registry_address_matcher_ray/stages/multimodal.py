@@ -20,8 +20,9 @@ payloads. Design contract here:
   JPEG (SOF0, 4:4:4/4:2:2/4:2:0, restart markers — ``functions/jpeg.py``;
   progressive SOF2 still raises) and PCM16 WAV samples — and computes real
   features (channel stats + grayscale grid; framed FFT band energies).
-  Video frame sampling raises ``NotImplementedError`` at actor
-  construction — marking exactly where libav plugs in.
+  Video frame sampling genuinely decodes MJPEG-AVI containers
+  (``functions/avi.py``); MP4 and non-MJPEG codecs raise ``ValueError``
+  per payload — marking exactly where libav plugs in.
 """
 
 from __future__ import annotations
@@ -209,14 +210,18 @@ class AudioFeatureActor(_MediaActor):
 
 
 class FrameSampleActor(_MediaActor):
-    """Video frame-sampling stub: one output row per sampled frame timestamp.
+    """Video frame sampling: one output row per sampled frame timestamp.
 
-    Real implementation seeks the container; the stub computes the deterministic
-    timestamp grid from ``duration_ms``/``fps`` metadata and a per-frame digest.
-    Demonstrates the 1->N (flat-map-shaped) media stage in plain ``map_batches``.
+    ``codec="fake"`` computes the deterministic timestamp grid from
+    ``duration_ms`` metadata and a per-frame payload digest (1->N flat-map
+    shape with zero container knowledge). ``codec="real"`` GENUINELY parses
+    MJPEG-AVI containers (``functions/avi.py`` RIFF walker + the baseline
+    JPEG decoder) and digests the DECODED RGB pixels of the frame nearest
+    each grid timestamp; MP4/non-MJPEG payloads raise ``ValueError`` naming
+    libav as the plug-in point.
     """
 
-    _REAL_SUPPORTED = False  # mp4/containers genuinely need libav
+    _REAL_SUPPORTED = True  # MJPEG-AVI end-to-end; MP4 raises per payload
 
     def __init__(self, codec: str = "fake", every_ms: int = 1000, max_frames: int = 16):
         super().__init__(codec)
@@ -228,6 +233,19 @@ class FrameSampleActor(_MediaActor):
         payloads = batch.column("payload").to_pylist()
         durations = batch.column("duration_ms").to_pylist()
         for mid, dur, p in zip(batch.column("media_id").to_pylist(), durations, payloads):
+            if self.codec == "real":
+                from ..functions.avi import decode_mjpeg_avi
+
+                usec, frames = decode_mjpeg_avi(p or b"")
+                dur_real = len(frames) * usec // 1000
+                grid = range(0, max(dur_real, 1), self.every_ms)
+                for _, t in zip(range(self.max_frames), grid):
+                    fi = min(t * 1000 // usec, len(frames) - 1)
+                    ids.append(mid)
+                    ts.append(t)
+                    digests.append(hashlib.sha256(
+                        frames[fi].tobytes()).digest())
+                continue
             grid = range(0, max(int(dur or 0), 1), self.every_ms)
             for i, t in zip(range(self.max_frames), grid):
                 ids.append(mid)
@@ -347,6 +365,27 @@ def synth_decodable_media(n: int, kind: str = "ppm", seed: int = 0) -> pa.Table:
             "media_id": ids, "media_type": ["audio/wav"] * n,
             "payload": payloads,
             "sample_rate": pa.array([16000] * n, pa.int32()),
+            "duration_ms": pa.array(durs, pa.int32()),
+        })
+    if kind == "avi":
+        from ..functions.avi import encode_mjpeg_avi
+
+        payloads, durs = [], []
+        for i in range(n):
+            fps = 5
+            nf = int(rng.integers(3, 10))
+            w, h = int(rng.integers(16, 48)), int(rng.integers(16, 48))
+            yy, xx = np.mgrid[0:h, 0:w]
+            frames = [
+                (((xx * 3 + yy * 2 + f * 29) % 256).astype(np.uint8)
+                 [..., None].repeat(3, -1))
+                for f in range(nf)
+            ]
+            payloads.append(encode_mjpeg_avi(frames, fps=fps))
+            durs.append(nf * 1000 // fps)
+        return pa.table({
+            "media_id": ids, "media_type": ["video/x-msvideo"] * n,
+            "payload": payloads,
             "duration_ms": pa.array(durs, pa.int32()),
         })
     raise ValueError(f"unknown decodable kind {kind!r}")

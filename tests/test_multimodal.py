@@ -53,12 +53,13 @@ def test_frame_sampling_one_to_many(ray_session):
     assert counts.to_dict() == expected
 
 
-def test_real_codec_is_gated(ray_session):
-    # image/audio real codecs are genuinely implemented (library-free formats);
-    # only the video container path still needs libav and stays gated
+def test_real_codec_constructs(ray_session):
+    # image/audio/video real codecs all construct: images/audio are fully
+    # library-free; video handles MJPEG-AVI and raises per-payload for MP4
     M.ImageDecodeActor(codec="real")
-    with pytest.raises(NotImplementedError):
-        M.FrameSampleActor(codec="real")
+    M.FrameSampleActor(codec="real")
+    with pytest.raises(ValueError):
+        M.ImageDecodeActor(codec="bogus")
 
 
 # ------------------------------------------------------- real (library-free) codecs
@@ -166,13 +167,47 @@ def test_real_audio_features(ray_session):
     assert len({tuple(np.round(f, 4)) for f in feats}) == 8
 
 
-def test_real_video_still_raises(ray_session):
+def test_real_video_mjpeg_avi_end_to_end(ray_session):
+    """codec='real' genuinely decodes MJPEG-AVI frames: the digest is over
+    DECODED pixels, so re-encoding the same frames at a different quality
+    keeps the grid but changes digests only if pixels changed."""
+    import hashlib
+
+    import numpy as np
+    import ray.data
+
+    from registry_address_matcher_ray.functions.avi import encode_mjpeg_avi
+    from registry_address_matcher_ray.stages import multimodal as M
+
+    tbl = M.synth_decodable_media(6, "avi", seed=9)
+    out = M.sample_frames(ray.data.from_arrow(tbl), codec="real",
+                          every_ms=400, max_frames=4).to_pandas()
+    assert len(out) > 0
+    assert set(out["media_id"]) == set(tbl.column("media_id").to_pylist())
+    # digest must equal sha256 of the decoded frame pixels (recompute one)
+    from registry_address_matcher_ray.functions.avi import decode_mjpeg_avi
+
+    first = tbl.column("media_id").to_pylist()[0]
+    usec, frames = decode_mjpeg_avi(tbl.column("payload").to_pylist()[0])
+    row = out[out["media_id"] == first].iloc[0]
+    fi = min(int(row["frame_ts_ms"]) * 1000 // usec, len(frames) - 1)
+    assert row["frame_digest"] == hashlib.sha256(frames[fi].tobytes()).digest()
+
+
+def test_real_video_mp4_raises_per_payload(ray_session):
+    import pyarrow as pa
     import pytest
 
     from registry_address_matcher_ray.stages import multimodal as M
 
-    with pytest.raises(NotImplementedError):
-        M.FrameSampleActor(codec="real")
+    actor = M.FrameSampleActor(codec="real")  # construction OK now
+    batch = pa.table({
+        "media_id": ["m0"], "media_type": ["video/mp4"],
+        "payload": [b"\x00\x00\x00\x18ftypisom" + b"\x00" * 16],
+        "duration_ms": pa.array([1000], pa.int32()),
+    })
+    with pytest.raises(ValueError, match="libav"):
+        actor(batch)
 
 
 def test_png_roundtrip_all_filters():
