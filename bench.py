@@ -393,6 +393,25 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "text", "doc_id", k=8, frac=0.7).count()
         queries["overlap_contamination"] = round(time.time() - t0, 3)
 
+    # real media decode throughput: PPM+PNG+JPEG images through the
+    # library-free codecs on the actor pool (fixture gen excluded)
+    import ray.data as _rd
+
+    from registry_address_matcher_ray.stages import multimodal as MM
+
+    t0 = time.time()
+    media = (_rd.from_arrow(MM.synth_decodable_media(200, "ppm", seed=3))
+             .union(_rd.from_arrow(MM.synth_decodable_media(100, "png", seed=4)))
+             .union(_rd.from_arrow(MM.synth_decodable_media(100, "jpeg", seed=5)))
+             .materialize())
+    gen_s = time.time() - t0
+    t0 = time.time()
+    n_imgs = MM.decode_images(media, codec="real", dim=64).count()
+    queries["media_decode_real"] = round(time.time() - t0, 3)
+    extras["media_decode_images_per_sec"] = round(
+        n_imgs / max(queries["media_decode_real"], 1e-9), 1)
+    extras["media_fixture_gen_sec"] = round(gen_s, 3)
+
     result = {
         "metric": "linkage_pages_sec",
         "value": queries["linkage_pages"],
