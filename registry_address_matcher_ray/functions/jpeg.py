@@ -1,17 +1,25 @@
-"""Baseline JPEG (ITU-T T.81) codec — pure stdlib + numpy, no PIL/libjpeg.
+"""JPEG (ITU-T T.81) codec — pure stdlib + numpy, no PIL/libjpeg.
 
 Closes the last gated image format in the multimodal family
 (``stages/multimodal.py``; reference has no media ops — this is north-star
 surface, not §2 parity). Scope, honestly stated:
 
-- **decode**: baseline sequential DCT (SOF0), 8-bit, 1 or 3 components,
-  arbitrary JFIF sampling factors (4:4:4 / 4:2:2 / 4:2:0 via ``np.repeat``
-  upsampling), restart markers (DRI/RSTn), stuffed-byte removal. Progressive
-  (SOF2), arithmetic coding and 12-bit precision raise ``ValueError`` — the
-  gate moved from "all JPEG" to exactly those variants.
-- **encode**: baseline 4:4:4 (and grayscale) with the Annex-K quantization
-  and Huffman tables, libjpeg-style quality scaling — enough to build test
-  fixtures and act as a sink; not a rate-optimized encoder.
+- **decode**: baseline sequential DCT (SOF0/1) AND progressive (SOF2 —
+  spectral selection, successive approximation with DC/AC initial and
+  refinement scans, EOB runs, table redefinition between scans), 8-bit,
+  1 or 3 components, arbitrary JFIF sampling factors (4:4:4 / 4:2:2 /
+  4:2:0 via ``np.repeat`` upsampling), restart markers (DRI/RSTn),
+  stuffed-byte removal. Arithmetic coding, lossless and 12-bit precision
+  raise ``ValueError`` — the gate is now exactly those variants. Validated
+  in-session against real libjpeg/mozjpeg files, baseline and progressive.
+- **encode**: baseline (4:4:4 / 4:2:0, grayscale, optional restart
+  intervals) and progressive (DC init -> AC init -> DC refine -> AC refine
+  scan script) with the Annex-K quantization and Huffman tables,
+  libjpeg-style quality scaling. Annex-K AC tables carry no EOBn run
+  symbols, so the progressive encoder flushes each EOB as a run of 1 —
+  valid, just less compact than custom-table encoders. Both encoder modes
+  produce IDENTICAL quantized coefficients, so baseline and progressive
+  streams of the same image decode byte-identically (pinned in tests).
 
 The entropy decode is a per-block Python loop over a numpy bit cursor (JPEG
 Huffman streams are inherently serial); everything after entropy decode —
@@ -182,14 +190,290 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+def _split_entropy(payload: bytes, start: int) -> Tuple[List[bytes], int]:
+    """Entropy-coded data from ``start`` -> (restart segments with 0xFF00
+    unstuffed, index of the terminating marker's 0xFF)."""
+    segments: List[bytes] = []
+    cur = bytearray()
+    i = start
+    n = len(payload)
+    while i < n:
+        b = payload[i]
+        if b == 0xFF:
+            m = payload[i + 1] if i + 1 < n else 0xD9
+            if m == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= m <= 0xD7:  # RSTn
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break  # EOI or next marker
+        cur.append(b)
+        i += 1
+    segments.append(bytes(cur))
+    return segments, min(i, n)
+
+
+class _ScanState:
+    """Per-frame accumulation across scans (progressive) or one scan
+    (baseline): zigzag-order coefficient planes, MCU geometry."""
+
+    def __init__(self, frame):
+        self.frame = frame
+        comps = frame["comps"]
+        self.hmax = max(c["h"] for c in comps)
+        self.vmax = max(c["v"] for c in comps)
+        self.mcux = -(-frame["w"] // (8 * self.hmax))
+        self.mcuy = -(-frame["h"] // (8 * self.vmax))
+        self.by_id = {c["id"]: c for c in comps}
+        # (BY, BX, 64) zigzag-order int64 per component, MCU-padded dims
+        self.planes = {
+            c["id"]: np.zeros((self.mcuy * c["v"], self.mcux * c["h"], 64),
+                              dtype=np.int64)
+            for c in comps
+        }
+
+    def comp_block_dims(self, comp) -> Tuple[int, int]:
+        """Non-interleaved (single-component scan) block grid: T.81 A.2.2."""
+        cw = -(-self.frame["w"] * comp["h"] // self.hmax)
+        ch = -(-self.frame["h"] * comp["v"] // self.vmax)
+        return -(-ch // 8), -(-cw // 8)
+
+
+class _Restarts:
+    """Restart-segment cursor: yields a fresh _BitReader per interval."""
+
+    def __init__(self, segments: List[bytes], interval: int):
+        self.segments = segments
+        self.interval = interval
+        self.idx = 0
+        self.br = _BitReader(segments[0])
+
+    def at_unit(self, u: int) -> bool:
+        """True (and advances the reader) when unit ``u`` starts a new
+        restart interval."""
+        if self.interval and u and u % self.interval == 0:
+            self.idx += 1
+            if self.idx >= len(self.segments):
+                raise ValueError("missing JPEG restart segment")
+            self.br = _BitReader(self.segments[self.idx])
+            return True
+        return False
+
+
+def _baseline_block(br, dc_tab, ac_tab, zz, pred: int) -> int:
+    """Full DC+AC Huffman block decode into zigzag array; returns new pred."""
+    t = _decode_huff(br, dc_tab)
+    pred += _extend(br.read_bits(t), t)
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        rs = _decode_huff(br, ac_tab)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("AC run past block end")
+        zz[k] = _extend(br.read_bits(s), s)
+        k += 1
+    return pred
+
+
+def _ac_first_block(br, tab, zz, ss: int, se: int, al: int,
+                    eobrun: int) -> int:
+    """Progressive AC initial scan for one block (T.81 G.1.2.2); returns
+    the updated EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_huff(br, tab)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL in an initial AC scan
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("progressive AC run past spectral band")
+        zz[k] = _extend(br.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(br, tab, zz, ss: int, se: int, al: int,
+                     eobrun: int) -> int:
+    """Progressive AC refinement for one block (T.81 G.1.2.3, the libjpeg
+    decode_mcu_AC_refine control flow); returns the updated EOB run.
+
+    Python's ``&`` on negative ints is two's-complement like C, so the
+    already-set-bit test ``coef & p1`` matches libjpeg bit-for-bit."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_huff(br, tab)
+            r, s = rs >> 4, rs & 0xF
+            if s:
+                # refinement scans only carry magnitude-1 new coefficients
+                val = p1 if br.read_bit() else m1
+            else:
+                if r != 15:
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break  # correction of the rest happens below
+                val = 0  # ZRL: skip 16 zero-history positions
+            # advance over the band: correct nonzeros, count down r zeros
+            while k <= se:
+                c = int(zz[k])
+                if c != 0:
+                    if br.read_bit() and (c & p1) == 0:
+                        zz[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                zz[k] = val
+            k += 1
+    else:
+        eobrun -= 1
+    # EOB region (or whole block inside an EOB run): correction bits only
+    while k <= se:
+        c = int(zz[k])
+        if c != 0 and br.read_bit() and (c & (1 << al)) == 0:
+            zz[k] = c + ((1 << al) if c >= 0 else (-1 << al))
+        k += 1
+    return eobrun
+
+
+def _decode_scan_into(st: _ScanState, scomps, ss, se, ah, al,
+                      segments, restart_interval, huff_dc, huff_ac,
+                      progressive: bool) -> None:
+    order = [st.by_id[s["id"]] for s in scomps]
+    td = {s["id"]: s["td"] for s in scomps}
+    ta = {s["id"]: s["ta"] for s in scomps}
+    rst = _Restarts(segments, restart_interval)
+    pred = {c["id"]: 0 for c in order}
+
+    if progressive and ss == 0 and se != 0:
+        raise ValueError(
+            "invalid progressive scan header (a DC scan must have Se=0; "
+            "a baseline stream relabeled SOF2 is not progressive)")
+    if progressive and ss > 0:
+        if len(order) != 1:
+            raise ValueError("progressive AC scans must be non-interleaved")
+        comp = order[0]
+        plane = st.planes[comp["id"]]
+        bh, bw = st.comp_block_dims(comp)
+        tab = huff_ac[ta[comp["id"]]]
+        fn = _ac_first_block if ah == 0 else _ac_refine_block
+        eobrun = 0
+        for u in range(bh * bw):
+            if rst.at_unit(u):
+                eobrun = 0
+            by, bx = divmod(u, bw)
+            eobrun = fn(rst.br, tab, plane[by, bx], ss, se, al, eobrun)
+        return
+
+    # DC scan (progressive ss==0) or full baseline scan. Interleaved MCU
+    # order when the scan carries >1 component, component raster otherwise.
+    interleaved = len(order) > 1
+    if interleaved:
+        units = st.mcux * st.mcuy
+    else:
+        bh, bw = st.comp_block_dims(order[0])
+        units = bh * bw
+    for u in range(units):
+        if rst.at_unit(u):
+            pred = {c["id"]: 0 for c in order}
+        if interleaved:
+            my, mx = divmod(u, st.mcux)
+            blocks = [
+                (comp, my * comp["v"] + vy, mx * comp["h"] + vx)
+                for comp in order
+                for vy in range(comp["v"]) for vx in range(comp["h"])
+            ]
+        else:
+            comp = order[0]
+            by, bx = divmod(u, bw)
+            blocks = [(comp, by, bx)]
+        for comp, by, bx in blocks:
+            cid = comp["id"]
+            zz = st.planes[cid][by, bx]
+            if not progressive:
+                pred[cid] = _baseline_block(
+                    rst.br, huff_dc[td[cid]], huff_ac[ta[cid]], zz, pred[cid])
+            elif ah == 0:  # DC initial
+                t = _decode_huff(rst.br, huff_dc[td[cid]])
+                pred[cid] += _extend(rst.br.read_bits(t), t)
+                zz[0] = pred[cid] << al
+            else:  # DC refinement: one bit per block
+                if rst.br.read_bit():
+                    zz[0] = int(zz[0]) | (1 << al)
+
+
+def _reconstruct(st: _ScanState, qt) -> np.ndarray:
+    """Zigzag coefficient planes -> RGB: vectorized dequantize + un-zigzag +
+    IDCT (one einsum over all blocks) + chroma upsample + color convert."""
+    frame = st.frame
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    out_planes = []
+    for comp in comps:
+        zzp = st.planes[comp["id"]]
+        byn, bxn = zzp.shape[:2]
+        nat = np.zeros((byn, bxn, 64), dtype=np.float64)
+        nat[..., _ZIGZAG] = zzp  # un-zigzag every block at once
+        coefs = nat.reshape(byn, bxn, 8, 8) * qt[comp["tq"]][None, None]
+        pix = np.einsum("km,bykl,ln->bymn", _C, coefs, _C,
+                        optimize=True)  # C.T @ coef @ C over all blocks
+        img = pix.transpose(0, 2, 1, 3).reshape(byn * 8, bxn * 8) + 128.0
+        ry, rx = st.vmax // comp["v"], st.hmax // comp["h"]
+        if ry > 1:
+            img = np.repeat(img, ry, axis=0)
+        if rx > 1:
+            img = np.repeat(img, rx, axis=1)
+        out_planes.append(img[:h, :w])
+
+    if len(out_planes) == 1:
+        y = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        return np.stack([y, y, y], axis=-1)
+    y, cb, cr = out_planes[0], out_planes[1] - 128.0, out_planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> (H, W, 3) uint8 RGB (grayscale replicated)."""
+    """JPEG bytes -> (H, W, 3) uint8 RGB (grayscale replicated).
+
+    Handles baseline sequential (SOF0/1) AND progressive (SOF2) Huffman
+    streams — spectral selection, successive approximation (DC+AC initial
+    and refinement scans, EOB runs), restart markers, table redefinition
+    between scans. Arithmetic coding / lossless / 12-bit still raise."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qt: Dict[int, np.ndarray] = {}
     huff_dc: Dict[int, dict] = {}
     huff_ac: Dict[int, dict] = {}
     frame: Optional[dict] = None
+    st: Optional[_ScanState] = None
+    progressive = False
     restart_interval = 0
     i = 2
     n = len(payload)
@@ -216,7 +500,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 q[_ZIGZAG] = tbl  # stored in zigzag order
                 qt[tq] = q.reshape(8, 8)
                 p += 64
-        elif marker == 0xC4:  # DHT
+        elif marker == 0xC4:  # DHT (may be redefined between scans)
             p = 0
             while p < len(seg):
                 tc, th = seg[p] >> 4, seg[p] & 0xF
@@ -226,7 +510,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 dec = _build_huffman_decoder(bits, vals)
                 (huff_dc if tc == 0 else huff_ac)[th] = dec
                 p += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = seg[0], struct.unpack(">H", seg[1:3])[0], \
                 struct.unpack(">H", seg[3:5])[0], seg[5]
             if prec != 8:
@@ -236,138 +521,33 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            st = _ScanState(frame)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "progressive/extended/arithmetic JPEG unsupported "
-                f"(SOF marker 0xFF{marker:02X}); baseline SOF0 only")
+                "lossless/extended/arithmetic JPEG unsupported "
+                f"(SOF marker 0xFF{marker:02X}); SOF0/SOF1/SOF2 only")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
-        elif marker == 0xDA:  # SOS — entropy data follows
+        elif marker == 0xDA:  # SOS — decode this scan's entropy data
+            if st is None:
+                raise ValueError("SOS before SOF")
             ns = seg[0]
             scomps = []
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
                 scomps.append({"id": cs, "td": tt >> 4, "ta": tt & 0xF})
-            data_start = i + seglen
-            return _decode_scan(payload, data_start, frame, scomps, qt,
-                                huff_dc, huff_ac, restart_interval)
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            segments, i = _split_entropy(payload, i + seglen)
+            _decode_scan_into(st, scomps, ss, se, ahal >> 4, ahal & 0xF,
+                              segments, restart_interval, huff_dc, huff_ac,
+                              progressive)
+            continue  # i already points at the terminating marker
         # else: APPn/COM/unknown -> skip
         i += seglen
-    raise ValueError("no SOS scan found in JPEG")
-
-
-def _decode_scan(payload, start, frame, scomps, qt, huff_dc, huff_ac,
-                 restart_interval):
-    if frame is None:
-        raise ValueError("SOS before SOF0")
-    h, w, comps = frame["h"], frame["w"], frame["comps"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-
-    # split entropy stream on restart markers; unstuff 0xFF00 per segment
-    segments: List[bytes] = []
-    cur = bytearray()
-    i = start
-    n = len(payload)
-    while i < n:
-        b = payload[i]
-        if b == 0xFF:
-            m = payload[i + 1] if i + 1 < n else 0xD9
-            if m == 0x00:
-                cur.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= m <= 0xD7:  # RSTn
-                segments.append(bytes(cur))
-                cur = bytearray()
-                i += 2
-                continue
-            break  # EOI or next marker
-        cur.append(b)
-        i += 1
-    segments.append(bytes(cur))
-
-    by_id = {c["id"]: c for c in comps}
-    order = [by_id[s["id"]] for s in scomps]
-    td = {s["id"]: s["td"] for s in scomps}
-    ta = {s["id"]: s["ta"] for s in scomps}
-
-    # per component: coefficient array (blocks_y, blocks_x, 8, 8)
-    planes = {}
-    for c in comps:
-        planes[c["id"]] = np.zeros(
-            (mcuy * c["v"], mcux * c["h"], 8, 8), dtype=np.int64)
-
-    pred = {c["id"]: 0 for c in comps}
-    seg_idx = 0
-    br = _BitReader(segments[0])
-    total_mcus = mcux * mcuy
-    for mi in range(total_mcus):
-        if restart_interval and mi and mi % restart_interval == 0:
-            seg_idx += 1
-            if seg_idx >= len(segments):
-                raise ValueError("missing JPEG restart segment")
-            br = _BitReader(segments[seg_idx])
-            pred = {c["id"]: 0 for c in comps}
-        my, mx = divmod(mi, mcux)
-        for comp in order:
-            cid = comp["id"]
-            dc_tab = huff_dc[td[cid]]
-            ac_tab = huff_ac[ta[cid]]
-            for vy in range(comp["v"]):
-                for vx in range(comp["h"]):
-                    zz = np.zeros(64, dtype=np.int64)
-                    t = _decode_huff(br, dc_tab)
-                    diff = _extend(br.read_bits(t), t)
-                    pred[cid] += diff
-                    zz[0] = pred[cid]
-                    k = 1
-                    while k < 64:
-                        rs = _decode_huff(br, ac_tab)
-                        r, s = rs >> 4, rs & 0xF
-                        if s == 0:
-                            if r == 15:  # ZRL
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("AC run past block end")
-                        zz[k] = _extend(br.read_bits(s), s)
-                        k += 1
-                    blk = np.zeros(64, dtype=np.int64)
-                    blk[_ZIGZAG] = zz
-                    planes[cid][my * comp["v"] + vy,
-                                mx * comp["h"] + vx] = blk.reshape(8, 8)
-
-    # vectorized dequantize + IDCT per component, then upsample to full res
-    out_planes = []
-    for comp in comps:
-        cid = comp["id"]
-        coefs = planes[cid].astype(np.float64) * qt[comp["tq"]][None, None]
-        pix = np.einsum("km,bykl,ln->bymn", _C, coefs, _C,
-                        optimize=True)  # C.T @ coef @ C over all blocks
-        by, bx = coefs.shape[:2]
-        img = pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8) + 128.0
-        # upsample to (mcuy*vmax*8, mcux*hmax*8) then crop
-        ry, rx = vmax // comp["v"], hmax // comp["h"]
-        if ry > 1:
-            img = np.repeat(img, ry, axis=0)
-        if rx > 1:
-            img = np.repeat(img, rx, axis=1)
-        out_planes.append(img[:h, :w])
-
-    if len(out_planes) == 1:
-        y = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
-        return np.stack([y, y, y], axis=-1)
-    y, cb, cr = out_planes[0], out_planes[1] - 128.0, out_planes[2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
-    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+    if st is None:
+        raise ValueError("no SOS scan found in JPEG")
+    return _reconstruct(st, qt)
 
 
 # ------------------------------------------------------------------ encoder
@@ -443,6 +623,116 @@ def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: int,
     return dc
 
 
+def _emit_dc_diff(bw: _BitWriter, codes, diff: int) -> None:
+    t = _csize(diff)
+    code, ln = codes[t]
+    bw.write(code, ln)
+    if t:
+        bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+
+
+class _EobState:
+    """Cross-block EOB-run + buffered-correction-bit state for one
+    progressive AC scan (the encoder mirror of the decoder's ``eobrun``)."""
+
+    __slots__ = ("eobrun", "pending")
+
+    def __init__(self):
+        self.eobrun = 0
+        self.pending: List[int] = []
+
+    def flush(self, bw: _BitWriter, ac_codes) -> None:
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            code, ln = ac_codes[nbits << 4]
+            bw.write(code, ln)
+            if nbits:
+                bw.write(self.eobrun & ((1 << nbits) - 1), nbits)
+            self.eobrun = 0
+            for b in self.pending:
+                bw.write(b, 1)
+            self.pending = []
+
+
+def _prog_ac_first_block(bw, ac_codes, zz, ss, se, al, st: _EobState) -> None:
+    """Progressive AC initial-scan encoder for one block (T.81 G.1.2.2)."""
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = (v if v >= 0 else -v) >> al
+        if t == 0:
+            r += 1
+            continue
+        while r > 15:
+            st.flush(bw, ac_codes)
+            code, ln = ac_codes[0xF0]
+            bw.write(code, ln)
+            r -= 16
+        st.flush(bw, ac_codes)
+        s = t.bit_length()
+        code, ln = ac_codes[(r << 4) | s]
+        bw.write(code, ln)
+        val = t if v >= 0 else -t
+        bw.write(val if val >= 0 else val + (1 << s) - 1, s)
+        r = 0
+    if r > 0:
+        # Annex-K tables carry only the plain-EOB symbol 0x00 (no EOBn
+        # run-length symbols), so flush every EOB immediately: a run of 1
+        # encodes as nbits=0 with no extension bits. Valid, just less
+        # compact than custom-table encoders; the decoder's long-run path
+        # is exercised by real libjpeg/mozjpeg files instead.
+        st.eobrun += 1
+        st.flush(bw, ac_codes)
+
+
+def _prog_ac_refine_block(bw, ac_codes, zz, ss, se, al, st: _EobState) -> None:
+    """Progressive AC refinement encoder for one block — the libjpeg
+    encode_mcu_AC_refine control flow (new ±1 coefficients interleaved with
+    buffered correction bits for history coefficients)."""
+    absv = {}
+    eob = ss - 1
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = (v if v >= 0 else -v) >> al
+        absv[k] = t
+        if t == 1:
+            eob = k  # last NEWLY-nonzero coefficient position
+    r = 0
+    br_bits: List[int] = []
+    for k in range(ss, se + 1):
+        t = absv[k]
+        if t == 0:
+            r += 1
+            continue
+        # ZRLs are only needed inside the newly-nonzero span; beyond it the
+        # run folds into the EOB
+        while r > 15 and k <= eob:
+            st.flush(bw, ac_codes)
+            code, ln = ac_codes[0xF0]
+            bw.write(code, ln)
+            r -= 16
+            for b in br_bits:
+                bw.write(b, 1)
+            br_bits = []
+        if t > 1:
+            # history coefficient: just queue its next magnitude bit
+            br_bits.append(t & 1)
+            continue
+        st.flush(bw, ac_codes)
+        code, ln = ac_codes[(r << 4) | 1]
+        bw.write(code, ln)
+        bw.write(1 if int(zz[k]) >= 0 else 0, 1)
+        for b in br_bits:
+            bw.write(b, 1)
+        br_bits = []
+        r = 0
+    if r > 0 or br_bits:
+        # same Annex-K constraint as the initial scan: flush runs of 1
+        st.eobrun += 1
+        st.pending.extend(br_bits)
+        st.flush(bw, ac_codes)
+
+
 def _fdct_quant(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
     """(H, W) float centered plane -> (by, bx, 64) quantized zigzag coefs."""
     h, w = plane.shape
@@ -457,18 +747,25 @@ def _fdct_quant(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
 
 def encode_jpeg(arr: np.ndarray, quality: int = 85,
                 subsampling: str = "444",
-                restart_interval: int = 0) -> bytes:
-    """(H, W, 3) or (H, W) uint8 -> baseline JFIF JPEG bytes.
+                restart_interval: int = 0,
+                progressive: bool = False) -> bytes:
+    """(H, W, 3) or (H, W) uint8 -> JFIF JPEG bytes.
 
     ``subsampling``: ``"444"`` (no chroma subsampling) or ``"420"`` (2x2 box
     average — exercises a decoder's upsampling path). ``restart_interval``:
-    emit DRI + RSTn markers every N MCUs (0 = none).
+    emit DRI + RSTn markers every N MCUs (0 = none; baseline only).
+    ``progressive``: emit SOF2 with a successive-approximation scan script
+    (DC initial Al=1 -> AC initial per component Al=1 -> DC refine -> AC
+    refine) — the quantized coefficients are IDENTICAL to the baseline
+    stream's, so both decode to byte-identical pixels.
     """
     gray = arr.ndim == 2
     if not gray and arr.shape[2] != 3:
         raise ValueError("expected (H,W) or (H,W,3) uint8")
     if subsampling not in ("444", "420"):
         raise ValueError("subsampling must be '444' or '420'")
+    if progressive and restart_interval:
+        raise ValueError("restart intervals unsupported with progressive")
     h, w = arr.shape[:2]
     a = arr.astype(np.float64)
     if gray:
@@ -512,30 +809,94 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85,
                    mode="edge")
         coefs.append(_fdct_quant(p - 128.0, q.astype(np.float64)))
 
-    segments: List[bytes] = []
-    bw = _BitWriter()
-    preds = [0] * len(planes)
-    total_mcus = mcux * mcuy
-    for mi in range(total_mcus):
-        if restart_interval and mi and mi % restart_interval == 0:
-            segments.append(bw.flush())
-            bw = _BitWriter()
-            preds = [0] * len(planes)
-        myy, mxx = divmod(mi, mcux)
-        for ci, (name, _, ch, cv) in enumerate(planes):
+    def _comp_bdims(ch, cv):
+        """Non-interleaved block grid (T.81 A.2.2) for a (ch, cv) component."""
+        comp_h = -(-h * cv // vmax)
+        comp_w = -(-w * ch // hmax)
+        return -(-comp_h // 8), -(-comp_w // 8)
+
+    def _mcu_blocks():
+        for mi in range(mcux * mcuy):
+            myy, mxx = divmod(mi, mcux)
+            for ci, (name, _, ch, cv) in enumerate(planes):
+                for vy in range(cv):
+                    for vx in range(ch):
+                        yield mi, ci, name, coefs[ci][myy * cv + vy,
+                                                      mxx * ch + vx]
+
+    if not progressive:
+        segments: List[bytes] = []
+        bw = _BitWriter()
+        preds = [0] * len(planes)
+        cur_mi = 0
+        for mi, ci, name, zz in _mcu_blocks():
+            if restart_interval and mi != cur_mi and mi % restart_interval == 0:
+                segments.append(bw.flush())
+                bw = _BitWriter()
+                preds = [0] * len(planes)
+            cur_mi = mi
             dcc = dc_y if name == "y" else dc_c
             acc = ac_y if name == "y" else ac_c
-            for vy in range(cv):
-                for vx in range(ch):
-                    preds[ci] = _encode_block(
-                        bw, coefs[ci][myy * cv + vy, mxx * ch + vx],
-                        preds[ci], dcc, acc)
-    segments.append(bw.flush())
-    scan = bytearray()
-    for si, segb in enumerate(segments):
-        scan += segb
-        if si < len(segments) - 1:
-            scan += bytes([0xFF, 0xD0 + (si % 8)])
+            preds[ci] = _encode_block(bw, zz, preds[ci], dcc, acc)
+        segments.append(bw.flush())
+        scan = bytearray()
+        for si, segb in enumerate(segments):
+            scan += segb
+            if si < len(segments) - 1:
+                scan += bytes([0xFF, 0xD0 + (si % 8)])
+    else:
+        # scan script: DC init (Al=1, interleaved) -> AC init per comp
+        # (Ss=1..63, Al=1) -> DC refine -> AC refine per comp
+        def _sos_header(comp_ids, ss, se, ah, al_):
+            ns = len(comp_ids)
+            hdr = struct.pack(">HB", 6 + 2 * ns, ns)
+            for ci in comp_ids:
+                dc_id = 0 if planes[ci][0] == "y" else 1
+                hdr += bytes([ci + 1, (dc_id << 4) | dc_id])
+            hdr += bytes([ss, se, (ah << 4) | al_])
+            return b"\xff\xda" + hdr
+
+        prog_scans: List[bytes] = []
+        # 1. DC initial, Al=1, all components interleaved
+        bw = _BitWriter()
+        preds = [0] * len(planes)
+        for mi, ci, name, zz in _mcu_blocks():
+            v = int(zz[0]) >> 1
+            _emit_dc_diff(bw, dc_y if name == "y" else dc_c, v - preds[ci])
+            preds[ci] = v
+        prog_scans.append(
+            _sos_header(list(range(len(planes))), 0, 0, 0, 1) + bw.flush())
+        # 2. AC initial per component, Al=1
+        for ci, (name, _, ch, cv) in enumerate(planes):
+            bw = _BitWriter()
+            st = _EobState()
+            acc = ac_y if name == "y" else ac_c
+            bh, bwid = _comp_bdims(ch, cv)
+            for u in range(bh * bwid):
+                byy, bxx = divmod(u, bwid)
+                _prog_ac_first_block(bw, acc, coefs[ci][byy, bxx],
+                                     1, 63, 1, st)
+            st.flush(bw, acc)
+            prog_scans.append(_sos_header([ci], 1, 63, 0, 1) + bw.flush())
+        # 3. DC refinement (one bit per block), interleaved
+        bw = _BitWriter()
+        for mi, ci, name, zz in _mcu_blocks():
+            bw.write(int(zz[0]) & 1, 1)
+        prog_scans.append(
+            _sos_header(list(range(len(planes))), 0, 0, 1, 0) + bw.flush())
+        # 4. AC refinement per component, Al 1 -> 0
+        for ci, (name, _, ch, cv) in enumerate(planes):
+            bw = _BitWriter()
+            st = _EobState()
+            acc = ac_y if name == "y" else ac_c
+            bh, bwid = _comp_bdims(ch, cv)
+            for u in range(bh * bwid):
+                byy, bxx = divmod(u, bwid)
+                _prog_ac_refine_block(bw, acc, coefs[ci][byy, bxx],
+                                      1, 63, 0, st)
+            st.flush(bw, acc)
+            prog_scans.append(_sos_header([ci], 1, 63, 1, 0) + bw.flush())
+        scan = b"".join(prog_scans)
 
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + \
@@ -557,7 +918,7 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85,
     sof += bytes([1, y_hv, 0])
     if not gray:
         sof += bytes([2, 0x11, 1, 3, 0x11, 1])
-    out += b"\xff\xc0" + sof
+    out += (b"\xff\xc2" if progressive else b"\xff\xc0") + sof
 
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
@@ -572,11 +933,14 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85,
     if not gray:
         out += _dht(0, 1, _DC_CHROMA_SPEC) + _dht(1, 1, _AC_CHROMA_SPEC)
 
-    sos = struct.pack(">HB", 6 + 2 * nc, nc) + bytes([1, 0x00])
-    if not gray:
-        sos += bytes([2, 0x11, 3, 0x11])
-    sos += bytes([0, 63, 0])
-    out += b"\xff\xda" + sos
-    out += scan
+    if progressive:
+        out += scan  # scan bytes already carry their per-scan SOS headers
+    else:
+        sos = struct.pack(">HB", 6 + 2 * nc, nc) + bytes([1, 0x00])
+        if not gray:
+            sos += bytes([2, 0x11, 3, 0x11])
+        sos += bytes([0, 63, 0])
+        out += b"\xff\xda" + sos
+        out += scan
     out += b"\xff\xd9"
     return bytes(out)

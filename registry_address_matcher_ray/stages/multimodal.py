@@ -16,9 +16,10 @@ payloads. Design contract here:
   plumbing for formats whose codecs aren't in this container);
 - ``codec="real"`` GENUINELY decodes the library-free formats via
   ``functions/codecs.py`` — PPM(P6)/24-bit-BMP/8-bit-PNG pixels (PNG via
-  stdlib zlib + numpy scanline unfiltering, all 5 filter types), baseline
-  JPEG (SOF0, 4:4:4/4:2:2/4:2:0, restart markers — ``functions/jpeg.py``;
-  progressive SOF2 still raises) and PCM16 WAV samples — and computes real
+  stdlib zlib + numpy scanline unfiltering, all 5 filter types), JPEG
+  (baseline SOF0 AND progressive SOF2, 4:4:4/4:2:2/4:2:0, restart
+  markers — ``functions/jpeg.py``; arithmetic/lossless still raise) and
+  PCM16 WAV samples — and computes real
   features (channel stats + grayscale grid; framed FFT band energies).
   Video frame sampling genuinely decodes MJPEG-AVI containers
   (``functions/avi.py``); MP4 and non-MJPEG codecs raise ``ValueError``

@@ -75,16 +75,45 @@ def test_restart_markers_present_and_parsed():
     assert (base == with_rst).all()
 
 
-def test_progressive_and_bad_input_raise():
+def test_malformed_inputs_raise():
     img = _gradient(16, 16)
     data = bytearray(encode_jpeg(img))
-    # flip SOF0 (FFC0) into SOF2 (FFC2): progressive must be a loud gate
+    # a baseline stream relabeled SOF2 is NOT valid progressive (its scan
+    # header has Se=63 with Ss=0) — must be a loud error, not garbage pixels
     i = bytes(data).index(b"\xff\xc0")
     data[i + 1] = 0xC2
     with pytest.raises(ValueError, match="progressive"):
         decode_jpeg(bytes(data))
+    # lossless SOF3 stays gated
+    data[i + 1] = 0xC3
+    with pytest.raises(ValueError, match="lossless"):
+        decode_jpeg(bytes(data))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"not a jpeg")
+
+
+@pytest.mark.parametrize("sub", ["444", "420"])
+def test_progressive_decodes_identical_to_baseline(sub):
+    """Both encoder modes emit the same quantized coefficients, so the
+    reconstructions must match byte-for-byte — this pins every progressive
+    path: DC init/refine, AC init (ZRL, EOB), AC refine (correction bits,
+    new ±1 coefficients, EOB-run regions)."""
+    rng = np.random.RandomState(5)
+    for img in (_gradient(40, 56),
+                rng.randint(0, 256, (33, 29, 3)).astype(np.uint8),
+                np.full((16, 16, 3), 200, np.uint8)):
+        base = decode_jpeg(encode_jpeg(img, quality=92, subsampling=sub))
+        prog = decode_jpeg(encode_jpeg(img, quality=92, subsampling=sub,
+                                       progressive=True))
+        assert (base == prog).all()
+
+
+def test_progressive_gray_and_marker():
+    g = (np.mgrid[0:24, 0:24][0] * 10).astype(np.uint8)
+    data = encode_jpeg(g, quality=95, progressive=True)
+    assert b"\xff\xc2" in data and b"\xff\xc0" not in data[2:4]
+    assert data.count(b"\xff\xda") >= 4          # multi-scan script
+    assert (decode_jpeg(data) == decode_jpeg(encode_jpeg(g, quality=95))).all()
 
 
 def test_sof_dimensions_and_sampling_bytes():
