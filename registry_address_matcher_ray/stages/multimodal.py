@@ -343,7 +343,8 @@ def synth_decodable_media(n: int, kind: str = "ppm", seed: int = 0) -> pa.Table:
             elif kind == "jpeg":
                 payloads.append(encode_jpeg(
                     img, quality=90,
-                    subsampling="444" if i % 2 == 0 else "420"))
+                    subsampling="444" if i % 2 == 0 else "420",
+                    progressive=(i % 3 == 0)))
             else:
                 payloads.append(enc(img))
             ws.append(w)
