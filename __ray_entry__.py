@@ -603,6 +603,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return D.overlap_contamination(ds, _bench_slice(ds), "text",
                                        "doc_id", k=8, frac=0.7)
 
+    def docs_temperature_sampled(sf_dir):
+        """Temperature-based corpus resampling at alpha=0.7, frac=0.5 —
+        realizes temperature_mix's weights via the deterministic
+        md5-uniform compare (stages/sampling.temperature_sample)."""
+        from registry_address_matcher_ray.stages import sampling
+        ds = _read(sf_dir, "documents").select_columns(["doc_id", "source"])
+        return sampling.temperature_sample(ds, "source", "doc_id",
+                                           alpha=0.7, frac=0.5)
+
     def docs_weighted_sample(sf_dir):
         """Deterministic weighted sample w/o replacement (Efraimidis-
         Spirakis keys from md5 uniforms; stages/sampling.py weighted_sample)
@@ -1693,6 +1702,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_token_shards": docs_token_shards,
         "docs_dsir_weights": docs_dsir_weights,
         "docs_weighted_sample": docs_weighted_sample,
+        "docs_temperature_sampled": docs_temperature_sampled,
         "docs_quality_metrics": docs_quality_metrics,
         "lineitem_agg": lineitem_agg,
         "lineitem_rollup": lineitem_rollup,
@@ -3058,6 +3068,25 @@ def oracle_sql() -> dict[str, str]:
                         WHEN lp.avg_logprob <= th.t_hi THEN 'middle'
                         ELSE 'head' END AS bucket
             FROM lp CROSS JOIN th
+        """,
+        # resampling realization of the temperature weights: identical
+        # pow()/min() arithmetic, md5_number_lower uniform (last 8 digest
+        # bytes little-endian = the engine's md5(id).digest()[8:] LE)
+        "docs_temperature_sampled": """
+            WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+                       FROM documents GROUP BY 1),
+            t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot,
+                         sum(pow(CAST(n AS DOUBLE), 0.7)) AS ptot
+                  FROM c),
+            p AS (SELECT source,
+                         least(1.0, 0.5 * tot *
+                               (pow(CAST(n AS DOUBLE), 0.7) / ptot)
+                               / CAST(n AS DOUBLE)) AS p
+                  FROM c CROSS JOIN t)
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN p USING (source)
+            WHERE md5_number_lower(CAST(d.doc_id AS VARCHAR))
+                  / 18446744073709551616.0 < p.p
         """,
         "docs_temperature_mix": """
             WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs

@@ -295,6 +295,59 @@ def weighted_sample(
                            batch_format="pyarrow")
 
 
+def temperature_sample(
+    ds: ray.data.Dataset,
+    source_col: str,
+    id_col: str,
+    alpha: float = 0.7,
+    frac: float = 0.5,
+) -> ray.data.Dataset:
+    """Temperature-based corpus RESAMPLING — the sampling step that realizes
+    ``analytics.temperature_mix``'s weights (Conneau & Lample 2019 §3.1):
+    row of source ``s`` is kept with probability ``p_s = min(1, frac * N *
+    w_s / c_s)`` where ``w_s = c_s^alpha / sum c^alpha`` — so the expected
+    output is ``~frac*N`` rows distributed by the temperature weights
+    (exactly, unless a small source saturates at p=1).
+
+    The decision is the deterministic md5-uniform compare of
+    :func:`weighted_sample` (``u = md5(id) last-8-bytes LE / 2^64 < p_s``),
+    so the draw is reproducible and SQL-checkable. One #sources-row count
+    groupby; the retention table is O(#sources) driver floats; the filter
+    itself is a stateless streaming pass — no shuffle of the corpus.
+    """
+    from ray.data.aggregate import Sum
+
+    def _cnt(df) -> "pa.Table":
+        vc = df[source_col].value_counts()
+        return pa.table({source_col: pa.array(vc.index.astype(str)),
+                         "_c": pa.array(vc.to_numpy(), pa.int64())})
+
+    counts = (
+        ds.select_columns([source_col])
+        .map_batches(_cnt, batch_format="pandas")
+        .groupby(source_col)
+        .aggregate(Sum("_c", alias_name="n"))
+        .to_pandas()
+    )
+    n = counts["n"].to_numpy(dtype="float64")
+    pw = np.power(n, alpha)
+    w = pw / pw.sum()
+    p = np.minimum(1.0, frac * n.sum() * w / n)
+    probs = dict(zip(counts[source_col], p))
+
+    def _keep(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_pylist()
+        u = np.array(
+            [int.from_bytes(hashlib.md5(str(v).encode()).digest()[8:],
+                            "little") for v in ids],
+            dtype=np.float64) / float(1 << 64)
+        ps = np.array([probs.get(s, 0.0)
+                       for s in b.column(source_col).to_pylist()])
+        return b.filter(pa.array(u < ps))
+
+    return ds.map_batches(_keep, batch_format="pyarrow")
+
+
 def global_shuffle(
     ds: ray.data.Dataset,
     id_col: str,

@@ -154,3 +154,44 @@ def test_overlap_contamination_integer_threshold_exact():
     ).to_pandas()
     assert got.loc[0, "n_hit_shingles"] == 7
     assert bool(got.loc[0, "dropped"])
+
+
+def test_temperature_sample_properties():
+    from registry_address_matcher_ray.stages import sampling
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(1200),
+        "source": ["big"] * 1000 + ["small"] * 200,
+    })
+    ds = ray.data.from_pandas(df)
+    got = sampling.temperature_sample(ds, "source", "doc_id",
+                                      alpha=0.5, frac=0.5).to_pandas()
+    # deterministic: same call twice -> identical rows
+    again = sampling.temperature_sample(ds, "source", "doc_id",
+                                        alpha=0.5, frac=0.5).to_pandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values("doc_id").reset_index(drop=True),
+        again.sort_values("doc_id").reset_index(drop=True))
+    # expected retention: p_s = min(1, 0.5 * N * w_s / c_s)
+    pw = np.sqrt(np.array([1000.0, 200.0]))
+    w = pw / pw.sum()
+    p = np.minimum(1.0, 0.5 * 1200 * w / np.array([1000.0, 200.0]))
+    counts = got["source"].value_counts()
+    for s, cs, ps in (("big", 1000, p[0]), ("small", 200, p[1])):
+        assert abs(counts.get(s, 0) - cs * ps) < 4 * np.sqrt(cs * ps + 1)
+    # alpha < 1 keeps a larger FRACTION of the small source
+    assert counts["small"] / 200 > counts["big"] / 1000
+
+
+def test_temperature_sample_saturation_keeps_all():
+    from registry_address_matcher_ray.stages import sampling
+
+    # tiny source saturates at p=1: every row survives
+    df = pd.DataFrame({
+        "doc_id": np.arange(1010),
+        "source": ["big"] * 1000 + ["tiny"] * 10,
+    })
+    got = sampling.temperature_sample(
+        ray.data.from_pandas(df), "source", "doc_id",
+        alpha=0.1, frac=0.9).to_pandas()
+    assert (got["source"] == "tiny").sum() == 10
