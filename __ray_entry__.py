@@ -322,12 +322,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from registry_address_matcher_ray.sources import sqldb
 
+        src = os.path.join(sf_dir, "supplier.parquet")
+        stat = os.stat(src)
+        # key the cache by (path, mtime, size) so a regenerated fixture
+        # never serves stale rows from an old /tmp materialization
         db = "/tmp/ram_sqldb_%s.db" % hashlib.md5(
-            sf_dir.encode()).hexdigest()[:10]
+            f"{src}:{stat.st_mtime_ns}:{stat.st_size}".encode()
+        ).hexdigest()[:12]
         if not os.path.exists(db):
             tmp = db + ".building"
-            sqldb.dataset_to_sqlite(
-                os.path.join(sf_dir, "supplier.parquet"), tmp, "supplier")
+            sqldb.dataset_to_sqlite(src, tmp, "supplier")
             os.replace(tmp, db)
         fac = sqldb.connection_factory("sqlite", database=db)
         return sqldb.read_sql_sharded("supplier", fac, "s_suppkey",

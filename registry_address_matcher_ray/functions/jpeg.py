@@ -474,6 +474,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     frame: Optional[dict] = None
     st: Optional[_ScanState] = None
     progressive = False
+    saw_scan = False
     restart_interval = 0
     i = 2
     n = len(payload)
@@ -542,10 +543,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             _decode_scan_into(st, scomps, ss, se, ahal >> 4, ahal & 0xF,
                               segments, restart_interval, huff_dc, huff_ac,
                               progressive)
+            saw_scan = True
             continue  # i already points at the terminating marker
         # else: APPn/COM/unknown -> skip
         i += seglen
-    if st is None:
+    if st is None or not saw_scan:
         raise ValueError("no SOS scan found in JPEG")
     return _reconstruct(st, qt)
 
@@ -903,7 +905,6 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85,
         struct.pack(">HHBB", 1, 1, 0, 0)
 
     def _dqt(tid, q):
-        z = np.zeros(64, dtype=np.int64)
         z = q.reshape(64)[_ZIGZAG]  # store in zigzag order
         return b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(
             int(v) for v in z)

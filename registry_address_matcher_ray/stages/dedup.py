@@ -982,14 +982,23 @@ def boilerplate_removed(
     exploded = ds.map_batches(_explode, batch_format="pandas").materialize()
 
     def _df_partial(df: pd.DataFrame) -> pd.DataFrame:
-        pairs = df.loc[df["line"] != "", [id_col, "line"]].drop_duplicates()
+        # Runs on ds (one INPUT row = one whole document), NOT on exploded:
+        # Ray splits a task's OUTPUT blocks at arbitrary row offsets once
+        # they exceed target_max_block_size, so exploded line rows of one
+        # doc could straddle batches and per-batch dedup would overcount df
+        # (the soundex_block_sizes lesson from the round-3 advisory).
+        lines = df[[id_col]].copy()
+        lines["line"] = df[text_col].fillna("").str.split("\n")
+        lines = lines.explode("line")
+        pairs = lines.loc[lines["line"].fillna("") != "",
+                          [id_col, "line"]].drop_duplicates()
         counts = pairs["line"].value_counts()
         return pd.DataFrame({"line": counts.index, "_c": counts.to_numpy()})
 
     from .analytics import ensure_arrow_schema
 
     boiler = ensure_arrow_schema(
-        exploded.map_batches(_df_partial, batch_format="pandas")
+        ds.map_batches(_df_partial, batch_format="pandas")
         .groupby("line")
         .aggregate(Sum("_c", alias_name="_boiler"))
         .filter(expr=f"_boiler >= {int(max_df)}"),

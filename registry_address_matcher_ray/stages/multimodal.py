@@ -238,6 +238,8 @@ class FrameSampleActor(_MediaActor):
                 from ..functions.avi import decode_mjpeg_avi
 
                 usec, frames = decode_mjpeg_avi(p or b"")
+                if not frames:  # structurally valid AVI, zero frame chunks
+                    continue
                 dur_real = len(frames) * usec // 1000
                 grid = range(0, max(dur_real, 1), self.every_ms)
                 for _, t in zip(range(self.max_frames), grid):

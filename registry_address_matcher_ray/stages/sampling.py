@@ -36,6 +36,17 @@ def _md5_prefix4(values) -> List[str]:
     return [hashlib.md5(str(v).encode()).hexdigest()[:4] for v in values]
 
 
+def _md5_uniform(values) -> np.ndarray:
+    """Deterministic uniform in [0, 1) per value: last 8 md5 digest bytes
+    little-endian / 2^64 — MUST stay bit-identical to the DuckDB oracle
+    expression ``md5_number_lower(CAST(v AS VARCHAR)) / 2^64`` (the one
+    determinism contract shared by weighted_sample / temperature_sample)."""
+    return np.array(
+        [int.from_bytes(hashlib.md5(str(v).encode()).digest()[8:], "little")
+         for v in values],
+        dtype=np.float64) / float(1 << 64)
+
+
 def hash_split(
     ds: ray.data.Dataset,
     id_col: str,
@@ -268,11 +279,7 @@ def weighted_sample(
     import pyarrow.compute as pc
 
     def _key(b: pa.Table) -> pa.Table:
-        ids = b.column(id_col).to_pylist()
-        u = np.array(
-            [int.from_bytes(hashlib.md5(str(v).encode()).digest()[8:],
-                            "little") for v in ids],
-            dtype=np.float64) / float(1 << 64)
+        u = _md5_uniform(b.column(id_col).to_pylist())
         w = np.asarray(b.column(weight_col).to_pandas(), dtype=np.float64)
         valid = np.isfinite(w) & (w > 0.0)
         key = np.where(valid, np.power(u, 1.0 / np.where(valid, w, 1.0)),
@@ -319,7 +326,7 @@ def temperature_sample(
 
     def _cnt(df) -> "pa.Table":
         vc = df[source_col].value_counts()
-        return pa.table({source_col: pa.array(vc.index.astype(str)),
+        return pa.table({source_col: pa.array(vc.index),
                          "_c": pa.array(vc.to_numpy(), pa.int64())})
 
     counts = (
@@ -333,15 +340,13 @@ def temperature_sample(
     pw = np.power(n, alpha)
     w = pw / pw.sum()
     p = np.minimum(1.0, frac * n.sum() * w / n)
-    probs = dict(zip(counts[source_col], p))
+    # key by str(value) on BOTH sides so non-string source columns (ints,
+    # categoricals) look up the same retention prob they were counted under
+    probs = {str(s): float(v) for s, v in zip(counts[source_col], p)}
 
     def _keep(b: pa.Table) -> pa.Table:
-        ids = b.column(id_col).to_pylist()
-        u = np.array(
-            [int.from_bytes(hashlib.md5(str(v).encode()).digest()[8:],
-                            "little") for v in ids],
-            dtype=np.float64) / float(1 << 64)
-        ps = np.array([probs.get(s, 0.0)
+        u = _md5_uniform(b.column(id_col).to_pylist())
+        ps = np.array([probs.get(str(s), 0.0)
                        for s in b.column(source_col).to_pylist()])
         return b.filter(pa.array(u < ps))
 

@@ -195,3 +195,17 @@ def test_temperature_sample_saturation_keeps_all():
         ray.data.from_pandas(df), "source", "doc_id",
         alpha=0.1, frac=0.9).to_pandas()
     assert (got["source"] == "tiny").sum() == 10
+
+
+def test_temperature_sample_nonstring_source_column():
+    """Regression: int-typed source columns must look up the same retention
+    probability they were counted under (probs keyed by str on both sides)."""
+    from registry_address_matcher_ray.stages import sampling
+
+    df = pd.DataFrame({"doc_id": np.arange(100),
+                       "source": [1] * 50 + [2] * 50})
+    got = sampling.temperature_sample(
+        ray.data.from_pandas(df), "source", "doc_id",
+        alpha=0.7, frac=0.9).to_pandas()
+    assert len(got) > 0
+    assert set(got["source"]) == {1, 2}

@@ -1,6 +1,7 @@
-"""Baseline JPEG codec (functions/jpeg.py): encode->decode roundtrips across
-subsampling modes and restart intervals, spec-level byte checks, and the
-honest gates (progressive, 12-bit)."""
+"""JPEG codec (functions/jpeg.py): baseline and progressive encode->decode
+roundtrips across subsampling modes and restart intervals, exact
+baseline-vs-progressive parity, spec-level byte checks, and the honest
+gates (arithmetic/lossless)."""
 
 import struct
 
@@ -132,3 +133,12 @@ def test_decode_image_dispatches_jpeg():
     dec = codecs.decode_image(encode_jpeg(img, quality=92))
     assert dec.shape == (16, 16, 3)
     assert np.abs(dec.astype(int) - img.astype(int)).max() <= 4
+
+
+def test_headers_without_scan_raise():
+    # SOI + tables + SOF but no SOS: must raise, not decode to flat gray
+    img = _gradient(16, 16)
+    data = encode_jpeg(img)
+    cut = data.index(b"\xff\xda")
+    with pytest.raises(ValueError, match="no SOS"):
+        decode_jpeg(data[:cut] + b"\xff\xd9")

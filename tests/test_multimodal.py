@@ -297,3 +297,22 @@ def test_real_decode_stage_handles_png(ray_session):
         assert f[0] == np.float32(img.shape[1] / 4096.0)
         assert abs(f[2] - img[:, :, 0].astype(np.float32).mean() / 255.0) \
             < 1e-6
+
+
+def test_real_video_zero_frame_avi_yields_no_rows(ray_session):
+    import struct
+
+    import pyarrow as pa
+
+    from registry_address_matcher_ray.stages import multimodal as M
+
+    # well-formed RIFF/AVI with an empty movi LIST: no frames to sample
+    movi = b"LIST" + struct.pack("<I", 4) + b"movi"
+    body = b"AVI " + movi
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    actor = M.FrameSampleActor(codec="real")
+    out = actor(pa.table({
+        "media_id": ["v0"], "media_type": ["video/x-msvideo"],
+        "payload": [payload], "duration_ms": pa.array([0], pa.int32()),
+    }))
+    assert out.num_rows == 0
