@@ -1527,6 +1527,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _rd.read_parquet(out).map_batches(_proj,
                                                  batch_format="pyarrow")
 
+    def docs_training_prep_packed(sf_dir):
+        """Training-prep flagship WITH the model-ready tail: exact dedup ->
+        quality filter -> seeded shuffle -> whitespace tokenize -> next-fit
+        sequence packing per shard -> resumable shard write + per-shard
+        sequence manifests (pipelines/training_prep.py pack_len=...).
+        Rows-only: next-fit carries sequential state SQL cannot express;
+        parity with a sequential transcription over the same shuffle order
+        is pytest-pinned (tests/test_training_prep.py)."""
+        import tempfile
+
+        import ray.data as _rd
+
+        from registry_address_matcher_ray.pipelines.training_prep import (
+            run_training_prep,
+        )
+
+        out = tempfile.mkdtemp(prefix="prep-pack-", dir="/tmp")
+        run_training_prep(_read(sf_dir, "documents"), out,
+                          quality_weights=(-3.8, 0.4, 0.1, 2.0, 2.0),
+                          seed="drv", num_shards=8, pack_len=256)
+        import pyarrow.compute as _pc
+
+        def _proj(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": b.column("doc_id"),
+                "shard": _pc.cast(b.column("shard"), pa.int64()),
+                "pos_in_shard": _pc.cast(b.column("pos_in_shard"),
+                                         pa.int64()),
+                "n_tokens": _pc.cast(b.column("n_tokens"), pa.int64()),
+                "seq_id": _pc.cast(b.column("seq_id"), pa.int64()),
+                "seq_pos": _pc.cast(b.column("seq_pos"), pa.int64()),
+            })
+
+        return _rd.read_parquet(out).map_batches(_proj,
+                                                 batch_format="pyarrow")
+
     def docs_pack_sequences(sf_dir):
         """Context-window sequence packing (next-fit within exact
         prefix-scan shards; stages/sampling.pack_sequences). Rows-only:
@@ -1752,6 +1788,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pmi_collocations": docs_pmi_collocations,
         "docs_pack_sequences": docs_pack_sequences,
         "docs_training_prep": docs_training_prep,
+        "docs_training_prep_packed": docs_training_prep_packed,
         "docs_neardup_against": docs_neardup_against,
         "orders_union_filters": orders_union_filters,
         "distinct_returnflags": distinct_returnflags,

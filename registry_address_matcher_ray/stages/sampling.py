@@ -27,7 +27,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-__all__ = ["hash_split", "stratified_hash_sample", "per_key_topn"]
+__all__ = ["hash_split", "stratified_hash_sample", "per_key_topn",
+           "pack_shuffled"]
 
 
 def _md5_prefix4(values) -> List[str]:
@@ -473,3 +474,53 @@ def pack_sequences(
         return out
 
     return sharded.groupby("shard").map_groups(_pack, batch_format="pandas")
+
+
+def pack_shuffled(
+    ds: "ray.data.Dataset",
+    seq_len: int = 2048,
+    count_col: str = "n_tokens",
+    shard_col: str = "shard",
+    pos_col: str = "pos_in_shard",
+) -> "ray.data.Dataset":
+    """Next-fit sequence packing over the SHUFFLED TRAINING ORDER — the
+    model-ready final stage of the training-prep flagship: input is
+    :func:`shuffled_shards` output with a per-doc token-count column
+    (whitespace or trained-BPE), output appends ``seq_id``/``seq_pos`` so
+    each fixed-``seq_len`` training sequence is reconstructible by
+    concatenating its docs in ``seq_pos`` order.
+
+    Packing is the identical next-fit rule as :func:`pack_sequences` (a
+    sequence closes when the next doc would overflow; an over-long doc gets
+    its own sequence) but scans each SHUFFLE shard in ``pos_col`` order, so
+    sequences are built from the randomized order the model will consume.
+    ``seq_id = shard * 2^32 + local_seq`` stays globally unique.
+
+    Scale shape: next-fit carries sequential state, so each shard packs in
+    one ``groupby(shard).map_groups`` task — embarrassingly parallel across
+    shards, deterministic at any partitioning. The groupby is the packing
+    exchange; it doubles as the write-side grouping (whole shards reach the
+    sink co-located). Size ``num_shards`` upstream so one shard fits a
+    worker's heap — the same constraint every ``map_groups`` carries.
+    All input columns (text payload included) ride through unchanged.
+    """
+
+    def _pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(pos_col, kind="mergesort").reset_index(drop=True)
+        shard = int(g[shard_col].iloc[0])
+        seq_ids = np.empty(len(g), np.int64)
+        seq_pos = np.empty(len(g), np.int64)
+        local, fill, pos = 0, 0, 0
+        for i, n in enumerate(g[count_col].to_numpy()):
+            if fill > 0 and fill + n > seq_len:
+                local += 1
+                fill, pos = 0, 0
+            seq_ids[i] = (shard << 32) + local
+            seq_pos[i] = pos
+            fill += int(n)
+            pos += 1
+        g["seq_id"] = seq_ids
+        g["seq_pos"] = seq_pos
+        return g
+
+    return ds.groupby(shard_col).map_groups(_pack, batch_format="pandas")

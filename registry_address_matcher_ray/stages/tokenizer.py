@@ -140,11 +140,14 @@ class _BpeCounter:
     """Actor-pool counting stage: merge ranks resolved once per actor, plus a
     word -> piece-count memo that persists across batches (Zipf reuse)."""
 
-    def __init__(self, ranks_ref, text_col: str, id_col: str):
+    def __init__(self, ranks_ref, text_col: str, id_col: str,
+                 out_col: str = "n_bpe_tokens", append: bool = False):
         self._ranks: Dict[Tuple[str, str], int] = ray.get(ranks_ref)
         self._memo: Dict[str, int] = {}
         self._text_col = text_col
         self._id_col = id_col
+        self._out_col = out_col
+        self._append = append
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         memo, ranks = self._memo, self._ranks
@@ -157,9 +160,12 @@ class _BpeCounter:
                     k = memo[w] = len(bpe_word_pieces(w, ranks))
                 n += k
             out[i] = n
+        col = pa.array(out, pa.int64())
+        if self._append:
+            return batch.append_column(self._out_col, col)
         return pa.table({
             self._id_col: batch.column(self._id_col),
-            "n_bpe_tokens": pa.array(out, pa.int64()),
+            self._out_col: col,
         })
 
 
@@ -170,15 +176,22 @@ def bpe_token_counts(
     merges: Sequence[Tuple[str, str]],
     batch_size: int = 256,
     concurrency=(1, 8),
+    out_col: str = "n_bpe_tokens",
+    append: bool = False,
 ) -> ray.data.Dataset:
-    """Per-doc trained-BPE token counts: ``(id_col, n_bpe_tokens)``."""
+    """Per-doc trained-BPE token counts: ``(id_col, out_col)``; with
+    ``append=True`` the count column is appended to the full input batch
+    instead (payload columns ride through — the training-prep packing
+    path, which needs text + counts in one stream)."""
     ranks_ref = ray.put({tuple(m): i for i, m in enumerate(merges)})
+    src = ds if append else ds.select_columns([id_col, text_col])
     # max_restarts=0: constructor args live in the object store (ray#53727,
     # same note as stages/multimodal._pool) — Dataset task retries recover.
-    return ds.select_columns([id_col, text_col]).map_batches(
+    return src.map_batches(
         _BpeCounter, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency,
         fn_constructor_kwargs={"ranks_ref": ranks_ref, "text_col": text_col,
-                               "id_col": id_col},
+                               "id_col": id_col, "out_col": out_col,
+                               "append": append},
         max_restarts=0, max_task_retries=0,
     )

@@ -99,6 +99,95 @@ def test_training_prep_trained_quality(ray_session, tmp_path):
     assert res["counts"]["after_quality_filter"] >= 115
 
 
+def _seq_pack_expected(ordered_counts, shard, seq_len):
+    """Sequential transcription of the next-fit rule over one shard's
+    shuffle order — the parity oracle for pack_shuffled."""
+    seq_ids, seq_pos = [], []
+    local, fill, pos = 0, 0, 0
+    for n in ordered_counts:
+        if fill > 0 and fill + n > seq_len:
+            local += 1
+            fill, pos = 0, 0
+        seq_ids.append((shard << 32) + local)
+        seq_pos.append(pos)
+        fill += int(n)
+        pos += 1
+    return seq_ids, seq_pos
+
+
+@pytest.mark.parametrize("tok", ["whitespace", "bpe"])
+def test_training_prep_packed(ray_session, tmp_path, tok):
+    """pack_len wires tokenize -> next-fit packing into the flagship:
+    written rows carry n_tokens/seq_id/seq_pos matching a sequential
+    transcription over the same shuffle order, and the _manifest/ parquet
+    aggregates per-sequence token totals."""
+    import os
+
+    df = _mk_corpus()
+    out = str(tmp_path / f"packed-{tok}")
+    res = run_training_prep(
+        rd.from_pandas(df), out, seed="pk", num_shards=3,
+        pack_len=64, tokenizer=tok, bpe_num_merges=40)
+    assert sorted(res["written"]) == [f"shard={i}" for i in range(3)]
+    back = rd.read_parquet(out).to_pandas()
+    back["shard"] = back["shard"].astype("int64")
+    for c in ("n_tokens", "seq_id", "seq_pos"):
+        assert c in back.columns
+        back[c] = back[c].astype("int64")
+
+    if tok == "whitespace":
+        exp_n = {r.doc_id: len(r.text.split())
+                 for r in df.itertuples()}
+        got_n = dict(zip(back["doc_id"], back["n_tokens"]))
+        for d, n in got_n.items():
+            assert n == exp_n[d]
+
+    # parity: per shard, next-fit over pos_in_shard order
+    for shard, g in back.groupby("shard"):
+        g = g.sort_values("pos_in_shard")
+        exp_ids, exp_pos = _seq_pack_expected(
+            g["n_tokens"].tolist(), int(shard), 64)
+        assert g["seq_id"].tolist() == exp_ids
+        assert g["seq_pos"].tolist() == exp_pos
+        # no sequence exceeds pack_len unless it is a single over-long doc
+        tot = g.groupby("seq_id")["n_tokens"].agg(["sum", "count"])
+        over = tot[tot["sum"] > 64]
+        assert (over["count"] == 1).all()
+
+    # manifest: one row per sequence, totals match the data
+    man = rd.read_parquet(res["manifest_dir"]).to_pandas()
+    exp_man = (back.groupby(["shard", "seq_id"])["n_tokens"]
+               .agg(["sum", "count"]).reset_index())
+    man = man.sort_values(["shard", "seq_id"]).reset_index(drop=True)
+    exp_man = exp_man.sort_values(["shard", "seq_id"]).reset_index(drop=True)
+    assert man["seq_id"].tolist() == exp_man["seq_id"].tolist()
+    assert man["seq_tokens"].astype("int64").tolist() == \
+        exp_man["sum"].tolist()
+    assert man["n_docs"].astype("int64").tolist() == exp_man["count"].tolist()
+    # the _manifest dir is invisible to data read-backs (underscore prefix)
+    assert "_manifest" not in " ".join(
+        rd.read_parquet(out).input_files())
+
+    # crash-resume THROUGH the packed write: drop one shard, re-run ->
+    # only that shard rewritten, bytes equivalent, manifest regenerated
+    import shutil
+    shutil.rmtree(os.path.join(out, "shard=1"))
+    res2 = run_training_prep(
+        rd.from_pandas(df), out, seed="pk", num_shards=3,
+        pack_len=64, tokenizer=tok, bpe_num_merges=40)
+    assert res2["written"] == ["shard=1"]
+    back2 = rd.read_parquet(out).to_pandas()
+    for c in ("shard", "n_tokens", "seq_id", "seq_pos"):
+        back2[c] = back2[c].astype("int64")
+    key = ["doc_id", "shard", "pos_in_shard", "n_tokens", "seq_id",
+           "seq_pos"]
+    a = back[key].sort_values("doc_id").reset_index(drop=True)
+    b = back2[key].sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    man2 = rd.read_parquet(res2["manifest_dir"]).to_pandas()
+    assert len(man2) == len(man)
+
+
 def test_prep_job_cli(tmp_path):
     """The ray-job-submit entrypoint runs end-to-end in a fresh process
     (parquet in -> shard dirs out -> one JSON summary line)."""
