@@ -42,6 +42,13 @@ class PipelineConfig:
     #: None -> 6x the max actor count. Task granularity bounds both actor-pool
     #: utilization and straggler size.
     score_blocks: Optional[int] = None
+    #: shuffle-plan exact-match exclusion cutover: up to this many exact
+    #: matches the matched-id set is driver-gathered and broadcast as an
+    #: ``is_in`` filter (no extra exchange); above it the ids stay
+    #: distributed and the residue is a hash-partitioned ``left_anti`` join
+    #: (on an exact-heavy 100-TB corpus the set is corpus-sized) — same
+    #: pattern as ``stages.dedup.WINNER_BROADCAST_LIMIT``
+    exclude_broadcast_limit: int = 2_000_000
 
     @property
     def max_fuzzy_actors(self) -> int:

@@ -159,17 +159,30 @@ def match_registries(
         return ray.data.from_arrow(matching.MATCH_SCHEMA.empty_table())
 
     parts = []
-    exclude_ids: Set[str] = set()
+    exact = None
     if cfg.do_exact:
         exact = matching.exact_matches(spr, cad, cfg.num_partitions).materialize()
         parts.append(exact)
-        if cfg.do_fuzzy:
-            from ..stages.analytics import distinct_values
-
-            exclude_ids = set(distinct_values(exact, "ADDRESS_ID_SPR"))
 
     if cfg.do_fuzzy:
-        residue = matching.filter_out_ids(spr, "ADDRESS_ID", exclude_ids)
+        # exclusion-plan auto-switch: broadcast is_in below the limit (no
+        # exchange), distributed left_anti join above it (the matched-id set
+        # never reaches the driver) — row-identical either way
+        if exact is None or exact.count() == 0:
+            residue = spr
+            LAST_PLAN["exclude_plan"] = "none"
+        elif exact.count() > cfg.exclude_broadcast_limit:
+            residue = matching.filter_out_ids_join(
+                spr, "ADDRESS_ID", exact, "ADDRESS_ID_SPR",
+                num_partitions=cfg.num_partitions)
+            LAST_PLAN["exclude_plan"] = "join"
+        else:
+            from ..stages.analytics import distinct_values
+
+            exclude_ids: Set[str] = set(
+                distinct_values(exact, "ADDRESS_ID_SPR"))
+            residue = matching.filter_out_ids(spr, "ADDRESS_ID", exclude_ids)
+            LAST_PLAN["exclude_plan"] = "broadcast"
         fuzzy = matching.fuzzy_matches_shuffle(
             residue, cad, threshold=cfg.threshold, num_partitions=cfg.num_partitions
         )

@@ -1337,6 +1337,46 @@ def filter_out_ids(
     return ds.map_batches(_flt, batch_format="pyarrow")
 
 
+def filter_out_ids_join(
+    ds: ray.data.Dataset,
+    id_col: str,
+    ids_ds: ray.data.Dataset,
+    ids_col: str,
+    num_partitions: Optional[int] = None,
+) -> ray.data.Dataset:
+    """Distributed anti-join exclusion — the scale fallback for
+    :func:`filter_out_ids` when the exclusion set is too large to gather to
+    the driver (on an exact-heavy 100-TB corpus the matched-id set is
+    corpus-sized). The exclusion ids stay distributed: one ids-only
+    projection, then Ray's hash-partitioned ``left_anti`` join — no driver
+    materialization at any cardinality. Row-identical to the broadcast path
+    (pytest-pinned both ways on the same fixture).
+    """
+    left_type = None
+    sch = ds.schema(fetch_if_missing=False)
+    if sch is not None and id_col in sch.names:
+        left_type = sch.types[sch.names.index(id_col)]
+        if not isinstance(left_type, pa.DataType):
+            left_type = None
+
+    def _ids(b: pa.Table) -> pa.Table:
+        col = b.column(ids_col)
+        if left_type is not None and col.type != left_type:
+            col = pc.cast(col, left_type)
+        return pa.table({"_excl_id": col})
+
+    ids_only = ids_ds.map_batches(_ids, batch_format="pyarrow")
+    if num_partitions is None:
+        try:
+            est = ds.size_bytes() or 0
+            num_partitions = max(4, min(512, -(-est // (128 << 20))))
+        except Exception:
+            num_partitions = 32
+    return ds.join(ids_only, join_type="left_anti",
+                   num_partitions=num_partitions,
+                   on=(id_col,), right_on=("_excl_id",))
+
+
 def one_to_one_matches(
     pairs: ray.data.Dataset,
     left_col: str,

@@ -65,3 +65,24 @@ def test_explicit_strategy_bypasses_measurement(fixtures_small):
 def test_unknown_strategy_rejected():
     with pytest.raises(ValueError):
         PipelineConfig(fuzzy_strategy="bogus")
+
+
+def test_exclude_plan_auto_switch(fixtures_small):
+    """Shuffle-plan exact-match exclusion: broadcast is_in below the limit,
+    distributed left_anti join above it — row-identical matches, decision
+    observable in LAST_PLAN (VERDICT r4 watch-item #1)."""
+    base = PipelineConfig(fuzzy_strategy="shuffle")
+    got_bcast = _run(fixtures_small, base)
+    assert linkage.LAST_PLAN["exclude_plan"] == "broadcast"
+
+    forced = PipelineConfig(fuzzy_strategy="shuffle",
+                            exclude_broadcast_limit=0)
+    got_join = _run(fixtures_small, forced)
+    assert linkage.LAST_PLAN["exclude_plan"] == "join"
+    pd.testing.assert_frame_equal(got_bcast, got_join, check_dtype=False)
+
+    # Fuzzy Only: no exact phase -> no exclusion at all
+    fuzzy_only = PipelineConfig(fuzzy_strategy="shuffle",
+                                method="Fuzzy Only")
+    _run(fixtures_small, fuzzy_only)
+    assert linkage.LAST_PLAN["exclude_plan"] == "none"
