@@ -1099,6 +1099,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pages = read_parquet_clean(p["pages"])
         return linkage.pages_to_match_clusters(pages, cad)["matches"]
 
+    def pages_via_warc(sf_dir):
+        """WARC transport roundtrip: the pages fixture re-serialized as a
+        .warc.gz crawl chunk (member-per-record gzip, HTTP-wrapped), read
+        back with sources/warc.read_warc — proving the crawl-native ingest
+        path yields byte-identical (url, warc_ts, html) to the parquet one.
+        Oracle reads the pages parquet directly."""
+        from registry_address_matcher_ray.sources import warc as W
+
+        p = _registry_paths(sf_dir)
+        wpath = p["pages"].replace(".parquet", ".warc.gz")
+        if not os.path.exists(wpath):
+            rows = pq.read_table(
+                p["pages"], columns=["url", "warc_ts", "html"]).to_pylist()
+            tmp = wpath + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(W.encode_warc(rows, gzip_mode="record"))
+            os.replace(tmp, wpath)
+
+        def _lens(b):
+            import pyarrow.compute as _pc
+
+            return b.select(["url", "warc_ts"]).append_column(
+                "html_len", _pc.cast(_pc.binary_length(b.column("html")),
+                                     pa.int64()))
+
+        return W.read_warc(wpath).map_batches(_lens, batch_format="pyarrow")
+
     def match_eval_f1(sf_dir):
         """Pairwise precision/recall/F1 of the full matcher vs labeled truth
         (the reference never measures itself — `/root/reference/address.py`
@@ -1662,6 +1689,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_golden_records": match_golden_records,
         "unmatched_spr": unmatched_spr,
         "pages_flagship": pages_flagship,
+        "pages_via_warc": pages_via_warc,
         "engine_variant_pairs": engine_variant_pairs,
         "match_eval_f1": match_eval_f1,
         "match_cluster_f1": match_cluster_f1,
@@ -2389,6 +2417,13 @@ def oracle_sql() -> dict[str, str]:
         # exact+fuzzy match oracle (records fixture written driver-side with
         # the pipeline's own pure-Arrow extract/parse/preprocess batch fns)
         "pages_flagship": _match_pairs_sql(pages_pre, p["cad"]),
+        # WARC transport roundtrip: engine re-reads pages via .warc.gz; the
+        # oracle reads the same pages parquet directly — equality proves the
+        # crawl-native ingest is byte-exact on (url, warc_ts, html)
+        "pages_via_warc": f"""
+            SELECT url, warc_ts, octet_length(html) AS html_len
+            FROM read_parquet('{_registry_paths("/root/testdata/sf0.01")["pages"]}')
+        """,
         "match_exact_full": exact_full_sql,
         # FastSS typo pairs. NOTE: DuckDB's levenshtein() is BYTE-based and
         # miscounts multi-byte Armenian, so the oracle checks codepoint

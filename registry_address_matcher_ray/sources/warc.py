@@ -1,0 +1,229 @@
+"""WARC (Web ARChive, ISO 28500) crawl-transport source.
+
+The north-star input is a pages table ``(url, warc_ts, html)``, but at crawl
+scale that data lands as ``.warc.gz`` files (Common-Crawl layout: one gzip
+stream per crawl chunk, records of type ``response`` carrying the raw HTTP
+exchange). This module closes the transport gap the way ``sources/sqldb.py``
+closed the DB one: a stdlib-only WARC/1.0-1.1 record parser behind
+:func:`read_warc`, which maps one Ray read task per archive file and emits
+the exact pages schema the rest of the engine consumes
+(``pages_to_match_clusters`` runs unchanged on its output).
+
+The reference engine has no WARC counterpart (it ingests MySQL/CSV only —
+``/root/reference/address.py``); this is north-star periphery, not a §2 row.
+
+Scale notes (100-TB crawl):
+- one read task per ``.warc.gz`` — archives are the natural parallelism unit
+  (Common Crawl ships ~1 GB chunks); tasks stream independently, no shuffle.
+- both gzip layouts are handled transparently: whole-file gzip AND the
+  member-per-record form the WARC spec recommends (Python's gzip reader
+  walks concatenated members natively).
+- parsing is per-file sequential by necessity (records are length-prefixed,
+  no random access), but the decompress+scan is one pass over the payload
+  with ``bytes.find`` — no per-byte Python loop.
+"""
+from __future__ import annotations
+
+import gzip
+import io as _io
+from datetime import datetime, timezone
+from typing import Dict, Iterable, List, Optional, Sequence, Union
+
+import pyarrow as pa
+import ray.data
+
+__all__ = ["parse_warc", "read_warc", "encode_warc"]
+
+_CRLF = b"\r\n"
+_HDR_END = b"\r\n\r\n"
+
+#: pages-table slice emitted by :func:`read_warc`
+WARC_PAGES_SCHEMA = pa.schema(
+    [
+        pa.field("url", pa.string()),
+        pa.field("warc_ts", pa.timestamp("us")),
+        pa.field("html", pa.binary()),
+    ]
+)
+
+
+def _parse_warc_date(s: str) -> Optional[datetime]:
+    """WARC-Date: ISO-8601 UTC; WARC/1.0 is second-granular, 1.1 allows
+    fractional seconds. Returns a tz-naive UTC datetime (matches the
+    ``timestamp("us")`` pages column)."""
+    s = s.strip()
+    if s.endswith("Z"):
+        s = s[:-1]
+    for fmt in ("%Y-%m-%dT%H:%M:%S.%f", "%Y-%m-%dT%H:%M:%S"):
+        try:
+            return datetime.strptime(s, fmt)
+        except ValueError:
+            continue
+    try:  # offset form, e.g. +00:00
+        dt = datetime.fromisoformat(s)
+        if dt.tzinfo is not None:
+            dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
+        return dt
+    except ValueError:
+        return None
+
+
+def _gunzip_all(payload: bytes) -> bytes:
+    """Decompress a gzip payload covering BOTH WARC layouts: one member for
+    the whole file, or one member per record (concatenated members)."""
+    return gzip.GzipFile(fileobj=_io.BytesIO(payload)).read()
+
+
+def _http_body(block: bytes) -> bytes:
+    """For a ``response`` record the block is the raw HTTP exchange; the
+    document is everything after the header/body split. Non-HTTP blocks
+    (e.g. ``resource`` records) are returned whole."""
+    if not block.startswith(b"HTTP/"):
+        return block
+    cut = block.find(_HDR_END)
+    return block[cut + 4:] if cut >= 0 else b""
+
+
+def parse_warc(
+    payload: bytes,
+    record_types: Sequence[str] = ("response",),
+) -> List[Dict[str, object]]:
+    """Parse one WARC file's bytes into pages rows.
+
+    Walks WARC/1.0-1.1 records (version line, named fields, blank line,
+    ``Content-Length`` block, trailing CRLF CRLF), keeping records whose
+    ``WARC-Type`` is in ``record_types`` and extracting
+    ``(url, warc_ts, html)`` — the HTTP response body for response records.
+    Gzip (either layout) is detected by magic bytes.
+    """
+    if payload[:2] == b"\x1f\x8b":
+        payload = _gunzip_all(payload)
+    want = {t.lower() for t in record_types}
+    rows: List[Dict[str, object]] = []
+    i, n = 0, len(payload)
+    while i < n:
+        # tolerate inter-record padding
+        while i < n and payload[i:i + 1] in (b"\r", b"\n"):
+            i += 1
+        if i >= n:
+            break
+        hdr_end = payload.find(_HDR_END, i)
+        if hdr_end < 0:
+            raise ValueError("truncated WARC: record header without blank line")
+        head = payload[i:hdr_end].decode("utf-8", errors="replace")
+        lines = head.split("\r\n")
+        if not lines[0].startswith("WARC/"):
+            raise ValueError(f"not a WARC record at offset {i}: {lines[0][:40]!r}")
+        fields: Dict[str, str] = {}
+        for ln in lines[1:]:
+            k, sep, v = ln.partition(":")
+            if sep:
+                fields[k.strip().lower()] = v.strip()
+        try:
+            length = int(fields["content-length"])
+        except (KeyError, ValueError):
+            raise ValueError(f"WARC record at offset {i} lacks Content-Length")
+        block_start = hdr_end + 4
+        block = payload[block_start:block_start + length]
+        if len(block) != length:
+            raise ValueError("truncated WARC: block shorter than Content-Length")
+        i = block_start + length
+        # spec: two CRLFs terminate the record; tolerate their absence at EOF
+        for _ in range(2):
+            if payload[i:i + 2] == _CRLF:
+                i += 2
+        if fields.get("warc-type", "").lower() not in want:
+            continue
+        url = fields.get("warc-target-uri", "")
+        if url.startswith("<") and url.endswith(">"):  # WARC/1.1 angle form
+            url = url[1:-1]
+        rows.append(
+            {
+                "url": url,
+                "warc_ts": _parse_warc_date(fields.get("warc-date", "")),
+                "html": _http_body(block),
+            }
+        )
+    return rows
+
+
+def _rows_to_table(rows: List[Dict[str, object]]) -> pa.Table:
+    return pa.table(
+        {
+            "url": pa.array([r["url"] for r in rows], pa.string()),
+            "warc_ts": pa.array([r["warc_ts"] for r in rows], pa.timestamp("us")),
+            "html": pa.array([r["html"] for r in rows], pa.binary()),
+        }
+    )
+
+
+def read_warc(
+    paths: Union[str, Iterable[str]],
+    record_types: Sequence[str] = ("response",),
+) -> ray.data.Dataset:
+    """Read ``.warc`` / ``.warc.gz`` archives into the pages schema
+    ``(url, warc_ts, html)`` — one Ray read task per file (the crawl's
+    natural parallelism unit), streaming blocks downstream with no shuffle.
+
+    ``pages_to_match_clusters`` and every pages-table operator run on the
+    result unchanged; add ``text``/``lang`` via the extract stage.
+    """
+    files = ray.data.read_binary_files(paths)
+
+    def _parse(batch: pa.Table) -> pa.Table:
+        out: List[Dict[str, object]] = []
+        for payload in batch.column("bytes"):
+            out.extend(parse_warc(payload.as_py(), record_types))
+        return _rows_to_table(out) if out else WARC_PAGES_SCHEMA.empty_table()
+
+    return files.map_batches(_parse, batch_format="pyarrow")
+
+
+def encode_warc(
+    rows: Iterable[Dict[str, object]],
+    gzip_mode: Optional[str] = "file",
+    with_http: bool = True,
+) -> bytes:
+    """Serialize pages rows ``{url, warc_ts, html}`` as a WARC/1.0 byte
+    stream — the fixture/export side of :func:`read_warc` (tests pin the
+    roundtrip). ``gzip_mode``: ``"file"`` (one member), ``"record"``
+    (member per record, the spec-recommended layout), or ``None`` (plain).
+    ``with_http`` wraps each document in a minimal HTTP/1.1 200 exchange,
+    as real crawler output does.
+    """
+    if gzip_mode not in (None, "file", "record"):
+        raise ValueError(f"gzip_mode must be None|'file'|'record', got {gzip_mode!r}")
+    records: List[bytes] = []
+    for i, r in enumerate(rows):
+        html = r["html"]
+        if isinstance(html, str):
+            html = html.encode("utf-8")
+        ts = r.get("warc_ts")
+        if isinstance(ts, datetime):
+            fmt = "%Y-%m-%dT%H:%M:%S.%fZ" if ts.microsecond else "%Y-%m-%dT%H:%M:%SZ"
+            date = ts.strftime(fmt)
+        else:
+            date = str(ts)
+        if with_http:
+            block = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                + f"Content-Length: {len(html)}\r\n\r\n".encode()
+                + html
+            )
+            ctype = "application/http; msgtype=response"
+        else:
+            block, ctype = html, "text/html"
+        head = (
+            "WARC/1.0\r\n"
+            "WARC-Type: response\r\n"
+            f"WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-{i:012d}>\r\n"
+            f"WARC-Target-URI: {r['url']}\r\n"
+            f"WARC-Date: {date}\r\n"
+            f"Content-Type: {ctype}\r\n"
+            f"Content-Length: {len(block)}\r\n\r\n"
+        ).encode("utf-8")
+        records.append(head + block + _HDR_END)
+    if gzip_mode == "record":
+        return b"".join(gzip.compress(rec, mtime=0) for rec in records)
+    raw = b"".join(records)
+    return gzip.compress(raw, mtime=0) if gzip_mode == "file" else raw
