@@ -38,6 +38,8 @@ def encode_mjpeg_avi(frames: List[np.ndarray], fps: int = 10,
     """(H, W, 3) uint8 frames -> MJPEG AVI bytes (one video stream)."""
     if not frames:
         raise ValueError("need at least one frame")
+    if fps < 1:
+        raise ValueError("fps must be >= 1")
     h, w = frames[0].shape[:2]
     jpegs = [encode_jpeg(f, quality=quality) for f in frames]
     n = len(jpegs)

@@ -255,7 +255,8 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
 
 def decode_image(payload: bytes) -> np.ndarray:
     """payload -> (H, W, 3) uint8 RGB. PPM(P6), 24-bit BMP, 8-bit PNG,
-    baseline JPEG (SOF0; progressive still raises — functions/jpeg.py)."""
+    baseline + progressive JPEG (SOF0/SOF2 via functions/jpeg.py;
+    arithmetic/lossless/12-bit JPEG still raise there)."""
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
     if payload[:2] == b"BM":
@@ -268,7 +269,7 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_jpeg(payload)
     raise ValueError(
         "unsupported image format (PPM P6 / 24-bit BMP / 8-bit PNG / "
-        "baseline JPEG)")
+        "baseline+progressive JPEG)")
 
 
 def resize_nearest(arr: np.ndarray, target_w: int, target_h: int) -> np.ndarray:

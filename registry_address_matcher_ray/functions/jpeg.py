@@ -7,8 +7,9 @@ surface, not §2 parity). Scope, honestly stated:
 - **decode**: baseline sequential DCT (SOF0/1) AND progressive (SOF2 —
   spectral selection, successive approximation with DC/AC initial and
   refinement scans, EOB runs, table redefinition between scans), 8-bit,
-  1 or 3 components, arbitrary JFIF sampling factors (4:4:4 / 4:2:2 /
-  4:2:0 via ``np.repeat`` upsampling), restart markers (DRI/RSTn),
+  1 or 3 components, integer-ratio JFIF sampling factors (4:4:4 / 4:2:2 /
+  4:2:0 via ``np.repeat`` upsampling; non-divisible ratios raise),
+  restart markers (DRI/RSTn),
   stuffed-byte removal. Arithmetic coding, lossless and 12-bit precision
   raise ``ValueError`` — the gate is now exactly those variants. Validated
   in-session against real libjpeg/mozjpeg files, baseline and progressive.
@@ -442,6 +443,11 @@ def _reconstruct(st: _ScanState, qt) -> np.ndarray:
         pix = np.einsum("km,bykl,ln->bymn", _C, coefs, _C,
                         optimize=True)  # C.T @ coef @ C over all blocks
         img = pix.transpose(0, 2, 1, 3).reshape(byn * 8, bxn * 8) + 128.0
+        if st.vmax % comp["v"] or st.hmax % comp["h"]:
+            raise ValueError(
+                f"non-integer chroma sampling ratio {st.hmax}x{st.vmax} vs "
+                f"{comp['h']}x{comp['v']} unsupported (integer-ratio "
+                f"replication upsampler)")
         ry, rx = st.vmax // comp["v"], st.hmax // comp["h"]
         if ry > 1:
             img = np.repeat(img, ry, axis=0)
@@ -481,6 +487,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while i < n:
         if payload[i] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad a marker
+        while i + 1 < n and payload[i + 1] == 0xFF:
+            i += 1
         marker = payload[i + 1]
         i += 2
         if marker == 0xD9:  # EOI

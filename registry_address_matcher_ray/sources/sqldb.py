@@ -145,14 +145,29 @@ def write_sql_table(
     db_path: str,
     batch_size: int = 10_000,
     replace: bool = True,
+    max_rows: int = 5_000_000,
 ) -> int:
     """Stream a Dataset into a sqlite table; returns rows written.
 
     SQLite is single-writer, so this sink streams ``iter_batches`` on the
-    driver — bounded memory (one batch at a time), but serial. A server DB
-    (MySQL/Postgres) would instead fan out per-block writer actors; the
-    schema/DDL half below is engine-agnostic.
+    driver — bounded memory (one batch at a time), but SERIAL: it is a
+    small-result export path, never a corpus sink. ``max_rows`` guards that
+    contract — above it the write refuses up front (before any row moves)
+    rather than silently serializing a corpus through one connection. A
+    server DB (MySQL/Postgres) would instead fan out per-block writer
+    actors; the schema/DDL half below is engine-agnostic.
     """
+    if max_rows is not None:
+        n_est = ds.count()
+        if n_est > max_rows:
+            raise ValueError(
+                f"write_sql_table is a driver-side serial sqlite export for "
+                f"small results; dataset has {n_est:,} rows > max_rows="
+                f"{max_rows:,}. Write parquet (sources.io.write_dataset) or "
+                f"aggregate first; for a server DB use per-block writer "
+                f"actors. Pass max_rows=None only if you accept a serial "
+                f"single-connection write."
+            )
     schema = ds.schema()
     cols = schema.names
     ddl_cols = ", ".join(

@@ -1250,6 +1250,10 @@ def perplexity_buckets(
     Tie rule: ``avg_logprob <= t`` goes to the lower bucket, deterministic.
     Output: ``(id_col, n_tokens, avg_logprob, bucket)``.
     """
+    if len(cuts) != 2:
+        raise ValueError(
+            f"perplexity_buckets splits into head/middle/tail and needs "
+            f"exactly 2 quantile cuts, got {len(cuts)}")
     lp = unigram_logprob(ds, id_col, text_col, ndigits=ndigits).materialize()
     qs = exact_quantiles(lp, "avg_logprob", list(cuts))
     t_lo, t_hi = (qs[cuts[0]], qs[cuts[1]])

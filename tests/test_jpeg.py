@@ -142,3 +142,21 @@ def test_headers_without_scan_raise():
     cut = data.index(b"\xff\xda")
     with pytest.raises(ValueError, match="no SOS"):
         decode_jpeg(data[:cut] + b"\xff\xd9")
+
+
+def test_ff_fill_bytes_before_marker_tolerated():
+    """T.81 B.1.1.2 allows 0xFF padding before any marker code; pixel output
+    must be unchanged when fill bytes are injected between segments."""
+    import numpy as np
+
+    from registry_address_matcher_ray.functions.jpeg import (
+        decode_jpeg, encode_jpeg,
+    )
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    payload = encode_jpeg(img, quality=90)
+    # inject fill bytes before the first DQT marker (0xFF 0xDB)
+    i = payload.index(b"\xff\xdb")
+    padded = payload[:i] + b"\xff\xff\xff" + payload[i:]
+    assert np.array_equal(decode_jpeg(padded), decode_jpeg(payload))

@@ -316,3 +316,13 @@ def test_real_video_zero_frame_avi_yields_no_rows(ray_session):
         "payload": [payload], "duration_ms": pa.array([0], pa.int32()),
     }))
     assert out.num_rows == 0
+
+
+def test_avi_fps_zero_rejected():
+    import numpy as np
+    import pytest
+
+    from registry_address_matcher_ray.functions.avi import encode_mjpeg_avi
+
+    with pytest.raises(ValueError, match="fps"):
+        encode_mjpeg_avi([np.zeros((8, 8, 3), np.uint8)], fps=0)

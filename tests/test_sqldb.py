@@ -103,3 +103,17 @@ def test_unsupported_engines_fail_loud():
         sqldb.connection_factory("mysql", host="h")
     with pytest.raises(ValueError):
         sqldb.connection_factory("oracle")
+
+
+def test_write_sql_table_scale_guard(tmp_path):
+    """The driver-side sqlite sink refuses corpus-sized datasets up front
+    (it is a small-result export, not a corpus sink)."""
+    import pytest
+    import ray.data
+
+    ds = ray.data.range(100)
+    with pytest.raises(ValueError, match="max_rows"):
+        sqldb.write_sql_table(ds, "t", str(tmp_path / "g.db"), max_rows=50)
+    # opt-out and small writes still work
+    n = sqldb.write_sql_table(ds, "t", str(tmp_path / "g.db"), max_rows=None)
+    assert n == 100

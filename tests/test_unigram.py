@@ -85,3 +85,11 @@ def test_bigram_plans_agree_and_short_docs_dropped(ray_session):
     want0 = round((math.log(p_ab) + math.log(p_ba) + math.log(p_ab)) / 3, 6)
     want1 = round(math.log(p_ab), 6)
     assert got["avg_logprob"].tolist() == [want0, want1]
+
+
+def test_perplexity_buckets_rejects_wrong_cut_count(ray_session):
+    import pytest
+
+    ds = ray.data.from_pandas(_docs())
+    with pytest.raises(ValueError, match="exactly 2"):
+        A.perplexity_buckets(ds, "doc_id", "text", cuts=(0.5,))
