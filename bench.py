@@ -412,6 +412,25 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         n_imgs / max(queries["media_decode_real"], 1e-9), 1)
     extras["media_fixture_gen_sec"] = round(gen_s, 3)
 
+    # DRI-bearing fixture (large baseline JPEGs with restart intervals):
+    # serial entropy decode vs segment-parallel (dri_workers=4) on the same
+    # 12 images — the per-image latency knob for big-image corpora
+    # ONE actor both times: across-image parallelism is already covered by
+    # the pool; dri_workers buys PER-IMAGE latency, so that is what we time
+    dri = _rd.from_arrow(
+        MM.synth_decodable_media(12, "jpeg_dri", seed=6)).materialize()
+    t0 = time.time()
+    MM.decode_images(dri, codec="real", dim=64, batch_size=12,
+                     concurrency=(1, 1)).count()
+    queries["media_decode_dri_serial"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    MM.decode_images(dri, codec="real", dim=64, batch_size=12,
+                     concurrency=(1, 1), dri_workers=4).count()
+    queries["media_decode_dri_parallel"] = round(time.time() - t0, 3)
+    extras["media_dri_speedup"] = round(
+        queries["media_decode_dri_serial"]
+        / max(queries["media_decode_dri_parallel"], 1e-9), 2)
+
     result = {
         "metric": "linkage_pages_sec",
         "value": queries["linkage_pages"],

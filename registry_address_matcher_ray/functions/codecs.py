@@ -253,10 +253,13 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
             + _png_chunk(b"IEND", b""))
 
 
-def decode_image(payload: bytes) -> np.ndarray:
+def decode_image(payload: bytes, dri_workers: int | None = None) -> np.ndarray:
     """payload -> (H, W, 3) uint8 RGB. PPM(P6), 24-bit BMP, 8-bit PNG,
     baseline + progressive JPEG (SOF0/SOF2 via functions/jpeg.py;
-    arithmetic/lossless/12-bit JPEG still raise there)."""
+    arithmetic/lossless/12-bit JPEG still raise there).
+
+    ``dri_workers > 1`` fans baseline-JPEG restart segments out on a
+    process pool (see ``jpeg.decode_jpeg``); other formats ignore it."""
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
     if payload[:2] == b"BM":
@@ -266,7 +269,7 @@ def decode_image(payload: bytes) -> np.ndarray:
     if payload[:2] == b"\xff\xd8":
         from .jpeg import decode_jpeg
 
-        return decode_jpeg(payload)
+        return decode_jpeg(payload, dri_workers=dri_workers)
     raise ValueError(
         "unsupported image format (PPM P6 / 24-bit BMP / 8-bit PNG / "
         "baseline+progressive JPEG)")

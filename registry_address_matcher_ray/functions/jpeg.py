@@ -364,7 +364,8 @@ def _ac_refine_block(br, tab, zz, ss: int, se: int, al: int,
 
 def _decode_scan_into(st: _ScanState, scomps, ss, se, ah, al,
                       segments, restart_interval, huff_dc, huff_ac,
-                      progressive: bool) -> None:
+                      progressive: bool, dri_workers: Optional[int] = None,
+                      ) -> None:
     order = [st.by_id[s["id"]] for s in scomps]
     td = {s["id"]: s["td"] for s in scomps}
     ta = {s["id"]: s["ta"] for s in scomps}
@@ -396,36 +397,119 @@ def _decode_scan_into(st: _ScanState, scomps, ss, se, ah, al,
     interleaved = len(order) > 1
     if interleaved:
         units = st.mcux * st.mcuy
+        bw = st.mcux
     else:
         bh, bw = st.comp_block_dims(order[0])
         units = bh * bw
+
+    if (not progressive and restart_interval and len(segments) > 1
+            and dri_workers and dri_workers > 1):
+        # restart segments are independently decodable (DC predictors reset
+        # at every RSTn): fan the Huffman entropy decode out per segment
+        _decode_baseline_segments_parallel(
+            st, order, td, ta, huff_dc, huff_ac, segments,
+            restart_interval, units, interleaved, bw, dri_workers)
+        return
+
     for u in range(units):
         if rst.at_unit(u):
             pred = {c["id"]: 0 for c in order}
-        if interleaved:
-            my, mx = divmod(u, st.mcux)
-            blocks = [
-                (comp, my * comp["v"] + vy, mx * comp["h"] + vx)
-                for comp in order
-                for vy in range(comp["v"]) for vx in range(comp["h"])
-            ]
-        else:
-            comp = order[0]
-            by, bx = divmod(u, bw)
-            blocks = [(comp, by, bx)]
-        for comp, by, bx in blocks:
-            cid = comp["id"]
-            zz = st.planes[cid][by, bx]
-            if not progressive:
-                pred[cid] = _baseline_block(
-                    rst.br, huff_dc[td[cid]], huff_ac[ta[cid]], zz, pred[cid])
-            elif ah == 0:  # DC initial
-                t = _decode_huff(rst.br, huff_dc[td[cid]])
-                pred[cid] += _extend(rst.br.read_bits(t), t)
-                zz[0] = pred[cid] << al
-            else:  # DC refinement: one bit per block
-                if rst.br.read_bit():
-                    zz[0] = int(zz[0]) | (1 << al)
+        _decode_one_unit(st, order, td, ta, huff_dc, huff_ac, rst.br, pred,
+                         u, interleaved, bw, progressive, ah, al)
+
+
+def _decode_one_unit(st, order, td, ta, huff_dc, huff_ac, br, pred,
+                     u, interleaved, bw, progressive, ah, al) -> None:
+    """Decode one MCU (interleaved) or one block (raster) at unit ``u``."""
+    if interleaved:
+        my, mx = divmod(u, st.mcux)
+        blocks = [
+            (comp, my * comp["v"] + vy, mx * comp["h"] + vx)
+            for comp in order
+            for vy in range(comp["v"]) for vx in range(comp["h"])
+        ]
+    else:
+        comp = order[0]
+        by, bx = divmod(u, bw)
+        blocks = [(comp, by, bx)]
+    for comp, by, bx in blocks:
+        cid = comp["id"]
+        zz = st.planes[cid][by, bx]
+        if not progressive:
+            pred[cid] = _baseline_block(
+                br, huff_dc[td[cid]], huff_ac[ta[cid]], zz, pred[cid])
+        elif ah == 0:  # DC initial
+            t = _decode_huff(br, huff_dc[td[cid]])
+            pred[cid] += _extend(br.read_bits(t), t)
+            zz[0] = pred[cid] << al
+        else:  # DC refinement: one bit per block
+            if br.read_bit():
+                zz[0] = int(zz[0]) | (1 << al)
+
+
+def _decode_segment_task(args):
+    """A CHUNK of restart segments -> one set of full-size zero planes with
+    those segments' blocks filled (module-level so the fork pool can pickle
+    it). Chunking keeps pickled plane traffic at O(workers), not
+    O(segments)."""
+    (chunk, frame, order_ids, td, ta,
+     huff_dc, huff_ac, interleaved, bw) = args
+    st = _ScanState(frame)
+    order = [st.by_id[cid] for cid in order_ids]
+    for seg, u0, u1 in chunk:
+        br = _BitReader(seg)
+        pred = {cid: 0 for cid in order_ids}
+        for u in range(u0, u1):
+            _decode_one_unit(st, order, td, ta, huff_dc, huff_ac, br, pred,
+                             u, interleaved, bw, False, 0, 0)
+    return st.planes
+
+
+_DRI_POOL = {}
+
+
+def _dri_pool(workers: int):
+    """Per-process cached fork pool for segment-parallel entropy decode.
+    Size the enclosing map_batches stage's ``num_cpus`` to match — the pool
+    is how a decode actor USES the CPUs it reserved, not extra ones."""
+    import multiprocessing as mp
+    from concurrent.futures import ProcessPoolExecutor
+
+    pool = _DRI_POOL.get(workers)
+    if pool is None:
+        pool = ProcessPoolExecutor(
+            max_workers=workers, mp_context=mp.get_context("fork"))
+        _DRI_POOL[workers] = pool
+    return pool
+
+
+def _decode_baseline_segments_parallel(
+        st, order, td, ta, huff_dc, huff_ac, segments, restart_interval,
+        units, interleaved, bw, workers) -> None:
+    """Baseline scan with DRI: restart segment k owns MCUs
+    [k*Ri, min((k+1)*Ri, units)) with a fresh DC predictor, so segments
+    decode concurrently (process pool — the entropy loop is pure Python,
+    so threads would serialize on the GIL). Each task fills disjoint block
+    coordinates of zero planes; the merge is a vectorized sum. Pixel
+    output is bit-identical to the serial path (pytest-pinned)."""
+    n_units_per = restart_interval
+    order_ids = [c["id"] for c in order]
+    spans = []
+    for k, seg in enumerate(segments):
+        u0 = k * n_units_per
+        if u0 >= units:
+            break
+        spans.append((seg, u0, min(u0 + n_units_per, units)))
+    # one contiguous chunk per worker: pickled plane traffic is O(workers)
+    n_chunks = min(workers, len(spans))
+    per = -(-len(spans) // n_chunks)
+    tasks = [(spans[j:j + per], st.frame, order_ids, td, ta,
+              huff_dc, huff_ac, interleaved, bw)
+             for j in range(0, len(spans), per)]
+    pool = _dri_pool(workers)
+    for planes in pool.map(_decode_segment_task, tasks):
+        for cid, p in planes.items():
+            st.planes[cid] += p
 
 
 def _reconstruct(st: _ScanState, qt) -> np.ndarray:
@@ -465,13 +549,20 @@ def _reconstruct(st: _ScanState, qt) -> np.ndarray:
     return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
 
 
-def decode_jpeg(payload: bytes) -> np.ndarray:
+def decode_jpeg(payload: bytes,
+                dri_workers: Optional[int] = None) -> np.ndarray:
     """JPEG bytes -> (H, W, 3) uint8 RGB (grayscale replicated).
 
     Handles baseline sequential (SOF0/1) AND progressive (SOF2) Huffman
     streams — spectral selection, successive approximation (DC+AC initial
     and refinement scans, EOB runs), restart markers, table redefinition
-    between scans. Arithmetic coding / lossless / 12-bit still raise."""
+    between scans. Arithmetic coding / lossless / 12-bit still raise.
+
+    ``dri_workers > 1``: baseline scans carrying restart intervals decode
+    their independent RSTn segments on a fork process pool (pixel-identical
+    to serial; the entropy loop is pure Python, so this is the only way one
+    image's decode uses more than one core without a C codec). Size the
+    calling stage's ``num_cpus`` to match."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qt: Dict[int, np.ndarray] = {}
@@ -551,7 +642,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             segments, i = _split_entropy(payload, i + seglen)
             _decode_scan_into(st, scomps, ss, se, ahal >> 4, ahal & 0xF,
                               segments, restart_interval, huff_dc, huff_ac,
-                              progressive)
+                              progressive, dri_workers=dri_workers)
             saw_scan = True
             continue  # i already points at the terminating marker
         # else: APPn/COM/unknown -> skip

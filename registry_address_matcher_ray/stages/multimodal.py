@@ -100,11 +100,16 @@ class ImageDecodeActor(_MediaActor):
     pixels and run a vision encoder loaded once in ``__init__``.
     """
 
-    def __init__(self, codec: str = "fake", dim: int = 64):
+    def __init__(self, codec: str = "fake", dim: int = 64,
+                 dri_workers: int | None = None):
         super().__init__(codec)
         if codec == "real" and dim < 9:
             raise ValueError("real feature vector needs dim >= 9")
         self.dim = dim
+        #: >1 fans baseline-JPEG restart segments across a per-actor fork
+        #: pool (functions/jpeg.py): size the map_batches ``num_cpus`` to
+        #: match so the actor uses exactly the CPUs it reserved
+        self.dri_workers = dri_workers
         if codec == "real":
             n = dim - 8
             gh = max(1, int(n ** 0.5))
@@ -115,7 +120,7 @@ class ImageDecodeActor(_MediaActor):
     def _real_features(self, payload: bytes) -> np.ndarray:
         from ..functions import codecs
 
-        img = codecs.decode_image(payload)
+        img = codecs.decode_image(payload, dri_workers=self.dri_workers)
         h, w = img.shape[:2]
         f = img.astype(np.float32)
         stats = np.array(
@@ -274,8 +279,21 @@ def _pool(ds: ray.data.Dataset, actor, batch_size: int, concurrency, **kw):
 
 
 def decode_images(ds, codec: str = "fake", dim: int = 64,
-                  batch_size: int = 32, concurrency=(1, 4)) -> ray.data.Dataset:
-    return _pool(ds, ImageDecodeActor, batch_size, concurrency, codec=codec, dim=dim)
+                  batch_size: int = 32, concurrency=(1, 4),
+                  dri_workers: int | None = None) -> ray.data.Dataset:
+    """``dri_workers > 1``: each decode actor reserves that many CPUs and
+    fans baseline-JPEG restart segments across a per-actor fork pool — the
+    knob for large-DRI-image corpora where per-image latency (not just
+    per-corpus throughput) matters; actors × dri_workers should fit the
+    node."""
+    kw = dict(codec=codec, dim=dim, dri_workers=dri_workers)
+    if dri_workers and dri_workers > 1:
+        return ds.map_batches(
+            ImageDecodeActor, batch_format="pyarrow", batch_size=batch_size,
+            concurrency=concurrency, fn_constructor_kwargs=kw,
+            num_cpus=dri_workers, max_restarts=0, max_task_retries=0,
+        )
+    return _pool(ds, ImageDecodeActor, batch_size, concurrency, **kw)
 
 
 def resize_images(ds, codec: str = "fake", target: Tuple[int, int] = (224, 224),
@@ -323,17 +341,24 @@ def synth_decodable_media(n: int, kind: str = "ppm", seed: int = 0) -> pa.Table:
     """Synthetic REAL-decodable media table: PPM/BMP/PNG/JPEG gradient images
     or WAV sine payloads (pure-stdlib/numpy encoders from
     ``functions/codecs.py`` and ``functions/jpeg.py``; PNG rows cycle through
-    all 5 filter types, JPEG rows alternate 4:4:4 / 4:2:0)."""
+    all 5 filter types, JPEG rows alternate 4:4:4 / 4:2:0 and every third is
+    progressive; ``jpeg_dri`` rows are large baseline images with restart
+    intervals — the segment-parallel decode fixture)."""
     from ..functions import codecs
     from ..functions.jpeg import encode_jpeg
 
     rng = np.random.default_rng(seed)
     ids = [f"{kind}-{i:06d}" for i in range(n)]
-    if kind in ("ppm", "bmp", "png", "jpeg"):
+    if kind in ("ppm", "bmp", "png", "jpeg", "jpeg_dri"):
         payloads, ws, hs = [], [], []
         enc = {"ppm": codecs.encode_ppm, "bmp": codecs.encode_bmp}.get(kind)
         for i in range(n):
-            w, h = int(rng.integers(8, 64)), int(rng.integers(8, 64))
+            if kind == "jpeg_dri":
+                # large baseline images with restart intervals — the
+                # segment-parallel decode fixture
+                w, h = int(rng.integers(192, 320)), int(rng.integers(192, 320))
+            else:
+                w, h = int(rng.integers(8, 64)), int(rng.integers(8, 64))
             yy, xx = np.mgrid[0:h, 0:w]
             img = np.stack([
                 (xx * 255 // max(w - 1, 1)),
@@ -342,6 +367,15 @@ def synth_decodable_media(n: int, kind: str = "ppm", seed: int = 0) -> pa.Table:
             ], axis=2).astype(np.uint8)
             if kind == "png":
                 payloads.append(codecs.encode_png(img, filter_type=i % 5))
+            elif kind == "jpeg_dri":
+                # photo-like entropy content: the smooth gradient would
+                # EOB-out instantly and under-represent real decode cost
+                noisy = img.astype(np.int16) + rng.integers(
+                    -48, 49, size=img.shape, dtype=np.int16)
+                payloads.append(encode_jpeg(
+                    np.clip(noisy, 0, 255).astype(np.uint8), quality=85,
+                    subsampling="444" if i % 2 == 0 else "420",
+                    restart_interval=16))
             elif kind == "jpeg":
                 payloads.append(encode_jpeg(
                     img, quality=90,

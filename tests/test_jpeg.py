@@ -160,3 +160,28 @@ def test_ff_fill_bytes_before_marker_tolerated():
     i = payload.index(b"\xff\xdb")
     padded = payload[:i] + b"\xff\xff\xff" + payload[i:]
     assert np.array_equal(decode_jpeg(padded), decode_jpeg(payload))
+
+
+def test_dri_parallel_decode_pixel_identical():
+    """Baseline scans with restart intervals decode segment-parallel on a
+    fork pool; output must be bit-identical to the serial path, including
+    4:2:0 subsampling and a trailing short segment."""
+    import numpy as np
+
+    from registry_address_matcher_ray.functions.jpeg import (
+        decode_jpeg, encode_jpeg,
+    )
+
+    rng = np.random.default_rng(13)
+    for shape, sub, ri in [((96, 80, 3), "444", 7), ((64, 48, 3), "420", 4)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        payload = encode_jpeg(img, quality=80, subsampling=sub,
+                              restart_interval=ri)
+        serial = decode_jpeg(payload)
+        for w in (2, 3):
+            assert np.array_equal(serial, decode_jpeg(payload, dri_workers=w))
+    # no restarts -> the parallel knob is a no-op, still identical
+    img = rng.integers(0, 256, size=(40, 40, 3), dtype=np.uint8)
+    payload = encode_jpeg(img, quality=80)
+    assert np.array_equal(decode_jpeg(payload),
+                          decode_jpeg(payload, dri_workers=4))

@@ -326,3 +326,23 @@ def test_avi_fps_zero_rejected():
 
     with pytest.raises(ValueError, match="fps"):
         encode_mjpeg_avi([np.zeros((8, 8, 3), np.uint8)], fps=0)
+
+
+def test_decode_images_dri_parallel_stage(ray_session):
+    """The actor-pool decode stage with dri_workers produces identical
+    features to the serial stage on a DRI-bearing fixture."""
+    import ray.data
+
+    from registry_address_matcher_ray.stages import multimodal as MM
+
+    t = MM.synth_decodable_media(4, "jpeg_dri", seed=9)
+    ds = ray.data.from_arrow(t)
+    ser = (MM.decode_images(ds, codec="real", dim=16)
+           .to_pandas().sort_values("media_id").reset_index(drop=True))
+    par = (MM.decode_images(ds, codec="real", dim=16, dri_workers=2)
+           .to_pandas().sort_values("media_id").reset_index(drop=True))
+    import numpy as np
+
+    assert list(ser["media_id"]) == list(par["media_id"])
+    for a, b in zip(ser["features"], par["features"]):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
