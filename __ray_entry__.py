@@ -1675,13 +1675,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ops — all 50 oracle-bearing — come first. Approximate-by-construction
     # ops (LSH/HLL/media; pytest-gated, no exact SQL oracle) and redundant
     # same-family variants follow after position 50.
-    return {
+    d = {
         # Dict order IS the driver window: positions 1-50 get rows+schema+
-        # hash rows in CORRECTNESS_r{N}. Round-4 rotation (VERDICT r3 #2):
-        # 15 pinned flagship linkage entries, then 35 oracle-bearing queries
-        # that never had a driver row in rounds 1-3 (plus the new global-
-        # shuffle family). Everything demoted below 50 stays green via
-        # scripts/check_driver.py locally.
+        # hash rows in CORRECTNESS_r{N}; _R5_WINDOW below reorders this
+        # literal for the round-5 rotation. Everything outside the window
+        # stays green via scripts/check_driver.py locally.
         # -- pinned flagship linkage family (reference address.py:332-726)
         "match_pairs": match_pairs,
         "match_pairs_shuffle_plan": match_pairs_shuffle_plan,
@@ -1852,7 +1850,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_embed_semdedup": docs_embed_semdedup,
         "embeddings_semdedup_ivf": embeddings_semdedup_ivf,
     }
-
+    # Round-5 driver-window rotation (VERDICT r4 #4): 15 pinned flagships,
+    # then every oracle-bearing query that never had a driver row in rounds
+    # 1-4 (17, incl. the new pages_via_warc), then the 18 rows-only entries
+    # that never had a driver row (recorded as spark_rows/no_oracle — the
+    # approximate-by-construction ops, each parity-pinned in pytest). After
+    # this window, EVERY queries() entry has appeared in a driver round.
+    window = [
+        # pinned flagships
+        "match_pairs", "match_pairs_shuffle_plan", "match_clusters",
+        "match_golden_records", "unmatched_spr", "pages_flagship",
+        "engine_variant_pairs", "match_eval_f1", "match_cluster_f1",
+        "match_blocking_stats", "match_incremental", "match_review_queue",
+        "match_fs_patterns", "match_fs_weights", "match_exact_full",
+        # oracle-bearing, never driver-checked in r1-r4
+        "pages_via_warc", "part_phonetic_block_sizes",
+        "docs_ngram_jaccard_matrix", "docs_overlap_contamination",
+        "docs_temperature_sampled", "pages_url_dedup",
+        "docs_unigram_logprob_joinplan", "docs_bigram_logprob_joinplan",
+        "orders_prio_price_quantiles", "docs_streaming_dedup_count",
+        "docs_pmi_collocations", "docs_training_prep",
+        "orders_latest3_per_cust", "events_type_hour_pivot",
+        "docs_top_tokens", "docs_hash_sample", "lineitem_weighted_discount",
+        # rows-only, never driver-checked (weaker rows-only record)
+        "match_fs_em_params", "spr_swoosh_entities", "events_type_counts_cms",
+        "match_one_to_one", "events_type_users_approx",
+        "events_value_quantiles_sketch", "docs_streaming_dedup",
+        "docs_quality_train", "docs_bpe_token_shards", "docs_pack_sequences",
+        "docs_training_prep_packed", "docs_neardup_against",
+        "embeddings_pq_knn", "embeddings_ivfpq_knn", "media_real_decode",
+        "media_real_frames", "docs_embed_semdedup", "embeddings_semdedup_ivf",
+    ]
+    out = {k: d[k] for k in window}
+    out.update((k, v) for k, v in d.items() if k not in out)
+    return out
 
 
 def _scorer_ctes() -> str:

@@ -45,6 +45,9 @@ def main(argv=None) -> int:
     p.add_argument("--spr", help="SPR registry parquet path/dir")
     p.add_argument("--pages", help="Common-Crawl-style pages parquet path/dir "
                                    "(alternative probe side to --spr)")
+    p.add_argument("--warc", help="crawl-native probe side: .warc/.warc.gz "
+                                  "path or dir (sources/warc.read_warc, one "
+                                  "read task per archive)")
     p.add_argument("--cad", required=True, help="Cadastre registry parquet path/dir")
     p.add_argument("--out", required=True, help="output directory")
     p.add_argument("--ckpt", help="checkpoint directory (enables resume)")
@@ -60,8 +63,8 @@ def main(argv=None) -> int:
                    help="spawn the live ProgressActor (state/progress.py); "
                         "poll linkage.LAST_PROGRESS.snapshot.remote() mid-run")
     args = p.parse_args(argv)
-    if bool(args.spr) == bool(args.pages):
-        p.error("exactly one of --spr / --pages is required")
+    if sum(map(bool, (args.spr, args.pages, args.warc))) != 1:
+        p.error("exactly one of --spr / --pages / --warc is required")
 
     import ray
     import ray.data
@@ -95,7 +98,16 @@ def main(argv=None) -> int:
 
         threading.Thread(target=_poll, daemon=True).start()
 
-    if args.pages and args.ckpt:
+    if args.warc:
+        from .sources import warc as rwarc
+
+        out = linkage.pages_to_match_clusters(
+            rwarc.read_warc(args.warc),
+            rio.read_registry(args.cad, "Cadastre"),
+            cfg,
+        )
+        matches, clusters = out["matches"], out["clusters"]
+    elif args.pages and args.ckpt:
         out = linkage.run_pages_checkpointed(args.pages, args.cad, args.ckpt, cfg)
         matches, clusters = out["matches"], out["clusters"]
     elif args.pages:

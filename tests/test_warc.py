@@ -119,3 +119,27 @@ def test_pages_flagship_from_warc_path(pages_rows, tmp_path):
     import pandas as pd
 
     pd.testing.assert_frame_equal(m_warc, m_pq, check_dtype=False)
+
+
+def test_job_cli_warc_probe(pages_rows, tmp_path, capsys):
+    """`python -m registry_address_matcher_ray.job --warc ...` runs the
+    flagship from a crawl archive (in-process; Ray session reused)."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from registry_address_matcher_ray import job
+
+    rows, t = pages_rows
+    (tmp_path / "crawl.warc.gz").write_bytes(warc.encode_warc(rows))
+    pq.write_table(t["registry_cad"], tmp_path / "cad.parquet")
+
+    rc = job.main([
+        "--warc", str(tmp_path / "crawl.warc.gz"),
+        "--cad", str(tmp_path / "cad.parquet"),
+        "--out", str(tmp_path / "out"),
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["matches"] > 0
+    assert (tmp_path / "out" / "matches").is_dir()
