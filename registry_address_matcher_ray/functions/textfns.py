@@ -183,13 +183,34 @@ def jaccard(a: frozenset, b: frozenset) -> float:
     return len(a & b) / u if u else 0.0
 
 
-def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens (md5-derived stable token hashes)."""
-    acc = np.zeros(64, dtype=np.int64)
-    for tok in _TOKEN_RE.findall((text or "").lower()):
+_TOK_HASH_CACHE: dict = {}
+
+
+def _tok_hash64(tok: str) -> int:
+    """md5-derived stable 64-bit token hash, memoized per worker process
+    (natural-language token vocabularies are small relative to token
+    counts; the cap bounds worst-case memory on adversarial corpora)."""
+    h = _TOK_HASH_CACHE.get(tok)
+    if h is None:
         h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
-        for b in range(64):
-            acc[b] += 1 if (h >> b) & 1 else -1
+        if len(_TOK_HASH_CACHE) < 1_000_000:
+            _TOK_HASH_CACHE[tok] = h
+    return h
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens (md5-derived stable token
+    hashes). Bit-identical to the per-bit reference loop (pytest-pinned);
+    the bit tally is one vectorized numpy pass instead of 64 Python ops per
+    token."""
+    toks = _TOKEN_RE.findall((text or "").lower())
+    if not toks:
+        return 0
+    hs = np.fromiter((_tok_hash64(t) for t in toks),
+                     dtype=np.uint64, count=len(toks))
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64))
+            & np.uint64(1)).astype(np.int64)
+    acc = (2 * bits - 1).sum(axis=0, dtype=np.int64)
     out = 0
     for b in range(64):
         if acc[b] > 0:

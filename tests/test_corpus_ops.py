@@ -209,3 +209,33 @@ def test_temperature_sample_nonstring_source_column():
         alpha=0.7, frac=0.9).to_pandas()
     assert len(got) > 0
     assert set(got["source"]) == {1, 2}
+
+
+def test_simhash64_matches_per_bit_reference():
+    """The vectorized simhash64 must stay bit-identical to the original
+    per-bit tally loop (the SimHash contract all near-dup ops depend on)."""
+    import hashlib
+
+    import numpy as np
+
+    from registry_address_matcher_ray.functions import textfns
+
+    def ref(text):
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in textfns._TOKEN_RE.findall((text or "").lower()):
+            h = int.from_bytes(
+                hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+            for b in range(64):
+                acc[b] += 1 if (h >> b) & 1 else -1
+        out = 0
+        for b in range(64):
+            if acc[b] > 0:
+                out |= 1 << b
+        return out
+
+    rng = np.random.default_rng(17)
+    vocab = [f"tok{i}" for i in range(300)] + ["բառ", "şehir", "mot-clé"]
+    docs = [" ".join(rng.choice(vocab, size=int(rng.integers(1, 80))))
+            for _ in range(100)] + ["", "   ", "one", "ONE one oNe"]
+    for d in docs:
+        assert textfns.simhash64(d) == ref(d)
