@@ -470,8 +470,19 @@ _DRI_POOL = {}
 
 def _dri_pool(workers: int):
     """Per-process cached fork pool for segment-parallel entropy decode.
-    Size the enclosing map_batches stage's ``num_cpus`` to match — the pool
-    is how a decode actor USES the CPUs it reserved, not extra ones."""
+
+    Start-method tradeoff, considered deliberately: spawn and forkserver
+    both re-import ``__main__`` in the child (spawn.prepare), which breaks
+    any unguarded caller script of this library function — a concrete,
+    immediate failure. Fork from a threaded parent (a Ray worker carries
+    gRPC threads) risks inheriting a locked mutex, but the children here
+    execute ONLY module-level pure-Python/numpy decode (no logging, no
+    gRPC, no allocator callbacks touched before exec of the task), so the
+    exposure window is the brief fork itself; pools are cached (forks are
+    rare) and atexit-shutdown so children never outlive the worker. Size
+    the enclosing map_batches stage's ``num_cpus`` to match — the pool is
+    how a decode actor USES the CPUs it reserved, not extra ones."""
+    import atexit
     import multiprocessing as mp
     from concurrent.futures import ProcessPoolExecutor
 
@@ -480,6 +491,10 @@ def _dri_pool(workers: int):
         pool = ProcessPoolExecutor(
             max_workers=workers, mp_context=mp.get_context("fork"))
         _DRI_POOL[workers] = pool
+        if len(_DRI_POOL) == 1:
+            atexit.register(
+                lambda: [p.shutdown(wait=False, cancel_futures=True)
+                         for p in _DRI_POOL.values()])
     return pool
 
 
@@ -494,6 +509,11 @@ def _decode_baseline_segments_parallel(
     output is bit-identical to the serial path (pytest-pinned)."""
     n_units_per = restart_interval
     order_ids = [c["id"] for c in order]
+    need = -(-units // n_units_per)
+    if len(segments) < need:
+        # same error the serial path raises via _Restarts.at_unit — the
+        # dri_workers knob must never turn a hard error into silent gray
+        raise ValueError("missing JPEG restart segment")
     spans = []
     for k, seg in enumerate(segments):
         u0 = k * n_units_per

@@ -208,9 +208,14 @@ def simhash64(text: str) -> int:
         return 0
     hs = np.fromiter((_tok_hash64(t) for t in toks),
                      dtype=np.uint64, count=len(toks))
-    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64))
-            & np.uint64(1)).astype(np.int64)
-    acc = (2 * bits - 1).sum(axis=0, dtype=np.int64)
+    # chunk the token axis: the bit matrix is 512 B/token transient, so a
+    # pathological 10M-token doc would otherwise spike ~5 GB in the worker
+    acc = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    for j in range(0, len(hs), 65536):
+        bits = ((hs[j:j + 65536, None] >> shifts) & np.uint64(1)).astype(
+            np.int64)
+        acc += (2 * bits - 1).sum(axis=0, dtype=np.int64)
     out = 0
     for b in range(64):
         if acc[b] > 0:

@@ -182,6 +182,12 @@ def run_training_prep(
         if counts:
             report["after_quality_filter"] = cur.count()
 
+    if pack_len is not None and tokenizer == "bpe":
+        # BPE training consumes `cur` once (word-frequency aggregate) and
+        # shuffled_shards consumes it again; without this checkpoint the
+        # lazy dedup/decontaminate/quality chain — the expensive stages —
+        # would EXECUTE TWICE. One materialize, both readers share blocks.
+        cur = cur.materialize()
     sharded = sampling.shuffled_shards(cur, id_col, seed=seed,
                                        num_shards=num_shards)
     if pack_len is not None:

@@ -151,23 +151,14 @@ def write_sql_table(
 
     SQLite is single-writer, so this sink streams ``iter_batches`` on the
     driver — bounded memory (one batch at a time), but SERIAL: it is a
-    small-result export path, never a corpus sink. ``max_rows`` guards that
-    contract — above it the write refuses up front (before any row moves)
-    rather than silently serializing a corpus through one connection. A
-    server DB (MySQL/Postgres) would instead fan out per-block writer
-    actors; the schema/DDL half below is engine-agnostic.
+    small-result export path, never a corpus sink. ``max_rows`` enforces
+    that contract DURING the stream (an up-front ``ds.count()`` would
+    execute a lazy pipeline twice): the moment the cap is exceeded the
+    write raises and the uncommitted transaction rolls back — no partial
+    table is left behind, and at most ``max_rows + batch_size`` rows ever
+    move. A server DB (MySQL/Postgres) would instead fan out per-block
+    writer actors; the schema/DDL half below is engine-agnostic.
     """
-    if max_rows is not None:
-        n_est = ds.count()
-        if n_est > max_rows:
-            raise ValueError(
-                f"write_sql_table is a driver-side serial sqlite export for "
-                f"small results; dataset has {n_est:,} rows > max_rows="
-                f"{max_rows:,}. Write parquet (sources.io.write_dataset) or "
-                f"aggregate first; for a server DB use per-block writer "
-                f"actors. Pass max_rows=None only if you accept a serial "
-                f"single-connection write."
-            )
     schema = ds.schema()
     cols = schema.names
     ddl_cols = ", ".join(
@@ -181,6 +172,21 @@ def write_sql_table(
         con.execute(f'CREATE TABLE IF NOT EXISTS "{table}" ({ddl_cols})')
         n = 0
         for batch in ds.iter_batches(batch_size=batch_size, batch_format="pandas"):
+            n += len(batch)
+            if max_rows is not None and n > max_rows:
+                # inserts roll back (uncommitted); the table itself was
+                # DDL-auto-committed by sqlite3, so drop it explicitly
+                con.rollback()
+                con.execute(f'DROP TABLE IF EXISTS "{table}"')
+                raise ValueError(
+                    f"write_sql_table is a driver-side serial sqlite export "
+                    f"for small results; dataset exceeded max_rows="
+                    f"{max_rows:,} (write aborted, table dropped). "
+                    f"Write parquet (sources.io.write_dataset) or aggregate "
+                    f"first; for a server DB use per-block writer actors. "
+                    f"Pass max_rows=None only if you accept a serial "
+                    f"single-connection write."
+                )
             for c in batch.columns:
                 # sqlite3 has no temporal bind type: store ISO-8601 TEXT.
                 if str(batch[c].dtype).startswith("datetime64"):
@@ -189,7 +195,6 @@ def write_sql_table(
             con.executemany(
                 f'INSERT INTO "{table}" VALUES ({placeholders})', rows
             )
-            n += len(rows)
         con.commit()
         return n
     finally:

@@ -68,83 +68,127 @@ def _parse_warc_date(s: str) -> Optional[datetime]:
         return None
 
 
-def _gunzip_all(payload: bytes) -> bytes:
-    """Decompress a gzip payload covering BOTH WARC layouts: one member for
-    the whole file, or one member per record (concatenated members)."""
-    return gzip.GzipFile(fileobj=_io.BytesIO(payload)).read()
+def _dechunk(body: bytes) -> bytes:
+    """HTTP/1.1 Transfer-Encoding: chunked -> raw bytes. Tolerant: on a
+    malformed chunk header the already-decoded prefix plus nothing further
+    is returned (crawls contain garbage; one bad record must not kill the
+    archive task)."""
+    out = bytearray()
+    i = 0
+    while True:
+        j = body.find(_CRLF, i)
+        if j < 0:
+            break
+        size_field = body[i:j].split(b";", 1)[0].strip()
+        try:
+            size = int(size_field, 16)
+        except ValueError:
+            break
+        if size == 0:
+            break
+        out += body[j + 2:j + 2 + size]
+        i = j + 2 + size + 2  # chunk data + its trailing CRLF
+    return bytes(out)
 
 
 def _http_body(block: bytes) -> bytes:
     """For a ``response`` record the block is the raw HTTP exchange; the
-    document is everything after the header/body split. Non-HTTP blocks
-    (e.g. ``resource`` records) are returned whole."""
+    document is the body after the header split, de-chunked and
+    content-decoded the way real crawler output requires
+    (``Transfer-Encoding: chunked``, ``Content-Encoding: gzip/deflate`` —
+    Common Crawl stores the exchange verbatim). Non-HTTP blocks (e.g.
+    ``resource`` records) are returned whole; decode failures fall back to
+    the raw body rather than failing the archive task."""
+    import zlib
+
     if not block.startswith(b"HTTP/"):
         return block
     cut = block.find(_HDR_END)
-    return block[cut + 4:] if cut >= 0 else b""
+    if cut < 0:
+        return b""
+    body = block[cut + 4:]
+    headers: Dict[str, str] = {}
+    for ln in block[:cut].decode("latin-1").split("\r\n")[1:]:
+        k, sep, v = ln.partition(":")
+        if sep:
+            headers[k.strip().lower()] = v.strip().lower()
+    if "chunked" in headers.get("transfer-encoding", ""):
+        body = _dechunk(body)
+    enc = headers.get("content-encoding", "")
+    try:
+        if "gzip" in enc:
+            body = gzip.GzipFile(fileobj=_io.BytesIO(body)).read()
+        elif "deflate" in enc:
+            try:
+                body = zlib.decompress(body)
+            except zlib.error:  # raw-deflate variant some servers emit
+                body = zlib.decompress(body, -zlib.MAX_WBITS)
+    except Exception:
+        pass  # keep the raw body; downstream extract gates on content
+    return body
+
+
+def _iter_warc_records(fobj, want) -> "object":
+    """Stream WARC/1.0-1.1 records from a binary file-like (plain or a
+    ``gzip.GzipFile``, which walks concatenated members natively — both
+    archive layouts). One record is held in memory at a time; this is what
+    keeps a 1 GB ``.warc.gz`` read task's heap at O(record), not
+    O(archive)."""
+    while True:
+        # tolerate inter-record padding / the record-terminating CRLFs
+        line = fobj.readline()
+        while line in (b"\r\n", b"\n"):
+            line = fobj.readline()
+        if not line:
+            return
+        first = line.rstrip(b"\r\n")
+        if not first.startswith(b"WARC/"):
+            raise ValueError(
+                f"not a WARC record: {first[:40].decode('latin-1')!r}")
+        fields: Dict[str, str] = {}
+        while True:
+            line = fobj.readline()
+            if not line:
+                raise ValueError(
+                    "truncated WARC: record header without blank line")
+            if line in (b"\r\n", b"\n"):
+                break
+            k, sep, v = line.decode("utf-8", errors="replace").partition(":")
+            if sep:
+                fields[k.strip().lower()] = v.strip()
+        try:
+            length = int(fields["content-length"])
+        except (KeyError, ValueError):
+            raise ValueError("WARC record lacks Content-Length")
+        block = fobj.read(length)
+        if len(block) != length:
+            raise ValueError("truncated WARC: block shorter than Content-Length")
+        if fields.get("warc-type", "").lower() not in want:
+            continue
+        url = fields.get("warc-target-uri", "")
+        if url.startswith("<") and url.endswith(">"):  # WARC/1.1 angle form
+            url = url[1:-1]
+        yield {
+            "url": url,
+            "warc_ts": _parse_warc_date(fields.get("warc-date", "")),
+            "html": _http_body(block),
+        }
+
+
+def _open_warc(payload: bytes):
+    raw = _io.BytesIO(payload)
+    return gzip.GzipFile(fileobj=raw) if payload[:2] == b"\x1f\x8b" else raw
 
 
 def parse_warc(
     payload: bytes,
     record_types: Sequence[str] = ("response",),
 ) -> List[Dict[str, object]]:
-    """Parse one WARC file's bytes into pages rows.
-
-    Walks WARC/1.0-1.1 records (version line, named fields, blank line,
-    ``Content-Length`` block, trailing CRLF CRLF), keeping records whose
-    ``WARC-Type`` is in ``record_types`` and extracting
-    ``(url, warc_ts, html)`` — the HTTP response body for response records.
-    Gzip (either layout) is detected by magic bytes.
-    """
-    if payload[:2] == b"\x1f\x8b":
-        payload = _gunzip_all(payload)
+    """Parse one WARC file's bytes into pages rows (gzip in either layout
+    detected by magic bytes); see :func:`_iter_warc_records` for the
+    record walk and :func:`_http_body` for HTTP decoding."""
     want = {t.lower() for t in record_types}
-    rows: List[Dict[str, object]] = []
-    i, n = 0, len(payload)
-    while i < n:
-        # tolerate inter-record padding
-        while i < n and payload[i:i + 1] in (b"\r", b"\n"):
-            i += 1
-        if i >= n:
-            break
-        hdr_end = payload.find(_HDR_END, i)
-        if hdr_end < 0:
-            raise ValueError("truncated WARC: record header without blank line")
-        head = payload[i:hdr_end].decode("utf-8", errors="replace")
-        lines = head.split("\r\n")
-        if not lines[0].startswith("WARC/"):
-            raise ValueError(f"not a WARC record at offset {i}: {lines[0][:40]!r}")
-        fields: Dict[str, str] = {}
-        for ln in lines[1:]:
-            k, sep, v = ln.partition(":")
-            if sep:
-                fields[k.strip().lower()] = v.strip()
-        try:
-            length = int(fields["content-length"])
-        except (KeyError, ValueError):
-            raise ValueError(f"WARC record at offset {i} lacks Content-Length")
-        block_start = hdr_end + 4
-        block = payload[block_start:block_start + length]
-        if len(block) != length:
-            raise ValueError("truncated WARC: block shorter than Content-Length")
-        i = block_start + length
-        # spec: two CRLFs terminate the record; tolerate their absence at EOF
-        for _ in range(2):
-            if payload[i:i + 2] == _CRLF:
-                i += 2
-        if fields.get("warc-type", "").lower() not in want:
-            continue
-        url = fields.get("warc-target-uri", "")
-        if url.startswith("<") and url.endswith(">"):  # WARC/1.1 angle form
-            url = url[1:-1]
-        rows.append(
-            {
-                "url": url,
-                "warc_ts": _parse_warc_date(fields.get("warc-date", "")),
-                "html": _http_body(block),
-            }
-        )
-    return rows
+    return list(_iter_warc_records(_open_warc(payload), want))
 
 
 def _rows_to_table(rows: List[Dict[str, object]]) -> pa.Table:
@@ -167,14 +211,32 @@ def read_warc(
 
     ``pages_to_match_clusters`` and every pages-table operator run on the
     result unchanged; add ``text``/``lang`` via the extract stage.
+
+    Memory shape: the compressed archive is one object-store block; the
+    parse streams records off a ``GzipFile`` cursor and YIELDS output
+    tables every ~64 MB / 1024 rows, so task heap is
+    O(compressed + one output chunk), never O(decompressed archive).
     """
     files = ray.data.read_binary_files(paths)
+    want = {t.lower() for t in record_types}
 
-    def _parse(batch: pa.Table) -> pa.Table:
-        out: List[Dict[str, object]] = []
+    def _parse(batch: pa.Table):
+        yielded = False
         for payload in batch.column("bytes"):
-            out.extend(parse_warc(payload.as_py(), record_types))
-        return _rows_to_table(out) if out else WARC_PAGES_SCHEMA.empty_table()
+            rows: List[Dict[str, object]] = []
+            pending = 0
+            for rec in _iter_warc_records(_open_warc(payload.as_py()), want):
+                rows.append(rec)
+                pending += len(rec["html"]) + len(rec["url"]) + 16
+                if len(rows) >= 1024 or pending >= (64 << 20):
+                    yield _rows_to_table(rows)
+                    yielded = True
+                    rows, pending = [], 0
+            if rows:
+                yield _rows_to_table(rows)
+                yielded = True
+        if not yielded:
+            yield WARC_PAGES_SCHEMA.empty_table()
 
     return files.map_batches(_parse, batch_format="pyarrow")
 

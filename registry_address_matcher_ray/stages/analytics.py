@@ -1479,12 +1479,18 @@ def approx_quantiles_bottomk(
     sort per quantile query is not worth it. pytest pins the error bound and
     the partition invariance (``tests/test_analytics_extra.py``).
     """
+    import hashlib
+
     import pandas as pd
 
     from .sampling import _md5_expr
 
     def _partial(df: "pd.DataFrame") -> pa.Table:
-        h = _md5_expr(df[id_col].tolist(), "md5(s)").to_pylist()
+        try:
+            h = _md5_expr(df[id_col].tolist(), "md5(s)").to_pylist()
+        except ImportError:  # same duckdb-optional contract as sampling
+            h = [hashlib.md5(str(v).encode()).hexdigest()
+                 for v in df[id_col].tolist()]
         out = pd.DataFrame({"_h": h, "_v": df[val_col].astype("float64")})
         out = out.sort_values("_h", kind="mergesort").head(k)
         return pa.Table.from_pandas(

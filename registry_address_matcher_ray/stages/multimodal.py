@@ -267,14 +267,16 @@ class FrameSampleActor(_MediaActor):
         })
 
 
-def _pool(ds: ray.data.Dataset, actor, batch_size: int, concurrency, **kw):
+def _pool(ds: ray.data.Dataset, actor, batch_size: int, concurrency,
+          num_cpus=None, **kw):
     # max_restarts=0: Ray 2.49 MapWorker restart crash-loops (src_fn_name
     # AttributeError) and triggers the ray#53727 constructor-arg warning; task
     # retries at the Dataset layer are the recovery path instead.
+    extra = {} if num_cpus is None else {"num_cpus": num_cpus}
     return ds.map_batches(
         actor, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, fn_constructor_kwargs=kw,
-        max_restarts=0, max_task_retries=0,
+        max_restarts=0, max_task_retries=0, **extra,
     )
 
 
@@ -286,14 +288,10 @@ def decode_images(ds, codec: str = "fake", dim: int = 64,
     knob for large-DRI-image corpora where per-image latency (not just
     per-corpus throughput) matters; actors × dri_workers should fit the
     node."""
-    kw = dict(codec=codec, dim=dim, dri_workers=dri_workers)
-    if dri_workers and dri_workers > 1:
-        return ds.map_batches(
-            ImageDecodeActor, batch_format="pyarrow", batch_size=batch_size,
-            concurrency=concurrency, fn_constructor_kwargs=kw,
-            num_cpus=dri_workers, max_restarts=0, max_task_retries=0,
-        )
-    return _pool(ds, ImageDecodeActor, batch_size, concurrency, **kw)
+    num_cpus = dri_workers if dri_workers and dri_workers > 1 else None
+    return _pool(ds, ImageDecodeActor, batch_size, concurrency,
+                 num_cpus=num_cpus, codec=codec, dim=dim,
+                 dri_workers=dri_workers)
 
 
 def resize_images(ds, codec: str = "fake", target: Tuple[int, int] = (224, 224),

@@ -51,13 +51,20 @@ def _duck():
 
 def _as_str_array(values):
     """Values (Arrow column or Python sequence) -> Arrow string array with
-    ``str(v)`` semantics (nulls -> 'None', ints -> decimal digits)."""
+    ``str(v)`` semantics (nulls -> 'None', ints -> decimal digits). The
+    zero-copy Arrow path is taken ONLY for string/int types, where the cast
+    provably equals ``str(v)``; floats/bools/timestamps render differently
+    under Arrow/DuckDB casts ('2' vs '2.0', 'true' vs 'True'), so those fall
+    back to the Python formatter to keep md5 keys identical across the
+    kernel and the hashlib path (pytest-pinned)."""
     import pyarrow.compute as pc
 
     if isinstance(values, (pa.Array, pa.ChunkedArray)):
-        s = values if pa.types.is_string(values.type) else pc.cast(
-            values, pa.string())
-        return pc.fill_null(s, "None")
+        if pa.types.is_string(values.type):
+            return pc.fill_null(values, "None")
+        if pa.types.is_integer(values.type):
+            return pc.fill_null(pc.cast(values, pa.string()), "None")
+        values = values.to_pylist()
     return pa.array([str(v) for v in values], pa.string())
 
 

@@ -185,3 +185,26 @@ def test_dri_parallel_decode_pixel_identical():
     payload = encode_jpeg(img, quality=80)
     assert np.array_equal(decode_jpeg(payload),
                           decode_jpeg(payload, dri_workers=4))
+
+
+def test_dri_parallel_truncated_stream_raises_like_serial():
+    """A DRI stream missing restart segments must raise identically with
+    and without dri_workers — the knob must never turn a hard error into
+    silently gray pixels."""
+    import numpy as np
+    import pytest
+
+    from registry_address_matcher_ray.functions.jpeg import (
+        decode_jpeg, encode_jpeg,
+    )
+
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+    payload = bytearray(encode_jpeg(img, quality=80, restart_interval=4))
+    # drop the last restart segment: truncate at the final RST marker
+    last_rst = max(payload.rfind(bytes([0xFF, 0xD0 + i])) for i in range(8))
+    truncated = bytes(payload[:last_rst]) + b"\xff\xd9"
+    with pytest.raises(ValueError, match="restart segment"):
+        decode_jpeg(truncated)
+    with pytest.raises(ValueError, match="restart segment"):
+        decode_jpeg(truncated, dri_workers=3)

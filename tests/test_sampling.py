@@ -333,3 +333,32 @@ def test_md5_kernel_bit_parity_with_hashlib():
                       f"md5({seed_sql} || s)").to_pylist()
     assert got == [hashlib.md5((seed + str(v)).encode()).hexdigest()
                    for v in vals]
+
+
+def test_md5_kernel_nonstring_column_parity():
+    """Float/bool/timestamp id columns must hash identically to str(v)
+    (Arrow/DuckDB casts render them differently — '2' vs '2.0', 'true' vs
+    'True' — so those types must take the Python-formatter path)."""
+    import datetime
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from registry_address_matcher_ray.stages import sampling as S
+
+    cols = [
+        pa.array([2.0, 0.5, -1.25, None], pa.float64()),
+        pa.array([True, False, None], pa.bool_()),
+        pa.array([datetime.datetime(2024, 1, 2, 3, 4, 5)],
+                 pa.timestamp("us")),
+    ]
+    for col in cols:
+        exp = np.array(
+            [int.from_bytes(hashlib.md5(str(v).encode()).digest()[8:],
+                            "little")
+             for v in col.to_pylist()], dtype=np.float64) / float(1 << 64)
+        assert np.array_equal(S._md5_uniform(col), exp), col.type
+        assert S._md5_prefix4(col) == [
+            hashlib.md5(str(v).encode()).hexdigest()[:4]
+            for v in col.to_pylist()]

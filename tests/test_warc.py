@@ -143,3 +143,53 @@ def test_job_cli_warc_probe(pages_rows, tmp_path, capsys):
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["matches"] > 0
     assert (tmp_path / "out" / "matches").is_dir()
+
+
+def test_http_chunked_and_content_encoding_decoded():
+    """Real crawler responses store the HTTP exchange verbatim; chunked
+    transfer and gzip/deflate content encodings must be decoded."""
+    import gzip as _gz
+    import zlib
+
+    html = b"<html><body>" + b"x" * 500 + b"</body></html>"
+
+    def _rec(http_block):
+        return (
+            "WARC/1.0\r\nWARC-Type: response\r\n"
+            "WARC-Target-URI: https://e.am/c\r\n"
+            "WARC-Date: 2024-01-01T00:00:00Z\r\n"
+            f"Content-Length: {len(http_block)}\r\n\r\n"
+        ).encode() + http_block + b"\r\n\r\n"
+
+    # chunked
+    chunks = b"".join(
+        f"{len(c):x}\r\n".encode() + c + b"\r\n"
+        for c in (html[:100], html[100:])) + b"0\r\n\r\n"
+    block = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" + chunks)
+    assert warc.parse_warc(_rec(block))[0]["html"] == html
+
+    # gzip content-encoding
+    gz = _gz.compress(html)
+    block = (b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+             + f"Content-Length: {len(gz)}\r\n\r\n".encode() + gz)
+    assert warc.parse_warc(_rec(block))[0]["html"] == html
+
+    # deflate (zlib-wrapped and raw)
+    co = zlib.compressobj(wbits=-zlib.MAX_WBITS)
+    raw_defl = co.compress(html) + co.flush()
+    for defl in (zlib.compress(html), raw_defl):
+        block = (b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n"
+                 + defl)
+        assert warc.parse_warc(_rec(block))[0]["html"] == html
+
+    # chunked THEN gzip (encoding applied before transfer chunking)
+    chunks = b"".join(
+        f"{len(c):x}\r\n".encode() + c + b"\r\n"
+        for c in (gz[:50], gz[50:])) + b"0\r\n\r\n"
+    block = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n"
+             b"Content-Encoding: gzip\r\n\r\n" + chunks)
+    assert warc.parse_warc(_rec(block))[0]["html"] == html
+
+    # malformed chunk header falls back instead of raising
+    block = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nZZZ\r\nx"
+    assert warc.parse_warc(_rec(block))[0]["html"] == b""
