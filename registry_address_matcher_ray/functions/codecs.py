@@ -1,14 +1,17 @@
 """Pure-stdlib/numpy media codecs for the formats that need no external
 libraries: PPM (P6) and BMP (24-bit uncompressed) images, PNG (8-bit,
-non-interlaced — stdlib ``zlib`` inflate + numpy scanline unfiltering), and
-WAV (PCM16) audio.
+non-interlaced — stdlib ``zlib`` inflate + numpy scanline unfiltering),
+WAV (PCM16) and FLAC (``functions/flac.py``) audio; JPEG (baseline +
+progressive) lives in ``functions/jpeg.py`` and MJPEG-AVI video in
+``functions/avi.py``.
 
 The multimodal stages (``stages/multimodal.py``) are actor-pool ``map_batches``
 plumbing over opaque binary payloads; with these codecs the ``codec="real"``
-path genuinely decodes pixels/samples for PPM/BMP/PNG/WAV (JPEG and MP4 still
-raise, marking where PIL/libav would plug in). All functions are
-deterministic; PNG's Average/Paeth filters carry a left-pixel dependency that
-forces a per-pixel inner loop (None/Sub/Up rows are fully vectorized).
+path genuinely decodes pixels/samples for PPM/BMP/PNG/JPEG/WAV/FLAC/MJPEG
+(MP4/H.264 and MP3 still raise, marking where libav would plug in). All
+functions are deterministic; PNG's Average/Paeth filters carry a left-pixel
+dependency that forces a per-pixel inner loop (None/Sub/Up rows are fully
+vectorized).
 """
 
 from __future__ import annotations
@@ -20,7 +23,7 @@ import numpy as np
 
 __all__ = [
     "decode_image", "encode_ppm", "encode_bmp", "encode_png", "decode_png",
-    "decode_wav", "encode_wav",
+    "decode_audio", "decode_wav", "encode_wav",
     "resize_nearest",
 ]
 
@@ -294,6 +297,17 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
         sample_rate, sample_rate * 2, 2, 16, b"data", len(pcm),
     )
     return hdr + pcm
+
+
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """payload -> (mono float32 samples in [-1, 1], sample_rate).
+    PCM16 WAV or FLAC (functions/flac.py), dispatched by magic bytes —
+    the audio analogue of :func:`decode_image`."""
+    if payload[:4] == b"fLaC":
+        from .flac import decode_flac
+
+        return decode_flac(payload)
+    return decode_wav(payload)
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:

@@ -189,7 +189,7 @@ class AudioFeatureActor(_MediaActor):
     def _real_features(self, payload: bytes) -> np.ndarray:
         from ..functions import codecs
 
-        samples, _rate = codecs.decode_wav(payload)
+        samples, _rate = codecs.decode_audio(payload)
         if not len(samples):
             return np.zeros(self.n, np.float32)
         chunk = max(1, len(samples) // self.frames)
@@ -388,17 +388,23 @@ def synth_decodable_media(n: int, kind: str = "ppm", seed: int = 0) -> pa.Table:
             "payload": payloads,
             "width": pa.array(ws, pa.int32()), "height": pa.array(hs, pa.int32()),
         })
-    if kind == "wav":
+    if kind in ("wav", "flac"):
+        from ..functions.flac import encode_flac
+
         payloads, durs = [], []
         for i in range(n):
             dur_ms = int(rng.integers(50, 500))
             t = np.arange(int(16000 * dur_ms / 1000)) / 16000.0
             freq = float(rng.integers(100, 2000))
-            samples = (np.sin(2 * np.pi * freq * t) * 20000).astype(np.int16)
-            payloads.append(codecs.encode_wav(samples, 16000))
+            sig = np.sin(2 * np.pi * freq * t) * 20000
+            if kind == "flac":  # noise stresses the rice residual path
+                sig = sig + rng.normal(0, 300, len(t))
+            samples = np.clip(sig, -32768, 32767).astype(np.int16)
+            payloads.append(encode_flac(samples, 16000) if kind == "flac"
+                            else codecs.encode_wav(samples, 16000))
             durs.append(dur_ms)
         return pa.table({
-            "media_id": ids, "media_type": ["audio/wav"] * n,
+            "media_id": ids, "media_type": [f"audio/{kind}"] * n,
             "payload": payloads,
             "sample_rate": pa.array([16000] * n, pa.int32()),
             "duration_ms": pa.array(durs, pa.int32()),
