@@ -431,6 +431,32 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         queries["media_decode_dri_serial"]
         / max(queries["media_decode_dri_parallel"], 1e-9), 2)
 
+    # WARC crawl-transport ingest: the pages fixture as 16 .warc.gz chunks
+    # (member-per-record gzip, HTTP-wrapped — one read task per archive),
+    # full streaming parse back to (url, warc_ts, html). Encode is cached.
+    import glob as _glob
+
+    from registry_address_matcher_ray.sources import warc as _warc
+
+    warc_dir = paths["pages"].replace("pages.parquet", "pages_warc")
+    if not _glob.glob(os.path.join(warc_dir, "*.warc.gz")):
+        os.makedirs(warc_dir + ".tmp", exist_ok=True)
+        rows = pq.read_table(
+            paths["pages"], columns=["url", "warc_ts", "html"]).to_pylist()
+        per = -(-len(rows) // 16)
+        for c in range(16):
+            chunk = rows[c * per:(c + 1) * per]
+            if chunk:
+                with open(f"{warc_dir}.tmp/chunk-{c:02d}.warc.gz", "wb") as f:
+                    f.write(_warc.encode_warc(chunk, gzip_mode="record"))
+        os.replace(warc_dir + ".tmp", warc_dir)
+    t0 = time.time()
+    n_warc = _warc.read_warc(
+        sorted(_glob.glob(os.path.join(warc_dir, "*.warc.gz")))).count()
+    queries["warc_read"] = round(time.time() - t0, 3)
+    extras["warc_pages_per_sec"] = round(
+        n_warc / max(queries["warc_read"], 1e-9), 1)
+
     result = {
         "metric": "linkage_pages_sec",
         "value": queries["linkage_pages"],
