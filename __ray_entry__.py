@@ -1437,6 +1437,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _crawl_urls_ds(sf_dir), "canonical_url", "page_id"
         ).select_columns(["page_id", "canonical_url"])
 
+    def pages_blocklist_filtered(sf_dir):
+        """RefinedWeb/CCNet URL-blocklist stage: drop rows whose canonical
+        host matches a blocked domain exactly OR by dotted suffix
+        (functions/urls.domain_blocklist_filter; SQL predicate generated
+        from the same module). Blocklist = every 5th fixture site."""
+        from registry_address_matcher_ray.functions import urls as U
+
+        blocked = frozenset(
+            {f"site{h:03d}.example.com" for h in range(0, 200, 5)})
+        return U.domain_blocklist_filter(
+            _crawl_urls_ds(sf_dir), "url", blocked, host_col="host"
+        ).select_columns(["page_id", "canonical_url", "host"])
+
     def pages_url_latest(sf_dir):
         # Common-Crawl "latest snapshot wins": newest row per canonical URL
         return D.keep_latest_dedup(
@@ -1780,6 +1793,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionized": events_sessionized,
         "events_orders_range_count": events_orders_range_count,
         "pages_url_dedup": pages_url_dedup,
+        "pages_blocklist_filtered": pages_blocklist_filtered,
         "match_fs_em_params": match_fs_em_params,
         "spr_swoosh_entities": spr_swoosh_entities,
         "events_type_counts_cms": events_type_counts_cms,
@@ -1862,7 +1876,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_golden_records", "unmatched_spr", "pages_flagship",
         "engine_variant_pairs", "match_eval_f1", "match_cluster_f1",
         "match_blocking_stats", "match_incremental", "match_review_queue",
-        "match_fs_patterns", "match_fs_weights", "match_exact_full",
+        "match_fs_patterns", "match_fs_weights",
+        # round-5 new op (takes match_exact_full's pin slot — that query has
+        # four green driver rows already, r1-r4)
+        "pages_blocklist_filtered",
         # oracle-bearing, never driver-checked in r1-r4
         "pages_via_warc", "part_phonetic_block_sizes",
         "docs_ngram_jaccard_matrix", "docs_overlap_contamination",
@@ -3125,6 +3142,17 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "pages_url_canonical": _crawl_canon_sql,
+        # URL-blocklist stage: predicate generated by the SAME module as the
+        # engine's suffix probe (urls.sql_blocklist), over the shared
+        # canonical+host expressions
+        "pages_blocklist_filtered": f"""
+            WITH c AS ({_crawl_canon_sql})
+            SELECT page_id, canonical_url, host FROM c
+            WHERE NOT {_U.sql_blocklist(
+                "host",
+                frozenset({f"site{h:03d}.example.com"
+                           for h in range(0, 200, 5)}))}
+        """,
         "pages_url_latest": f"""
             WITH c AS ({_crawl_full_sql}),
             m AS (SELECT canonical_url, max(warc_ts) AS mts FROM c GROUP BY 1)

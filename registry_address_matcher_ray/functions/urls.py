@@ -37,7 +37,7 @@ C string kernels — no Python loop per row.
 from __future__ import annotations
 
 import re
-from typing import Union
+from typing import Optional, Union
 
 import pandas as pd
 import pyarrow as pa
@@ -182,3 +182,61 @@ def sql_host(expr: str) -> str:
     """DuckDB expression for :func:`host_of` over an already-canonical col."""
     return (f"coalesce(regexp_extract({expr}, "
             f"'^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1), '')")
+
+
+def blocklist_mask(hosts: Union[pa.Array, pa.ChunkedArray],
+                   blocked: frozenset) -> pa.Array:
+    """True where the host or ANY parent domain is blocked — UT1/RefinedWeb
+    URL-blocklist semantics (a listed ``example.com`` blocks
+    ``a.b.example.com`` too). Per-distinct-host memo: crawl hosts repeat
+    thousands of times per domain, so the Python suffix walk runs once per
+    distinct host, not per row. SQL twin: :func:`sql_blocklist`."""
+    if isinstance(hosts, pa.ChunkedArray):
+        hosts = hosts.combine_chunks()
+    memo: dict = {}
+    out = []
+    for h in hosts.to_pylist():
+        h = h or ""
+        v = memo.get(h)
+        if v is None:
+            parts = h.split(".")
+            v = any(".".join(parts[i:]) in blocked
+                    for i in range(len(parts)))
+            memo[h] = v
+        out.append(v)
+    return pa.array(out, pa.bool_())
+
+
+def sql_blocklist(host_expr: str, blocked: frozenset) -> str:
+    """DuckDB predicate computing the IDENTICAL suffix-match semantics as
+    :func:`blocklist_mask` over ``host_expr`` (exact host or dotted-suffix
+    match against the literal blocklist) — generated from the same source
+    of truth so engine and oracle cannot drift."""
+    vals = ", ".join(f"('{d}')" for d in sorted(blocked))
+    return (f"EXISTS (SELECT 1 FROM (VALUES {vals}) bl(d) "
+            f"WHERE {host_expr} = bl.d "
+            f"OR {host_expr} LIKE '%.' || bl.d)")
+
+
+def domain_blocklist_filter(
+    ds: "ray.data.Dataset", url_col: str, blocked, keep: bool = False,
+    host_col: Optional[str] = None,
+) -> "ray.data.Dataset":
+    """Drop (or, with ``keep=True``, retain only) rows whose canonical-URL
+    host matches the blocklist — the RefinedWeb/CCNet URL-filtering stage.
+    The blocklist is captured in the batch closure (a real UT1 list is a
+    few MB — broadcast once per worker by Ray's closure serialization);
+    the per-row work is a memoized suffix probe, no shuffle, no join."""
+    blocked = frozenset(blocked)
+
+    def _flt(batch: pa.Table) -> pa.Table:
+        if host_col is not None and host_col in batch.column_names:
+            hosts = batch.column(host_col)
+        else:
+            hosts = host_of_arrow(canonicalize_arrow(batch.column(url_col)))
+        mask = blocklist_mask(hosts, blocked)
+        if not keep:
+            mask = pc.invert(mask)
+        return batch.filter(mask)
+
+    return ds.map_batches(_flt, batch_format="pyarrow")

@@ -175,3 +175,40 @@ def test_keep_latest_null_ts_never_wins(ray_session):
     # 'c' has only NULL timestamps -> no row (SQL NULL-ignoring semantics)
     assert sorted(out["key"]) == ["a", "b"]
     assert set(out["row_id"]) == {0, 3}
+
+
+def test_domain_blocklist_suffix_semantics(ray_session):
+    """UT1/RefinedWeb blocklist semantics: exact host OR any parent domain;
+    python mask, stage filter and generated SQL all agree."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from registry_address_matcher_ray.functions import urls as U
+
+    hosts = ["example.com", "a.example.com", "a.b.example.com",
+             "badexample.com", "example.com.evil.net", "other.org",
+             "sub.other.org", ""]
+    blocked = frozenset({"example.com", "other.org"})
+    mask = U.blocklist_mask(pa.array(hosts, pa.string()), blocked)
+    assert mask.to_pylist() == [True, True, True, False, False,
+                                True, True, False]
+
+    # SQL predicate parity over the same hosts
+    df = pd.DataFrame({"h": hosts})
+    got = duckdb.sql(
+        f"SELECT {U.sql_blocklist('h', blocked)} AS b FROM df"
+    ).df()["b"].tolist()
+    assert got == mask.to_pylist()
+
+    # stage filter end-to-end on raw (uncanonicalized) urls
+    ds = ray.data.from_items(
+        [{"url": f"HTTPS://WWW.{h}/x?utm_source=z" if h else "not-a-url",
+          "i": i} for i, h in enumerate(hosts)])
+    kept = sorted(r["i"] for r in U.domain_blocklist_filter(
+        ds, "url", blocked).take_all())
+    assert kept == [3, 4, 7]
+    only = sorted(r["i"] for r in U.domain_blocklist_filter(
+        ds, "url", blocked, keep=True).take_all())
+    assert only == [0, 1, 2, 5, 6]
