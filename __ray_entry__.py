@@ -682,6 +682,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _read(sf_dir, "documents").map_batches(_tc, batch_format="pyarrow")
 
+    def docs_mojibake_fixed(sf_dir):
+        """ftfy-style encoding repair (functions/textfns.fix_mojibake):
+        UTF-8-as-Latin-1/cp1252 mojibake re-decoded, score-guarded so clean
+        text is a FIXPOINT — which is exactly what the oracle checks over
+        the real corpus (repairs themselves are pinned in
+        tests/test_corpus_ops.py on planted mojibake)."""
+        from registry_address_matcher_ray.functions import textfns as T
+
+        return (_read(sf_dir, "documents")
+                .select_columns(["doc_id", "text"])
+                .map_batches(lambda b: T.fix_mojibake_column(b, "text"),
+                             batch_format="pyarrow")
+                .select_columns(["doc_id", "text_fixed", "changed"]))
+
     def docs_text_quality(sf_dir):
         import math
         import re as _re
@@ -1852,6 +1866,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_real_frames": media_real_frames,
         "docs_token_counts": docs_token_counts,
         "docs_text_quality": docs_text_quality,
+        "docs_mojibake_fixed": docs_mojibake_fixed,
         "orders_price_quantiles_cont": orders_price_quantiles_cont,
         "docs_top_tokens": docs_top_tokens,
         "docs_hash_sample": docs_hash_sample,
@@ -1875,11 +1890,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_pairs", "match_pairs_shuffle_plan", "match_clusters",
         "match_golden_records", "unmatched_spr", "pages_flagship",
         "engine_variant_pairs", "match_eval_f1", "match_cluster_f1",
-        "match_blocking_stats", "match_incremental", "match_review_queue",
+        "match_blocking_stats", "match_incremental",
         "match_fs_patterns", "match_fs_weights",
-        # round-5 new op (takes match_exact_full's pin slot — that query has
-        # four green driver rows already, r1-r4)
-        "pages_blocklist_filtered",
+        # round-5 new ops (take the match_exact_full / match_review_queue
+        # pin slots — both already have green driver rows from r1-r4)
+        "pages_blocklist_filtered", "docs_mojibake_fixed",
         # oracle-bearing, never driver-checked in r1-r4
         "pages_via_warc", "part_phonetic_block_sizes",
         "docs_ngram_jaccard_matrix", "docs_overlap_contamination",
@@ -3783,6 +3798,13 @@ def oracle_sql() -> dict[str, str]:
         "docs_token_counts": r"""
             SELECT doc_id,
                    length(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens
+            FROM documents
+        """,
+        # encoding repair is a FIXPOINT on clean text (the score guard only
+        # accepts repairs that reduce the mojibake signature); the oracle
+        # asserts that over the whole corpus, byte-exact
+        "docs_mojibake_fixed": """
+            SELECT doc_id, text AS text_fixed, false AS changed
             FROM documents
         """,
         "docs_text_quality": r"""

@@ -242,3 +242,76 @@ def text_stats_columns(arr: pa.Array | pa.ChunkedArray) -> Dict[str, pa.Array]:
     out["lang_detected"] = pa.array([detect_lang(t) for t in texts], pa.string())
     out["fingerprint"] = pa.array([fingerprint(t) for t in texts], pa.string())
     return out
+
+
+# --------------------------------------------------------------- mojibake
+
+#: Mojibake signature: a UTF-8 LEAD byte rendered as Latin-1/cp1252
+#: (U+00C2-U+00F4) immediately followed by a CONTINUATION byte rendered the
+#: same way (U+0080-U+00BF, or the cp1252 punctuation the 0x80-0x9F bytes
+#: map to), plus any bare C1 control. Real accented text never produces the
+#: lead+continuation pair, so clean French/Armenian/CJK is score-zero. The
+#: class is built from codepoints so the compiled pattern carries literal
+#: characters (pyarrow's RE2 kernels have no \uXXXX escapes).
+_MOJI_CONT = ("".join(chr(c) for c in range(0x80, 0xC0))
+              + "\u20ac\u201a\u0192\u201e\u2026\u2020\u2021\u02c6"
+              + "\u2030\u0160\u2039\u0152\u017d\u2018\u2019\u201c"
+              + "\u201d\u2022\u2013\u2014\u02dc\u2122\u0161\u203a"
+              + "\u0153\u017e\u0178")
+_MOJI_BAD_RE = re.compile(
+    "[\u00c2-\u00f4][" + _MOJI_CONT + "]|["
+    + "".join(chr(c) for c in range(0x80, 0xA0)) + "]")
+
+
+def _mojibake_badness(s: str) -> int:
+    return len(_MOJI_BAD_RE.findall(s))
+
+
+def fix_mojibake(text: str, max_passes: int = 3) -> str:
+    """Repair UTF-8-decoded-as-Latin-1/cp1252 mojibake (ftfy-style, score
+    guarded): ``'cafÃ©' -> 'café'``.
+
+    Each pass re-encodes via latin-1 (then cp1252 for the euro/quote
+    forms) and re-decodes as UTF-8; a repair is ACCEPTED only when it
+    strictly reduces the mojibake-signature character count, so clean text
+    — including real accented Latin and non-Latin scripts — is a fixpoint
+    (property-tested). Up to ``max_passes`` handles doubly-encoded text.
+    """
+    s = text or ""
+    for _ in range(max_passes):
+        bad = _mojibake_badness(s)
+        if bad == 0:
+            break
+        repaired = None
+        for enc in ("latin-1", "cp1252"):
+            try:
+                repaired = s.encode(enc).decode("utf-8")
+                break
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                continue
+        if repaired is None or _mojibake_badness(repaired) >= bad:
+            break
+        s = repaired
+    return s
+
+
+def fix_mojibake_column(batch: pa.Table, text_col: str,
+                        out_col: str = "text_fixed") -> pa.Table:
+    """Batch kernel: append ``out_col`` (repaired text) and ``changed``.
+    Stateless map_batches stage; O(1) fast path for clean batches (one
+    vectorized signature scan decides whether any row needs the Python
+    repair loop at all)."""
+    import pyarrow.compute as pc
+
+    col = pc.fill_null(pc.cast(batch.column(text_col), pa.string()), "")
+    hits = pc.match_substring_regex(col, _MOJI_BAD_RE.pattern)
+    if not pc.any(hits).as_py():
+        return (batch.append_column(out_col, col)
+                .append_column("changed",
+                               pa.array([False] * batch.num_rows)))
+    texts = col.to_pylist()
+    fixed = [fix_mojibake(t) if h else t
+             for t, h in zip(texts, hits.to_pylist())]
+    return (batch.append_column(out_col, pa.array(fixed, pa.string()))
+            .append_column("changed",
+                           pa.array([f != t for f, t in zip(fixed, texts)])))

@@ -239,3 +239,41 @@ def test_simhash64_matches_per_bit_reference():
             for _ in range(100)] + ["", "   ", "one", "ONE one oNe"]
     for d in docs:
         assert textfns.simhash64(d) == ref(d)
+
+
+def test_fix_mojibake_repairs_and_fixpoint():
+    """ftfy-style repair: planted single- and double-encoded mojibake is
+    repaired byte-exact; clean multilingual text is a fixpoint; the batch
+    kernel reports `changed` correctly."""
+    import pyarrow as pa
+
+    from registry_address_matcher_ray.functions import textfns as T
+
+    clean = [
+        "plain ascii text",
+        b"caf\xc3\xa9 na\xc3\xafve".decode("utf-8"),          # café naïve
+        b"\xd5\xb0\xd5\xa1\xd5\xb5\xd5\xa5\xd6\x80\xd5\xa5\xd5\xb6".decode("utf-8"),
+        b"\xe6\x97\xa5\xe6\x9c\xac\xe8\xaa\x9e".decode("utf-8"),
+        "", "   ",
+    ]
+    for s in clean:
+        assert T.fix_mojibake(s) == s
+
+    originals = [b"caf\xc3\xa9".decode("utf-8"),
+                 b"\xe2\x80\x9cquote\xe2\x80\x9d".decode("utf-8"),
+                 b"\xd5\xb0\xd5\xa1\xd5\xb5".decode("utf-8")]
+    for orig in originals:
+        once = orig.encode("utf-8").decode("latin-1")
+        twice = once.encode("utf-8").decode("latin-1")
+        assert T.fix_mojibake(once) == orig, repr(once)
+        assert T.fix_mojibake(twice) == orig, repr(twice)
+
+    # batch kernel: mixed batch, changed flags, clean fast path
+    batch = pa.table({"text": pa.array(
+        [clean[1], originals[0].encode("utf-8").decode("latin-1"), None])})
+    out = T.fix_mojibake_column(batch, "text")
+    assert out.column("text_fixed").to_pylist() == [clean[1], originals[0], ""]
+    # null -> "" is normalization, not a repair: changed stays False
+    assert out.column("changed").to_pylist() == [False, True, False]
+    allclean = T.fix_mojibake_column(pa.table({"text": clean[:4]}), "text")
+    assert allclean.column("changed").to_pylist() == [False] * 4
