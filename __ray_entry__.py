@@ -696,6 +696,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              batch_format="pyarrow")
                 .select_columns(["doc_id", "text_fixed", "changed"]))
 
+    def docs_within_line_dedup(sf_dir):
+        """WITHIN-doc duplicate-line removal (C4 in-doc rule; the
+        cross-corpus variant is docs_line_dedup). Stateless map_batches,
+        no shuffle; exact SQL twin via a per-doc min-line_no window."""
+        from registry_address_matcher_ray.functions import textfns as T
+
+        def _fix(b):
+            texts = [T.dedup_lines_within(t)
+                     for t in b.column("text").to_pylist()]
+            return pa.table({
+                "doc_id": b.column("doc_id"),
+                "text": pa.array([t for t, _ in texts], pa.string()),
+                "n_removed": pa.array([n for _, n in texts], pa.int64()),
+            })
+
+        return (_read(sf_dir, "documents")
+                .select_columns(["doc_id", "text"])
+                .map_batches(_fix, batch_format="pyarrow"))
+
+    def docs_compression_ratio(sf_dir):
+        """zlib compressibility quality signal (Gopher/RedPajama-style
+        repetitive-text detector) — rows-only: no SQL zlib; determinism
+        and orderings pinned in pytest."""
+        from registry_address_matcher_ray.functions import textfns as T
+
+        def _score(b):
+            r = [round(T.compression_ratio(t), 6)
+                 for t in b.column("text").to_pylist()]
+            return pa.table({"doc_id": b.column("doc_id"),
+                             "comp_ratio": pa.array(r, pa.float64())})
+
+        return (_read(sf_dir, "documents")
+                .select_columns(["doc_id", "text"])
+                .map_batches(_score, batch_format="pyarrow"))
+
     def docs_text_quality(sf_dir):
         import math
         import re as _re
@@ -1867,6 +1902,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_token_counts": docs_token_counts,
         "docs_text_quality": docs_text_quality,
         "docs_mojibake_fixed": docs_mojibake_fixed,
+        "docs_within_line_dedup": docs_within_line_dedup,
+        "docs_compression_ratio": docs_compression_ratio,
         "orders_price_quantiles_cont": orders_price_quantiles_cont,
         "docs_top_tokens": docs_top_tokens,
         "docs_hash_sample": docs_hash_sample,
@@ -1890,11 +1927,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_pairs", "match_pairs_shuffle_plan", "match_clusters",
         "match_golden_records", "unmatched_spr", "pages_flagship",
         "engine_variant_pairs", "match_eval_f1", "match_cluster_f1",
-        "match_blocking_stats", "match_incremental",
-        "match_fs_patterns", "match_fs_weights",
-        # round-5 new ops (take the match_exact_full / match_review_queue
-        # pin slots — both already have green driver rows from r1-r4)
+        "match_incremental", "match_fs_weights",
+        # round-5 new ops (take the match_exact_full / match_review_queue /
+        # match_blocking_stats / match_fs_patterns pin slots — all four
+        # already have green driver rows from r1-r4)
         "pages_blocklist_filtered", "docs_mojibake_fixed",
+        "docs_within_line_dedup", "docs_compression_ratio",
         # oracle-bearing, never driver-checked in r1-r4
         "pages_via_warc", "part_phonetic_block_sizes",
         "docs_ngram_jaccard_matrix", "docs_overlap_contamination",
@@ -3806,6 +3844,29 @@ def oracle_sql() -> dict[str, str]:
         "docs_mojibake_fixed": """
             SELECT doc_id, text AS text_fixed, false AS changed
             FROM documents
+        """,
+        # within-doc duplicate-line removal: first occurrence per (doc, line)
+        # via a per-doc min-line_no window; blank lines always kept
+        "docs_within_line_dedup": r"""
+            WITH lines AS (
+                SELECT doc_id,
+                       unnest(string_split(text, chr(10))) AS line,
+                       generate_subscripts(string_split(text, chr(10)), 1)
+                           AS line_no
+                FROM documents
+            ), keep AS (
+                SELECT doc_id, line, line_no,
+                       CASE WHEN line = '' THEN NULL
+                            ELSE min(line_no) OVER (PARTITION BY doc_id, line)
+                       END AS first_no
+                FROM lines
+            )
+            SELECT doc_id,
+                   string_agg(line, chr(10) ORDER BY line_no)
+                       FILTER (WHERE line = '' OR line_no = first_no) AS text,
+                   CAST(sum(CASE WHEN line <> '' AND line_no <> first_no
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+            FROM keep GROUP BY doc_id
         """,
         "docs_text_quality": r"""
             SELECT doc_id,

@@ -244,6 +244,42 @@ def text_stats_columns(arr: pa.Array | pa.ChunkedArray) -> Dict[str, pa.Array]:
     return out
 
 
+def dedup_lines_within(text: str) -> Tuple[str, int]:
+    """WITHIN-document duplicate-line removal (the in-doc half of C4 §2.2's
+    line rules; the cross-corpus half is ``stages/dedup.line_dedup``): each
+    non-blank line is kept at its first occurrence inside the document,
+    blank lines are structural and always kept. Returns
+    ``(cleaned_text, n_removed)``. Embarrassingly parallel — no corpus
+    state, exact SQL twin via a per-doc window (min line_no per line)."""
+    lines = (text or "").split("\n")
+    seen: set = set()
+    out: List[str] = []
+    removed = 0
+    for ln in lines:
+        if ln == "" or ln not in seen:
+            out.append(ln)
+            if ln:
+                seen.add(ln)
+        else:
+            removed += 1
+    return "\n".join(out), removed
+
+
+def compression_ratio(text: str, level: int = 6) -> float:
+    """zlib-compressed-size / raw-size quality signal (the compressibility
+    heuristic of Gopher/RedPajama-class pipelines: highly repetitive
+    machine-generated text compresses far below natural prose). zlib is
+    deterministic for a fixed level, so the signal is reproducible across
+    workers; no SQL twin exists (rows-only check), semantics pinned in
+    pytest."""
+    import zlib
+
+    raw = (text or "").encode("utf-8")
+    if not raw:
+        return 0.0
+    return len(zlib.compress(raw, level)) / len(raw)
+
+
 # --------------------------------------------------------------- mojibake
 
 #: Mojibake signature: a UTF-8 LEAD byte rendered as Latin-1/cp1252

@@ -277,3 +277,77 @@ def test_fix_mojibake_repairs_and_fixpoint():
     assert out.column("changed").to_pylist() == [False, True, False]
     allclean = T.fix_mojibake_column(pa.table({"text": clean[:4]}), "text")
     assert allclean.column("changed").to_pylist() == [False] * 4
+
+
+def test_within_doc_line_dedup_matches_sql_window():
+    """Planted duplicate lines: the Python kernel and the DuckDB per-doc
+    min-line_no window (the production oracle) agree on cleaned text and
+    removal counts; blank lines survive; cross-doc duplicates untouched."""
+    import duckdb
+    import pandas as pd
+
+    from registry_address_matcher_ray.functions import textfns as T
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "a\nb\na\n\nb\nc",          # dups of a and b
+            "a\nb\nc",                   # cross-doc dup only: untouched
+            "\n\nx\n\nx\n\n",            # blanks always kept
+            "",                          # empty doc
+        ],
+    })
+    got = []
+    for t in docs["text"]:
+        cleaned, removed = T.dedup_lines_within(t)
+        got.append((cleaned, removed))
+    assert got[0] == ("a\nb\n\nc", 2)
+    assert got[1] == ("a\nb\nc", 0)
+    assert got[2] == ("\n\nx\n\n\n", 1)
+    assert got[3] == ("", 0)
+
+    sql = """
+        WITH lines AS (
+            SELECT doc_id,
+                   unnest(string_split(text, chr(10))) AS line,
+                   generate_subscripts(string_split(text, chr(10)), 1)
+                       AS line_no
+            FROM docs
+        ), keep AS (
+            SELECT doc_id, line, line_no,
+                   CASE WHEN line = '' THEN NULL
+                        ELSE min(line_no) OVER (PARTITION BY doc_id, line)
+                   END AS first_no
+            FROM lines
+        )
+        SELECT doc_id,
+               string_agg(line, chr(10) ORDER BY line_no)
+                   FILTER (WHERE line = '' OR line_no = first_no) AS text,
+               CAST(sum(CASE WHEN line <> '' AND line_no <> first_no
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+        FROM keep GROUP BY doc_id ORDER BY doc_id
+    """
+    oracle = duckdb.sql(sql).df()
+    for i, (cleaned, removed) in enumerate(got):
+        # string_agg of an all-filtered-out-to-empty doc yields '' via the
+        # single empty line; NULL only when the doc has zero lines (never)
+        assert (oracle["text"][i] or "") == cleaned, i
+        assert int(oracle["n_removed"][i]) == removed, i
+
+
+def test_compression_ratio_signal():
+    from registry_address_matcher_ray.functions import textfns as T
+
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    repetitive = "spam ham " * 500
+    natural = " ".join(
+        "".join(rng.choice(list("abcdefghijklmnop"), size=rng.integers(2, 9)))
+        for _ in range(1000))
+    r_rep = T.compression_ratio(repetitive)
+    r_nat = T.compression_ratio(natural)
+    assert 0 < r_rep < r_nat < 1.0
+    assert T.compression_ratio("") == 0.0
+    # deterministic across calls
+    assert T.compression_ratio(natural) == r_nat
