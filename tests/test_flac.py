@@ -173,3 +173,39 @@ def test_audio_stage_decodes_flac(ray_session):
     fw = codecs.decode_audio(codecs.encode_wav(sig, 16000))
     ff = codecs.decode_audio(flac.encode_flac(sig, 16000))
     assert fw[1] == ff[1] and np.allclose(fw[0], ff[0], atol=1e-6)
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=3000),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    stereo=st.booleans(),
+    block=st.sampled_from([64, 256, 1000, 4096]),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+def test_flac_roundtrip_property(n, seed, stereo, block, rate):
+    """Any int16 signal (noise, steps, silence mixes) survives
+    encode->decode losslessly at any block size."""
+    rng = np.random.default_rng(seed)
+    kind = seed % 4
+    if kind == 0:
+        s = rng.integers(-32768, 32768, n, dtype=np.int16)
+    elif kind == 1:
+        s = np.full(n, int(rng.integers(-32768, 32768)), np.int16)
+    elif kind == 2:
+        s = (np.cumsum(rng.integers(-50, 51, n))
+             .clip(-32768, 32767).astype(np.int16))
+    else:
+        t = np.arange(n)
+        s = (10000 * np.sin(t / max(1, int(rng.integers(2, 60))))
+             ).astype(np.int16)
+    if stereo:
+        s = np.stack([s, s[::-1].copy()], axis=1)
+    enc = flac.encode_flac(s, rate, block_size=block)
+    pcm, got_rate, bits = flac.decode_flac_pcm(enc)
+    assert got_rate == rate and bits == 16
+    want = s if s.ndim == 2 else s[:, None]
+    assert np.array_equal(pcm, want.astype(np.int32))

@@ -193,3 +193,36 @@ def test_http_chunked_and_content_encoding_decoded():
     # malformed chunk header falls back instead of raising
     block = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nZZZ\r\nx"
     assert warc.parse_warc(_rec(block))[0]["html"] == b""
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.text(alphabet=st.characters(
+                blacklist_categories=("Cs", "Cc")), min_size=1, max_size=60),
+            st.binary(min_size=0, max_size=4000),
+            st.integers(min_value=0, max_value=2**31 - 1),
+        ),
+        min_size=1, max_size=12),
+    gzip_mode=st.sampled_from([None, "file", "record"]),
+    with_http=st.booleans(),
+)
+def test_warc_roundtrip_property(data, gzip_mode, with_http):
+    """Arbitrary urls (any non-control unicode), binary bodies of any
+    content (including bytes that look like CRLFs and markers), and
+    second-granular timestamps roundtrip byte-exact through every gzip
+    layout, with and without the HTTP wrapper."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2020, 1, 1)
+    rows = [{"url": "https://h.example/" + u.replace("\r", "").replace("\n", ""),
+             "warc_ts": t0 + timedelta(seconds=sec),
+             "html": body}
+            for (u, body, sec) in data]
+    payload = warc.encode_warc(rows, gzip_mode=gzip_mode, with_http=with_http)
+    got = warc.parse_warc(payload)
+    assert got == rows
