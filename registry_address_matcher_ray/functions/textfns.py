@@ -265,6 +265,49 @@ def dedup_lines_within(text: str) -> Tuple[str, int]:
     return "\n".join(out), removed
 
 
+#: C4 terminal punctuation (Raffel et al. 2020 §2.2: period, exclamation
+#: mark, question mark, end-quotation mark)
+C4_TERMINALS = frozenset('.!?"')
+
+
+def c4_clean_doc(
+    text: str,
+    min_words: int = 5,
+    min_sentences: int = 3,
+    badwords: Tuple[str, ...] = (),
+) -> Tuple[str, int, int, int, bool]:
+    """C4 §2.2 cleaning heuristics (Raffel et al. 2020), deterministic with
+    an exact SQL twin: a line is KEPT iff, after stripping trailing spaces,
+    it ends in ``.``, ``!``, ``?`` or ``"``, has at least ``min_words``
+    space-separated words, and does not contain ``javascript``
+    (case-insensitive). The PAGE passes iff the kept text contains at least
+    ``min_sentences`` terminal marks (``[.!?]``) and the ORIGINAL text
+    contains neither ``lorem ipsum`` (case-insensitive) nor ``{`` nor any
+    of ``badwords`` (case-insensitive substrings). Returns
+    ``(kept_text, lines_kept, lines_dropped, sentences, passes)``.
+    Space-only strips/splits (not all whitespace) keep the Python and
+    DuckDB (``rtrim`` / ``string_split(x, ' ')``) semantics identical."""
+    text = text or ""
+    kept: List[str] = []
+    dropped = 0
+    for ln in text.split("\n"):
+        r = ln.rstrip(" ")
+        n_words = sum(1 for w in ln.split(" ") if w)
+        if (r and r[-1] in C4_TERMINALS and n_words >= min_words
+                and "javascript" not in ln.lower()):
+            kept.append(ln)
+        else:
+            dropped += 1
+    kept_text = "\n".join(kept)
+    sentences = sum(1 for ch in kept_text if ch in ".!?")
+    low = text.lower()
+    passes = (sentences >= min_sentences
+              and "lorem ipsum" not in low
+              and "{" not in text
+              and not any(b.lower() in low for b in badwords))
+    return kept_text, len(kept), dropped, sentences, passes
+
+
 def compression_ratio(text: str, level: int = 6) -> float:
     """zlib-compressed-size / raw-size quality signal (the compressibility
     heuristic of Gopher/RedPajama-class pipelines: highly repetitive

@@ -809,6 +809,47 @@ def gopher_quality(
     return ds.map_batches(_sig, batch_format="pyarrow")
 
 
+def c4_clean(
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    min_words: int = 5,
+    min_sentences: int = 3,
+    badwords: Sequence[str] = (),
+) -> ray.data.Dataset:
+    """C4 §2.2 document cleaning (Raffel et al. 2020): per-line heuristics
+    (terminal-punctuation keep, ``min_words`` floor, javascript drop) plus
+    page-level kill rules (``min_sentences`` floor on the KEPT text,
+    lorem-ipsum / curly-brace / badword hits on the ORIGINAL text).
+
+    Emits per doc the cleaned ``text`` (kept lines joined), ``lines_kept`` /
+    ``lines_dropped`` / ``sentences`` counts and the ``passes`` verdict, so a
+    pipeline can ``filter(passes)`` or audit rejection reasons. Stateless
+    ``map_batches`` over Arrow batches, module-level rule constants, one pass
+    per document — no shuffle, no state, embarrassingly parallel at any
+    scale (rule semantics in ``functions/textfns.c4_clean_doc``)."""
+    from ..functions import textfns
+
+    bw = tuple(badwords)
+
+    def _clean(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        res = [textfns.c4_clean_doc(t, min_words, min_sentences, bw)
+               for t in col.to_pylist()]
+        return pa.table({
+            id_col: batch.column(id_col),
+            "text": pa.array([r[0] for r in res], pa.string()),
+            "lines_kept": pa.array([r[1] for r in res], pa.int64()),
+            "lines_dropped": pa.array([r[2] for r in res], pa.int64()),
+            "sentences": pa.array([r[3] for r in res], pa.int64()),
+            "passes": pa.array([r[4] for r in res], pa.bool_()),
+        })
+
+    return ds.map_batches(_clean, batch_format="pyarrow")
+
+
 def pii_redact(
     ds: ray.data.Dataset, text_col: str, id_col: str
 ) -> ray.data.Dataset:

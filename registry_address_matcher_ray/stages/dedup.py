@@ -714,6 +714,95 @@ def minhash_dedup_against(
     return {"pairs": verified, "filtered": filtered}
 
 
+def neardup_keep_best(
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    winner_broadcast_limit: Optional[int] = None,
+    num_partitions: Optional[int] = None,
+    **lsh_kwargs,
+) -> Dict[str, ray.data.Dataset]:
+    """Quality-aware near-dup RETENTION — the composition a SlimPajama-class
+    pipeline actually runs: MinHash-LSH near-dup clusters
+    (:func:`minhash_lsh_dedup`), then keep exactly ONE document per cluster
+    (the LONGEST text; ties -> smallest id) while unclustered docs pass
+    through untouched. Returns ``{"kept": surviving corpus rows,
+    "dropped": (node, cluster_id) rows removed, "clusters": labels}``.
+
+    Scale shape: cluster labels cover only near-duplicate docs (a small
+    fraction of the corpus); the (id, len) equi-join and the winner
+    resolution (max len per cluster, then min id among the tied) touch that
+    small set alone — never the text payload, never the full corpus. The
+    final corpus pass is an anti-join against the DROP list (clustered minus
+    winners): broadcast ``pc.is_in`` below ``WINNER_BROADCAST_LIMIT``, the
+    distributed hash-partitioned ``left_anti`` join above it
+    (``matching.filter_out_ids_join``) — same auto-switch as the linkage
+    pipeline's exclusion stage. LSH clusters are approximate-by-construction,
+    so this op is rows-only for the driver; retention semantics (longest
+    survives, ties to min id, unclustered untouched) are pinned in pytest.
+    """
+    from .matching import filter_out_ids, filter_out_ids_join
+
+    limit = (WINNER_BROADCAST_LIMIT if winner_broadcast_limit is None
+             else winner_broadcast_limit)
+    clusters = minhash_lsh_dedup(ds, text_col, id_col, **lsh_kwargs)["clusters"]
+    clusters = clusters.materialize()  # small: near-dup docs only
+    if clusters.count() == 0:
+        # no near-dups anywhere: an empty clusters set is all zero-column
+        # blocks (see the map_groups note below) — skip the join machinery
+        empty = ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.string()),
+            "cluster_id": pa.array([], pa.string()),
+        }))
+        return {"kept": ds, "dropped": empty, "clusters": clusters}
+
+    def _lens(batch: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(batch.column(text_col), pa.string()), "")
+        return pa.table({
+            # cluster labels carry STRING node ids (connected_components'
+            # canonical form) — align the corpus key once here; the final
+            # anti-join casts back (filter_out_ids_join right-side cast)
+            id_col: pc.cast(batch.column(id_col), pa.string()),
+            "_len": pc.cast(pc.utf8_length(txt), pa.int64()),
+        })
+
+    if num_partitions is None:
+        num_partitions = _winner_join_partitions(ds)
+    lab = clusters.join(
+        ds.map_batches(_lens, batch_format="pyarrow"),
+        join_type="inner", num_partitions=num_partitions,
+        on=("node",), right_on=(id_col,),
+    ).materialize()  # (node, cluster_id, _len) — cluster members only
+
+    def _drops(g: pd.DataFrame) -> pd.DataFrame:
+        # longest text survives; ties -> smallest node id (string order — the
+        # clusters' canonical node form); everything else in the group drops
+        win = g.sort_values(["_len", "node"],
+                            ascending=[False, True])["node"].iloc[0]
+        return g.loc[g["node"] != win, ["node", "cluster_id"]]
+
+    # ONE shuffle by cluster_id over the small lab table (groups are single
+    # near-dup clusters, bounded by minhash_lsh_dedup's max_group cap).
+    # map_groups emits ZERO-COLUMN empty blocks on empty partitions and map
+    # ops pass empty blocks through untouched, which breaks downstream hash
+    # joins ("no match for key field") — the repartition consolidates blocks
+    # to a uniform schema (ids-only rows, same cost class as the groupby).
+    dropped = (lab.groupby("cluster_id")
+               .map_groups(_drops, batch_format="pandas")
+               .repartition(max(2, num_partitions // 4))
+               .materialize())
+
+    if dropped.count() <= limit:
+        drop_ids = {str(v) for b in dropped.iter_batches(batch_format="pyarrow")
+                    if "node" in b.column_names  # skip column-less empties
+                    for v in b.column("node").to_pylist()}
+        kept = filter_out_ids(ds, id_col, drop_ids)
+    else:
+        kept = filter_out_ids_join(ds, id_col, dropped, "node",
+                                   num_partitions=num_partitions)
+    return {"kept": kept, "dropped": dropped, "clusters": clusters}
+
+
 def simhash_dedup(
     ds: ray.data.Dataset,
     text_col: str,

@@ -1360,6 +1360,13 @@ def filter_out_ids_join(
             left_type = None
 
     def _ids(b: pa.Table) -> pa.Table:
+        if ids_col not in b.column_names:
+            # map_groups/aggregate stages emit COLUMN-LESS empty blocks on
+            # empty partitions; without a typed stand-in the hash join sees
+            # a right block lacking the key field and aborts
+            assert b.num_rows == 0, f"non-empty block missing {ids_col!r}"
+            return pa.table({"_excl_id": pa.array(
+                [], left_type if left_type is not None else pa.string())})
         col = b.column(ids_col)
         if left_type is not None and col.type != left_type:
             col = pc.cast(col, left_type)

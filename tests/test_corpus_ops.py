@@ -351,3 +351,125 @@ def test_compression_ratio_signal():
     assert T.compression_ratio("") == 0.0
     # deterministic across calls
     assert T.compression_ratio(natural) == r_nat
+
+
+# ------------------------------------------------------------------ C4 §2.2
+
+
+def test_c4_clean_doc_line_rules():
+    from registry_address_matcher_ray.functions import textfns as T
+
+    text = "\n".join([
+        "This line has enough words to stay.",      # kept
+        "Short line.",                               # < 5 words -> dropped
+        "This line has no terminal punctuation",     # no terminal -> dropped
+        "Please enable JavaScript to view comments.",  # javascript -> dropped
+        'He said "five words are here."',            # ends in quote? ends '."' -> kept (last char ")
+        "Trailing spaces keep the terminal mark.   ",  # rtrim -> kept
+        "",                                          # blank -> dropped
+    ])
+    kept, n_kept, n_drop, sents, passes = T.c4_clean_doc(text)
+    lines = kept.split("\n")
+    assert lines == [
+        "This line has enough words to stay.",
+        'He said "five words are here."',
+        "Trailing spaces keep the terminal mark.   ",
+    ]
+    assert (n_kept, n_drop) == (3, 4)
+    assert sents == 3  # two periods inside quotes line? count [.!?] chars
+    assert passes  # 3 sentences >= default min_sentences=3
+
+
+def test_c4_clean_doc_page_rules():
+    from registry_address_matcher_ray.functions import textfns as T
+
+    good = "One good sentence right here.\nAnother proper sentence is here.\nA third full sentence sits here."
+    assert T.c4_clean_doc(good)[4] is True
+    # < min_sentences
+    assert T.c4_clean_doc("Only one full sentence is here.")[4] is False
+    assert T.c4_clean_doc("Only one full sentence is here.",
+                          min_sentences=1)[4] is True
+    # page kills on ORIGINAL text even when the offending line is dropped
+    assert T.c4_clean_doc(good + "\nLorem Ipsum dolor")[4] is False
+    assert T.c4_clean_doc(good + "\nvar x = {1};")[4] is False
+    assert T.c4_clean_doc(good, badwords=("sentence",))[4] is False
+    assert T.c4_clean_doc(good, badwords=("absent",))[4] is True
+    # empty / None-ish text
+    assert T.c4_clean_doc("") == ("", 0, 1, 0, False)
+
+
+def test_c4_clean_stage_matches_per_doc_kernel():
+    from registry_address_matcher_ray.functions import textfns as T
+
+    docs = [
+        (1, "A first proper sentence is here.\nshort.\nSecond proper sentence is also here.\nThird full sentence rounds it out."),
+        (2, "No terminal punctuation at all here"),
+        (3, "Lorem ipsum makes this page fail.\nEven with a full sentence here.\nAnd a third one for the floor."),
+        (4, None),
+        (5, "Enable javascript for this one.\nBut keep this full proper sentence.\nAnd this second proper sentence too.\nAnd a third proper sentence as well."),
+    ]
+    df = pd.DataFrame(docs, columns=["doc_id", "text"])
+    got = (A.c4_clean(ray.data.from_pandas(df).repartition(3), "text", "doc_id")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    for i, (_, raw) in enumerate(docs):
+        k, nk, nd, s, p = T.c4_clean_doc(raw or "")
+        assert got["text"][i] == k
+        assert int(got["lines_kept"][i]) == nk
+        assert int(got["lines_dropped"][i]) == nd
+        assert int(got["sentences"][i]) == s
+        assert bool(got["passes"][i]) == p
+    # doc 3: lorem kills the page even though its lines are kept
+    assert not got["passes"][2] and got["lines_kept"][2] == 3
+    # doc 5: javascript line dropped, remaining 3 sentences pass
+    assert got["passes"][4] and got["lines_kept"][4] == 3
+
+
+# ---------------------------------------------------- near-dup keep-best
+
+
+def _neardup_corpus():
+    base_a = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+              "juliet kilo lima mike november oscar papa quebec romeo")
+    base_b = ("zebra yankee xray whiskey victor uniform tango sierra "
+              "quebec papa oscar november mango lima kilo julia indigo")
+    rows = [
+        # group A: 3 near-dups, id 11 longest -> survives
+        (10, base_a + " extra"),
+        (11, base_a + " extra extra padding words"),
+        (12, base_a),
+        # group B: 2 near-dups with EQUAL length -> min id 20 survives
+        (20, base_b + " night watch"),
+        (21, base_b + " night watcX"),
+        # unclustered docs pass through
+        (30, "completely different text about nothing shared at all"),
+        (31, "another unrelated document with its own words entirely"),
+    ]
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+@pytest.mark.parametrize("force_join", [False, True])
+def test_neardup_keep_best_retention(force_join):
+    df = _neardup_corpus()
+    res = D.neardup_keep_best(
+        ray.data.from_pandas(df).repartition(3), "text", "doc_id",
+        jaccard_threshold=0.6, shingle_k=3,
+        winner_broadcast_limit=0 if force_join else None,
+    )
+    kept = sorted(res["kept"].to_pandas()["doc_id"].tolist())
+    assert kept == [11, 20, 30, 31]
+    dropped = sorted(int(v) for v in res["dropped"].to_pandas()["node"])
+    assert dropped == [10, 12, 21]
+
+
+def test_neardup_keep_best_no_dups_is_identity():
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["totally unique first document text",
+                 "second document with different content entirely",
+                 "third one sharing nothing with the others"],
+    })
+    res = D.neardup_keep_best(
+        ray.data.from_pandas(df).repartition(2), "text", "doc_id",
+        jaccard_threshold=0.8)
+    assert sorted(res["kept"].to_pandas()["doc_id"].tolist()) == [1, 2, 3]
+    assert res["dropped"].count() == 0
