@@ -11,6 +11,7 @@ regexes/tables compiled once at module import. Deterministic across processes
 from __future__ import annotations
 
 import hashlib
+import math
 import re
 from typing import Dict, List, Tuple
 
@@ -134,6 +135,39 @@ def repetition_signals(text: str) -> Dict[str, object]:
     best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
     return {"dup_line_fraction": dup, "top_bigram": best[0],
             "top_bigram_fraction": best[1] / (len(toks) - 1)}
+
+
+def top_ngram_fractions(
+    text: str, ns: Tuple[int, ...] = (2, 3, 4)
+) -> Dict[str, object]:
+    """Gopher repetition rules, the top-n-gram half (Rae et al. 2021 Table
+    A1: "fraction of characters contained within the most frequently-
+    occurring n-gram"; the duplicate-n-gram half is
+    ``stages/dedup.substring_dup_stats``): for each ``n`` the most frequent
+    word n-gram (ties -> lexicographically smallest; UTF-8 byte order ==
+    code-point order, so Python and DuckDB tie-break identically) and
+    ``count * len(ngram) / len(' '.join(tokens))``. Tokens are the non-empty
+    single-space splits of the text with newlines replaced by spaces — the
+    exact contract the SQL twin reproduces with ``string_split``."""
+    toks = [w for w in (text or "").replace("\n", " ").split(" ") if w]
+    joined = " ".join(toks)
+    total = len(joined)
+    out: Dict[str, object] = {}
+    for n in ns:
+        if len(toks) < n or total == 0:
+            out[f"top{n}gram"] = ""
+            out[f"top{n}frac"] = 0.0
+            continue
+        counts: Dict[str, int] = {}
+        for i in range(len(toks) - n + 1):
+            g = " ".join(toks[i:i + n])
+            counts[g] = counts.get(g, 0) + 1
+        gram, cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        out[f"top{n}gram"] = gram
+        # round-half-away like DuckDB's ROUND (builtin round() is half-even)
+        out[f"top{n}frac"] = (
+            math.floor(cnt * len(gram) / total * 1_000_000 + 0.5) / 1_000_000)
+    return out
 
 
 def detect_lang(text: str) -> str:

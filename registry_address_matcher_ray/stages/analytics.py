@@ -899,6 +899,36 @@ def repetition_stats(
     return ds.map_batches(_rep, batch_format="pyarrow")
 
 
+def top_ngram_stats(
+    ds: ray.data.Dataset, text_col: str, id_col: str,
+    ns: Sequence[int] = (2, 3, 4),
+) -> ray.data.Dataset:
+    """Gopher top-n-gram repetition signals per doc (Rae et al. 2021 Table
+    A1): for each ``n`` the most frequent word n-gram and the fraction of
+    characters it accounts for (``functions/textfns.top_ngram_fractions``).
+    Completes :func:`repetition_stats` (dup-line + top-bigram-occurrence
+    half) and ``dedup.substring_dup_stats`` (duplicate-n-gram half).
+    Stateless ``map_batches``, one pass per doc, no shuffle."""
+    from ..functions import textfns
+
+    nss = tuple(ns)
+
+    def _top(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        sigs = [textfns.top_ngram_fractions(t, nss) for t in col.to_pylist()]
+        out = {id_col: batch.column(id_col)}
+        for n in nss:
+            out[f"top{n}gram"] = pa.array(
+                [s[f"top{n}gram"] for s in sigs], pa.string())
+            out[f"top{n}frac"] = pa.array(
+                [s[f"top{n}frac"] for s in sigs], pa.float64())
+        return pa.table(out)
+
+    return ds.map_batches(_top, batch_format="pyarrow")
+
+
 def group_zscore(
     ds: ray.data.Dataset, group_col: str, val_col: str, id_col: str,
     ndigits: int = 3,

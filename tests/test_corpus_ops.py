@@ -473,3 +473,70 @@ def test_neardup_keep_best_no_dups_is_identity():
         jaccard_threshold=0.8)
     assert sorted(res["kept"].to_pandas()["doc_id"].tolist()) == [1, 2, 3]
     assert res["dropped"].count() == 0
+
+
+# ---------------------------------------------------- Gopher top-n-grams
+
+
+def test_top_ngram_fractions_rules():
+    from registry_address_matcher_ray.functions import textfns as T
+
+    # "spam ham" dominates: 3 occurrences of the bigram
+    s = T.top_ngram_fractions("spam ham spam ham spam ham eggs")
+    # bigrams: spam-ham x3, ham-spam x2, ham-eggs x1
+    assert s["top2gram"] == "spam ham"
+    joined = "spam ham spam ham spam ham eggs"
+    assert s["top2frac"] == round(3 * len("spam ham") / len(joined), 6)
+
+    # tie-break: both bigrams occur once -> lexicographically smallest wins
+    t = T.top_ngram_fractions("bb aa cc")
+    assert t["top2gram"] == "aa cc"
+
+    # newlines are token separators; multiple spaces collapse via the
+    # non-empty filter
+    u = T.top_ngram_fractions("a b\na b\na  b")
+    assert u["top2gram"] == "a b"
+
+    # fewer than n tokens -> empty gram, 0.0
+    v = T.top_ngram_fractions("lonely")
+    assert v["top2gram"] == "" and v["top2frac"] == 0.0
+    assert v["top4gram"] == "" and v["top4frac"] == 0.0
+    w = T.top_ngram_fractions("")
+    assert all(w[f"top{n}gram"] == "" and w[f"top{n}frac"] == 0.0
+               for n in (2, 3, 4))
+
+
+def test_top_ngram_stage_matches_kernel_and_sql():
+    import duckdb
+
+    from registry_address_matcher_ray.functions import textfns as T
+
+    docs = [
+        (1, "the cat sat on the mat the cat sat again"),
+        (2, "x y x y x y x y"),
+        (3, "one two three four five six seven"),
+        (4, None),
+        (5, "solo"),
+        (6, "line one\nline one\nline two"),
+    ]
+    df = pd.DataFrame(docs, columns=["doc_id", "text"])
+    got = (A.top_ngram_stats(
+        ray.data.from_pandas(df).repartition(3), "text", "doc_id")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # stage == per-doc kernel
+    for i, (_, raw) in enumerate(docs):
+        s = T.top_ngram_fractions(raw or "")
+        for n in (2, 3, 4):
+            assert got[f"top{n}gram"][i] == s[f"top{n}gram"], (i, n)
+            assert abs(got[f"top{n}frac"][i] - s[f"top{n}frac"]) < 1e-12
+
+    # kernel == the oracle SQL's QUALIFY pick on the same frame
+    con = duckdb.connect()
+    con.register("documents", df)
+    import __ray_entry__ as E
+
+    sql = E.oracle_sql()["docs_top_ngrams"]
+    oracle = con.execute(sql).df().sort_values("doc_id").reset_index(drop=True)
+    for n in (2, 3, 4):
+        assert oracle[f"top{n}gram"].tolist() == got[f"top{n}gram"].tolist()
+        assert np.allclose(oracle[f"top{n}frac"], got[f"top{n}frac"])
