@@ -393,6 +393,28 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "text", "doc_id", k=8, frac=0.7).count()
         queries["overlap_contamination"] = round(time.time() - t0, 3)
 
+    # ---- round-5 session additions: C4 cleaning, Gopher top-n-grams,
+    # quality-aware near-dup retention (the SlimPajama-style composition)
+    if os.path.exists(docs_path):
+        t0 = time.time()
+        A.c4_clean(
+            rio.read_parquet_clean(docs_path, columns=["doc_id", "text"]),
+            "text", "doc_id").count()
+        queries["c4_clean"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        A.top_ngram_stats(
+            rio.read_parquet_clean(docs_path, columns=["doc_id", "text"]),
+            "text", "doc_id").count()
+        queries["top_ngrams"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        n_kept = D.neardup_keep_best(
+            rio.read_parquet_clean(docs_path, columns=["doc_id", "text"]),
+            "text", "doc_id", jaccard_threshold=0.7)["kept"].count()
+        queries["neardup_keep_best"] = round(time.time() - t0, 3)
+        extras["neardup_kept_rows"] = n_kept
+
     # real media decode throughput: PPM+PNG+JPEG images through the
     # library-free codecs on the actor pool (fixture gen excluded)
     import ray.data as _rd
