@@ -720,11 +720,15 @@ def neardup_keep_best(
     id_col: str,
     winner_broadcast_limit: Optional[int] = None,
     num_partitions: Optional[int] = None,
+    clusters: Optional[ray.data.Dataset] = None,
     **lsh_kwargs,
 ) -> Dict[str, ray.data.Dataset]:
     """Quality-aware near-dup RETENTION — the composition a SlimPajama-class
     pipeline actually runs: MinHash-LSH near-dup clusters
-    (:func:`minhash_lsh_dedup`), then keep exactly ONE document per cluster
+    (:func:`minhash_lsh_dedup`, or pass precomputed ``clusters``
+    ``(node, cluster_id)`` labels — e.g. SimHash or exact-Jaccard components
+    — to reuse an existing blocking pass), then keep exactly ONE document per
+    cluster
     (the LONGEST text; ties -> smallest id) while unclustered docs pass
     through untouched. Returns ``{"kept": surviving corpus rows,
     "dropped": (node, cluster_id) rows removed, "clusters": labels}``.
@@ -745,7 +749,9 @@ def neardup_keep_best(
 
     limit = (WINNER_BROADCAST_LIMIT if winner_broadcast_limit is None
              else winner_broadcast_limit)
-    clusters = minhash_lsh_dedup(ds, text_col, id_col, **lsh_kwargs)["clusters"]
+    if clusters is None:
+        clusters = minhash_lsh_dedup(
+            ds, text_col, id_col, **lsh_kwargs)["clusters"]
     clusters = clusters.materialize()  # small: near-dup docs only
     if clusters.count() == 0:
         # no near-dups anywhere: an empty clusters set is all zero-column

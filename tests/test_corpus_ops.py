@@ -540,3 +540,17 @@ def test_top_ngram_stage_matches_kernel_and_sql():
     for n in (2, 3, 4):
         assert oracle[f"top{n}gram"].tolist() == got[f"top{n}gram"].tolist()
         assert np.allclose(oracle[f"top{n}frac"], got[f"top{n}frac"])
+
+
+def test_neardup_keep_best_precomputed_clusters():
+    # SimHash-style labels supplied directly: winner by length, tie -> min id
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["short", "much longer text here", "unrelated", "also free"],
+    })
+    labels = pd.DataFrame({"node": ["1", "2"], "cluster_id": ["1", "1"]})
+    res = D.neardup_keep_best(
+        ray.data.from_pandas(df).repartition(2), "text", "doc_id",
+        clusters=ray.data.from_pandas(labels))
+    assert sorted(res["kept"].to_pandas()["doc_id"].tolist()) == [2, 3, 4]
+    assert res["dropped"].to_pandas()["node"].tolist() == ["1"]
