@@ -733,17 +733,25 @@ def neardup_keep_best(
     through untouched. Returns ``{"kept": surviving corpus rows,
     "dropped": (node, cluster_id) rows removed, "clusters": labels}``.
 
-    Scale shape: cluster labels cover only near-duplicate docs (a small
-    fraction of the corpus); the (id, len) equi-join and the winner
-    resolution (max len per cluster, then min id among the tied) touch that
-    small set alone — never the text payload, never the full corpus. The
-    final corpus pass is an anti-join against the DROP list (clustered minus
-    winners): broadcast ``pc.is_in`` below ``WINNER_BROADCAST_LIMIT``, the
-    distributed hash-partitioned ``left_anti`` join above it
-    (``matching.filter_out_ids_join``) — same auto-switch as the linkage
-    pipeline's exclusion stage. LSH clusters are approximate-by-construction,
-    so this op is rows-only for the driver; retention semantics (longest
-    survives, ties to min id, unclustered untouched) are pinned in pytest.
+    Scale shape — the plan auto-switches on the cluster-member count
+    (``WINNER_BROADCAST_LIMIT``, same cutover as the linkage exclusion
+    stage), and either way only ids and lengths move, never the text
+    payload:
+
+    - at or below the limit, the node->cluster map broadcasts once via
+      ``ray.put``, ONE corpus pass emits the member (node, cluster, len)
+      partials, winners resolve on the driver, and the corpus is filtered
+      with a broadcast ``pc.is_in`` — zero shuffles, zero join actors;
+    - above it (an exact-heavy 100-TB corpus can have a corpus-sized
+      near-dup set), lengths equi-join to the labels, one ``map_groups``
+      shuffle resolves winners per cluster (groups bounded by
+      ``minhash_lsh_dedup``'s ``max_group`` cap), and the drop list
+      anti-joins back via the hash-partitioned ``left_anti`` plan
+      (``matching.filter_out_ids_join``) — nothing gathers to the driver.
+
+    LSH clusters are approximate-by-construction, so this op is rows-only
+    for the driver; retention semantics (longest survives, ties to min id,
+    unclustered untouched) and both-plan row-identity are pinned in pytest.
     """
     from .matching import filter_out_ids, filter_out_ids_join
 
@@ -762,6 +770,52 @@ def neardup_keep_best(
         }))
         return {"kept": ds, "dropped": empty, "clusters": clusters}
 
+    if num_partitions is None:
+        num_partitions = _winner_join_partitions(ds)
+
+    if clusters.count() <= limit:
+        # BROADCAST plan (label set fits the driver/object store): ship the
+        # node->cluster map once via ray.put, ONE corpus pass emits the
+        # member (node, cluster_id, len) partials — ids and lengths only,
+        # never the text payload — and the <= limit-row winner resolution
+        # runs on the driver; final pass is the broadcast is_in anti-filter.
+        # No hash-join actors, no groupby shuffle: at small cluster counts
+        # the distributed plan's fixed costs dominate its work.
+        lab_map: Dict[str, str] = {}
+        for b in clusters.iter_batches(batch_format="pyarrow"):
+            if "node" not in b.column_names:
+                continue  # zero-column empty blocks (see plan B note)
+            for nd, cid in zip(b.column("node").to_pylist(),
+                               b.column("cluster_id").to_pylist()):
+                lab_map[str(nd)] = str(cid)
+        keys_ref = ray.put(pa.array(sorted(lab_map), pa.string()))
+
+        def _member_lens(batch: pa.Table) -> pa.Table:
+            ids = pc.cast(batch.column(id_col), pa.string())
+            txt = pc.fill_null(
+                pc.cast(batch.column(text_col), pa.string()), "")
+            t = pa.table({"node": ids,
+                          "_len": pc.cast(pc.utf8_length(txt), pa.int64())})
+            return t.filter(pc.is_in(ids, value_set=ray.get(keys_ref)))
+
+        lab_pd = (ds.map_batches(_member_lens, batch_format="pyarrow")
+                  .to_pandas())
+        lab_pd["cluster_id"] = lab_pd["node"].map(lab_map)
+        win = (lab_pd.sort_values(["_len", "node"],
+                                  ascending=[False, True])
+               .groupby("cluster_id").head(1))
+        drop_pd = (lab_pd.loc[~lab_pd["node"].isin(set(win["node"])),
+                              ["node", "cluster_id"]]
+                   .sort_values("node").reset_index(drop=True))
+        kept = filter_out_ids(ds, id_col, set(drop_pd["node"]))
+        return {"kept": kept,
+                "dropped": ray.data.from_pandas(drop_pd),
+                "clusters": clusters}
+
+    # DISTRIBUTED plan (cluster labels above the broadcast limit — on an
+    # exact-heavy 100-TB corpus the near-dup member set is corpus-sized):
+    # equi-join lengths to labels, resolve winners with one map_groups
+    # shuffle, anti-join the drop list; nothing is gathered to the driver.
     def _lens(batch: pa.Table) -> pa.Table:
         txt = pc.fill_null(pc.cast(batch.column(text_col), pa.string()), "")
         return pa.table({
@@ -772,8 +826,6 @@ def neardup_keep_best(
             "_len": pc.cast(pc.utf8_length(txt), pa.int64()),
         })
 
-    if num_partitions is None:
-        num_partitions = _winner_join_partitions(ds)
     lab = clusters.join(
         ds.map_batches(_lens, batch_format="pyarrow"),
         join_type="inner", num_partitions=num_partitions,
@@ -787,7 +839,7 @@ def neardup_keep_best(
                             ascending=[False, True])["node"].iloc[0]
         return g.loc[g["node"] != win, ["node", "cluster_id"]]
 
-    # ONE shuffle by cluster_id over the small lab table (groups are single
+    # ONE shuffle by cluster_id over the lab table (groups are single
     # near-dup clusters, bounded by minhash_lsh_dedup's max_group cap).
     # map_groups emits ZERO-COLUMN empty blocks on empty partitions and map
     # ops pass empty blocks through untouched, which breaks downstream hash
@@ -798,14 +850,8 @@ def neardup_keep_best(
                .repartition(max(2, num_partitions // 4))
                .materialize())
 
-    if dropped.count() <= limit:
-        drop_ids = {str(v) for b in dropped.iter_batches(batch_format="pyarrow")
-                    if "node" in b.column_names  # skip column-less empties
-                    for v in b.column("node").to_pylist()}
-        kept = filter_out_ids(ds, id_col, drop_ids)
-    else:
-        kept = filter_out_ids_join(ds, id_col, dropped, "node",
-                                   num_partitions=num_partitions)
+    kept = filter_out_ids_join(ds, id_col, dropped, "node",
+                               num_partitions=num_partitions)
     return {"kept": kept, "dropped": dropped, "clusters": clusters}
 
 
