@@ -155,7 +155,11 @@ def _iter_warc_records(fobj, want) -> "object":
                 break
             k, sep, v = line.decode("utf-8", errors="replace").partition(":")
             if sep:
-                fields[k.strip().lower()] = v.strip()
+                # ASCII-only strip: WARC grammar makes only SP/TAB around the
+                # value insignificant; unicode-aware str.strip() would also eat
+                # e.g. U+00A0 from the tail of a WARC-Target-URI and break the
+                # encode->parse roundtrip on such URLs.
+                fields[k.strip().lower()] = v.strip(" \t\r\n")
         try:
             length = int(fields["content-length"])
         except (KeyError, ValueError):
