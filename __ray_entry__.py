@@ -89,6 +89,20 @@ def _web_graph_path(sf_dir: str) -> str:
     return path
 
 
+def _linked_pages_path(sf_dir: str) -> str:
+    """Deterministic crawl pages WITH anchor links (url, warc_ts, html),
+    cached (synth_linked_pages) — input of the link-graph family."""
+    from registry_address_matcher_ray.sources import synth
+
+    n = max(500, int(_sf_of(sf_dir) * 50_000))
+    path = f"/tmp/ram_ray_fixtures/linked_pages_n{n}_seed42.parquet"
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        pq.write_table(synth.synth_linked_pages(n, seed=42), path + ".tmp")
+        os.replace(path + ".tmp", path)
+    return path
+
+
 def _prep_registry_paths(sf_dir: str) -> dict:
     """Preprocessed (normalized + derived + ``_ord``) registries as parquet.
 
@@ -1602,6 +1616,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return cluster.pagerank(
             read_parquet_clean(_web_graph_path(sf_dir)), small_threshold=0)
 
+    def _linked_pages_ds(sf_dir):
+        import ray.data as _rd
+
+        return _rd.read_parquet(_linked_pages_path(sf_dir))
+
+    def pages_links(sf_dir):
+        """Crawl link graph: anchors extracted from each page's HTML,
+        resolved against the page URL and canonicalized; (src, dst, n)
+        occurrence counts. SQL twin generated from the same rule chain
+        (functions/links.sql_resolved_links)."""
+        from registry_address_matcher_ray.stages import webgraph
+
+        return webgraph.link_graph(_linked_pages_ds(sf_dir))
+
+    def pages_domain_graph(sf_dir):
+        """Host-level citation graph (src_host, dst_host, n)."""
+        from registry_address_matcher_ray.stages import webgraph
+
+        return webgraph.domain_graph(_linked_pages_ds(sf_dir))
+
+    def pages_crawl_pagerank(sf_dir):
+        """PageRank of crawled pages over their OWN extracted link graph
+        (dst restricted to crawled urls + per-page self-loops so the
+        no-dangling contract holds on both sides)."""
+        from registry_address_matcher_ray.stages import webgraph
+
+        return webgraph.crawl_pagerank(_linked_pages_ds(sf_dir))
+
     def hosts_page_stats(sf_dir):
         from ray.data.aggregate import Count
 
@@ -1822,6 +1864,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_metablocking": match_metablocking,
         "spr_street_edit1": spr_street_edit1,
         "web_pagerank": web_pagerank,
+        "pages_links": pages_links,
+        "pages_domain_graph": pages_domain_graph,
+        "pages_crawl_pagerank": pages_crawl_pagerank,
         "events_heavy_hitters": events_heavy_hitters,
         "docs_substring_dup": docs_substring_dup,
         "match_threshold_sweep": match_threshold_sweep,
@@ -2548,6 +2593,37 @@ def oracle_sql() -> dict[str, str]:
                        GROUP BY e.dst) s ON s.node = nodes.node)""")
     _pagerank_sql = f"""
         WITH e AS (SELECT src, dst FROM read_parquet('{graph_path}')),
+        nodes AS (SELECT DISTINCT src AS node FROM e),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        od AS (SELECT src, CAST(count(*) AS DOUBLE) AS odeg FROM e GROUP BY 1),
+        {', '.join(_pr)}
+        SELECT node, round(rank, 6) AS rank FROM it{_pr_iters}
+    """
+    # link-graph family: edges from the SAME RE2 rule chain the engine runs
+    # (functions/links.sql_resolved_links is the single source of truth);
+    # crawl pagerank reuses the unrolled power-iteration CTEs above over the
+    # dst-restricted + self-looped edge set
+    from registry_address_matcher_ray.functions import links as _L
+    from registry_address_matcher_ray.functions import urls as _Uh
+
+    _lp_path = _linked_pages_path("/root/testdata/sf0.01")
+    _lp_cte = _L.sql_resolved_links(_lp_path)
+    _pages_links_sql = f"""
+        WITH {_lp_cte}
+        SELECT src, dst, count(*) AS n FROM links GROUP BY 1, 2
+    """
+    _pages_domain_sql = f"""
+        WITH {_lp_cte}
+        SELECT {_Uh.sql_host(_Uh.sql_canonical('src'))} AS src_host,
+               {_Uh.sql_host('dst')} AS dst_host, count(*) AS n
+        FROM links GROUP BY 1, 2
+    """
+    _crawl_pagerank_sql = f"""
+        WITH {_lp_cte},
+        crawled AS (SELECT url FROM read_parquet('{_lp_path}')),
+        e AS (SELECT DISTINCT src, dst FROM (
+                SELECT l.src, l.dst FROM links l JOIN crawled c ON l.dst = c.url
+                UNION ALL SELECT url, url FROM crawled)),
         nodes AS (SELECT DISTINCT src AS node FROM e),
         nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
         od AS (SELECT src, CAST(count(*) AS DOUBLE) AS odeg FROM e GROUP BY 1),
@@ -3378,6 +3454,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_bigram_logprob": _bigram_sql,
         "docs_bigram_logprob_joinplan": _bigram_sql,
         "web_pagerank": _pagerank_sql,
+        "pages_links": _pages_links_sql,
+        "pages_domain_graph": _pages_domain_sql,
+        "pages_crawl_pagerank": _crawl_pagerank_sql,
         "web_pagerank_dist": _pagerank_sql,
         "crawl_snapshot_diff": f"""
             WITH c AS ({_crawl_full_sql}),

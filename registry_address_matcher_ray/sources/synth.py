@@ -416,3 +416,61 @@ def synth_web_graph(n_nodes: int, seed: int = 42, mean_degree: int = 4) -> pa.Ta
     srcs, dsts = zip(*sorted(edges))
     return pa.table({"src": pa.array(srcs, pa.int64()),
                      "dst": pa.array(dsts, pa.int64())})
+
+
+def synth_linked_pages(n_pages: int, seed: int = 42) -> pa.Table:
+    """Deterministic crawl pages ``(url, warc_ts, html)`` whose HTML carries
+    ``<a href>`` anchors — the input for the link-graph family
+    (``functions/links.py``, ``stages/webgraph.py``).
+
+    Link forms are mixed on purpose to exercise every resolution rule:
+    lowercase-absolute, absolute with ``www.`` + tracking params (collapses
+    to the plain target under canonicalization), protocol-relative,
+    root-relative (same-host), ``&amp;``-escaped query, single-quoted hrefs,
+    and out-of-scope junk (``mailto:``, ``javascript:``, bare fragments,
+    dot-relative paths) that the extractor must drop. Pure function of
+    ``(n_pages, seed)``.
+    """
+    rng = random.Random((seed, n_pages, "linked_pages").__repr__())
+    n_hosts = max(5, n_pages // 50)
+    t0 = datetime(2024, 1, 1)
+
+    def _url(i: int) -> str:
+        return f"https://w{i % n_hosts}.example.org/p{i:06d}"
+
+    urls, tss, htmls = [], [], []
+    for i in range(n_pages):
+        anchors = []
+        for _ in range(rng.randrange(6)):
+            j = rng.randrange(n_pages)
+            form = rng.randrange(8)
+            if form == 0:
+                href = _url(j)
+            elif form == 1:  # www. + tracking param -> canonicalizes to _url(j)
+                href = (f"https://www.w{j % n_hosts}.example.org/p{j:06d}"
+                        f"?utm_source=syn")
+            elif form == 2:  # protocol-relative
+                href = f"//w{j % n_hosts}.example.org/p{j:06d}"
+            elif form == 3:  # root-relative: same host as page i
+                href = f"/p{j:06d}"
+            elif form == 4:  # &amp;-escaped query (kept distinct from _url(j))
+                href = _url(j) + "?a=1&amp;b=2"
+            elif form == 5:  # trailing slash -> canonicalizes to _url(j)
+                href = _url(j) + "/"
+            else:  # out of scope: must be dropped by the extractor
+                href = rng.choice(
+                    ["mailto:x@example.org", "javascript:void(0)", "#top",
+                     "rel/path.html", ""])
+            quote = "'" if rng.random() < 0.25 else '"'
+            anchors.append(f"<a href={quote}{href}{quote}>l{j}</a>")
+        body = f"<p>page {i}</p>\n" + "\n".join(anchors)
+        urls.append(_url(i))
+        tss.append(t0 + timedelta(seconds=rng.randrange(365 * 24 * 3600)))
+        htmls.append(
+            f"<html><head><title>p{i}</title></head>"
+            f"<body>\n{body}\n</body></html>".encode())
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array(tss, pa.timestamp("us")),
+        "html": pa.array(htmls, pa.binary()),
+    })

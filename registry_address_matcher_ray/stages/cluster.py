@@ -344,13 +344,18 @@ def pagerank(
     """
     import numpy as np
 
+    # node ids may be int64 (synth graphs) or string (crawl page urls); the
+    # dtype flows from the edge schema through every sentinel/empty table
+    _sch = edges.schema()
+    ntype = dict(zip(_sch.names, _sch.types))[src]
+
     n_edges = edges.count()
     if n_edges <= small_threshold:
         tbl = pa.concat_tables(
             [b.select([src, dst]) for b in
              edges.iter_batches(batch_format="pyarrow") if b.num_rows],
-        ) if n_edges else pa.table({src: pa.array([], pa.int64()),
-                                    dst: pa.array([], pa.int64())})
+        ) if n_edges else pa.table({src: pa.array([], ntype),
+                                    dst: pa.array([], ntype)})
         s = tbl.column(src).to_numpy(zero_copy_only=False)
         d = tbl.column(dst).to_numpy(zero_copy_only=False)
         nodes, inv = np.unique(np.concatenate([s, d]), return_inverse=True)
@@ -358,7 +363,7 @@ def pagerank(
         n = len(nodes)
         if n == 0:
             return ray.data.from_arrow(pa.table(
-                {"node": pa.array([], pa.int64()),
+                {"node": pa.array([], ntype),
                  "rank": pa.array([], pa.float64())}))
         outdeg = np.bincount(si, minlength=n).astype(np.float64)
         rank = np.full(n, 1.0 / n)
@@ -368,7 +373,7 @@ def pagerank(
             np.add.at(sums, di, contrib)
             rank = (1.0 - damping) / n + damping * sums
         return ray.data.from_arrow(pa.table({
-            "node": pa.array(nodes, pa.int64()),
+            "node": pa.array(nodes, ntype),
             "rank": pa.array(np.round(rank, ndigits), pa.float64()),
         }))
 
@@ -376,8 +381,8 @@ def pagerank(
     from ray.data.aggregate import Count, Sum
 
     proj = edges.map_batches(
-        lambda b: pa.table({"src": pc.cast(b.column(src), pa.int64()),
-                            "dst": pc.cast(b.column(dst), pa.int64())}),
+        lambda b: pa.table({"src": pc.cast(b.column(src), ntype),
+                            "dst": pc.cast(b.column(dst), ntype)}),
         batch_format="pyarrow").materialize()
     nodes = (proj.map_batches(
         lambda b: pa.table({"node": pc.unique(pa.concat_arrays(
@@ -385,16 +390,16 @@ def pagerank(
              b.column("dst").combine_chunks()]))}),
         batch_format="pyarrow")
         .groupby("node").aggregate(Count(alias_name="_c"))
-        .map_batches(lambda b: (pa.table({"node": pa.array([], pa.int64())})
+        .map_batches(lambda b: (pa.table({"node": pa.array([], ntype)})
                                 if b.num_columns == 0 or b.num_rows == 0 else
                                 pa.table({"node": pc.cast(b.column("node"),
-                                                          pa.int64())})),
+                                                          ntype)})),
                      batch_format="pyarrow")
         .materialize())
     n = nodes.count()
     outdeg = (proj.groupby("src").aggregate(Count(alias_name="odeg"))
               .map_batches(lambda b: (pa.table(
-                  {"src": pa.array([], pa.int64()),
+                  {"src": pa.array([], ntype),
                    "odeg": pa.array([], pa.int64())})
                   if b.num_columns == 0 or b.num_rows == 0 else
                   b.replace_schema_metadata(None)), batch_format="pyarrow"))
@@ -414,7 +419,7 @@ def pagerank(
 
         def _contrib(b: pa.Table) -> pa.Table:
             if b.num_columns == 0 or b.num_rows == 0:
-                return pa.table({"dst": pa.array([], pa.int64()),
+                return pa.table({"dst": pa.array([], ntype),
                                  "_c": pa.array([], pa.float64())})
             c = pc.divide(b.column("rank"),
                           pc.cast(b.column("odeg"), pa.float64()))
@@ -423,7 +428,7 @@ def pagerank(
         sums = (joined.map_batches(_contrib, batch_format="pyarrow")
                 .groupby("dst").aggregate(Sum("_c", alias_name="_s"))
                 .map_batches(lambda b: (pa.table(
-                    {"dst": pa.array([], pa.int64()),
+                    {"dst": pa.array([], ntype),
                      "_s": pa.array([], pa.float64())})
                     if b.num_columns == 0 or b.num_rows == 0 else
                     b.replace_schema_metadata(None)), batch_format="pyarrow"))
@@ -433,7 +438,7 @@ def pagerank(
 
         def _rank(b: pa.Table) -> pa.Table:
             if b.num_columns == 0 or b.num_rows == 0:
-                return pa.table({"node": pa.array([], pa.int64()),
+                return pa.table({"node": pa.array([], ntype),
                                  "rank": pa.array([], pa.float64())})
             s_arr = pc.fill_null(b.column("_s"), 0.0)
             r = pc.add(pc.multiply(s_arr, damping), (1.0 - damping) / n)

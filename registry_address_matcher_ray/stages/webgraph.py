@@ -1,0 +1,147 @@
+"""Crawl-native web-graph construction: pages -> link edges -> graph ops.
+
+Composes the link-extraction kernel (``functions/links.py``) with the graph
+family (``stages/cluster.py``): a crawl's pages table IS the source of its
+web graph, so at 100-TB scale the edge list must be derived inside the same
+streaming pass that reads the pages — never materialized driver-side.
+
+Not present in the reference (flat registry matcher, no crawl layer); graft
+operators per BASELINE.json's crawl input hint. Each stage here has a DuckDB
+oracle generated from the same rule chain (``links.sql_resolved_links``).
+
+Scale notes:
+- extraction is embarrassingly parallel ``map_batches`` over ``(url, html)``
+  (columns pruned before the melt — html never travels past the first stage);
+- edge/domain aggregation pre-aggregates per batch (combiner) so the one
+  ``groupby`` exchange carries rows per distinct key per block, not per
+  anchor occurrence;
+- the crawled-set restriction in :func:`crawl_pagerank` auto-switches
+  between a broadcast ``is_in`` filter and Ray's hash-partitioned
+  ``left_semi`` join at ``dedup.WINNER_BROADCAST_LIMIT`` — same cutover as
+  the linkage exclusion and dedup winner paths.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Sum
+
+from registry_address_matcher_ray.functions import links as _links
+from registry_address_matcher_ray.functions import urls as _urls
+
+__all__ = ["link_edges", "link_graph", "domain_graph", "crawl_pagerank"]
+
+
+def link_edges(
+    pages: ray.data.Dataset, url_col: str = "url", html_col: str = "html",
+) -> ray.data.Dataset:
+    """Pages -> ``(src, dst)`` edges, one row per resolved anchor occurrence.
+
+    Columns are pruned to ``(url, html)`` before extraction so downstream
+    exchanges never carry page payloads.
+    """
+    return pages.select_columns([url_col, html_col]).map_batches(
+        lambda b: _links.extract_links_batch(b, url_col, html_col),
+        batch_format="pyarrow")
+
+
+def _count_pairs(edges: ray.data.Dataset, a: str, b: str,
+                 out: str) -> ray.data.Dataset:
+    """(a, b) occurrence counts with per-batch partial aggregation."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by([a, b]).aggregate([([], "count_all")])
+        return g.rename_columns([a, b, out])
+
+    return (edges.map_batches(_partial, batch_format="pyarrow")
+            .groupby([a, b]).aggregate(Sum(out, alias_name=out)))
+
+
+def link_graph(
+    pages: ray.data.Dataset, url_col: str = "url", html_col: str = "html",
+) -> ray.data.Dataset:
+    """Weighted link graph ``(src, dst, n)`` — n = anchor occurrences."""
+    return _count_pairs(link_edges(pages, url_col, html_col),
+                        "src", "dst", "n")
+
+
+def domain_graph(
+    pages: ray.data.Dataset, url_col: str = "url", html_col: str = "html",
+) -> ray.data.Dataset:
+    """Host-level graph ``(src_host, dst_host, n)`` — the standard crawl
+    aggregate (domain-to-domain citation counts)."""
+
+    def _hosts(batch: pa.Table) -> pa.Table:
+        src_c = _urls.canonicalize_arrow(batch.column("src"))
+        return pa.table({
+            "src_host": _urls.host_of_arrow(src_c),
+            "dst_host": _urls.host_of_arrow(batch.column("dst")),
+        })
+
+    hosted = link_edges(pages, url_col, html_col).map_batches(
+        _hosts, batch_format="pyarrow")
+    return _count_pairs(hosted, "src_host", "dst_host", "n")
+
+
+def crawl_pagerank(
+    pages: ray.data.Dataset,
+    url_col: str = "url",
+    html_col: str = "html",
+    n_iters: int = 5,
+    broadcast_limit: Optional[int] = None,
+) -> ray.data.Dataset:
+    """PageRank of the crawled pages over their OWN extracted link graph.
+
+    Frontier restriction: only edges whose target is itself a crawled page
+    enter the graph (the standard crawl-core restriction — external targets
+    carry no rank source). Every crawled page then gets a self-loop, the
+    self-loop variant of dangling-node treatment, which structurally
+    satisfies :func:`stages.cluster.pagerank`'s every-node-has-an-outlink
+    contract on both the engine and the unrolled-SQL oracle side.
+
+    Output: ``(node, rank)`` — node is the page url, rank rounded per the
+    pagerank stage. The edge set is made DISTINCT once, after the self-loop
+    union (a page linking itself must not double an edge).
+    """
+    from registry_address_matcher_ray.stages import cluster, dedup
+
+    limit = (dedup.WINNER_BROADCAST_LIMIT if broadcast_limit is None
+             else broadcast_limit)
+    urls_only = pages.select_columns([url_col])
+    edges = link_edges(pages, url_col, html_col)
+
+    n_pages = urls_only.count()
+    if n_pages <= limit:
+        crawled_ref = ray.put(pa.array(
+            sorted(set(r[url_col] for r in urls_only.take_all())),
+            pa.string()))
+
+        def _restrict(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.is_in(batch.column("dst"), value_set=ray.get(crawled_ref)))
+
+        kept = edges.map_batches(_restrict, batch_format="pyarrow")
+    else:
+        crawled = (urls_only.map_batches(
+            lambda b: b.rename_columns(["dst"]).group_by("dst").aggregate([]),
+            batch_format="pyarrow")
+            .groupby("dst").count().select_columns(["dst"]))
+        npart = max(4, min(64, -(-(edges.size_bytes() or 0) // (128 << 20))))
+        # materialize: the semi-join must not share an executor round with
+        # the downstream union/groupby/pagerank joins (chained join pools
+        # deadlock under tight CPU counts — see stages/cluster.pagerank)
+        kept = edges.join(crawled, join_type="left_semi",
+                          num_partitions=npart, on=("dst",)).materialize()
+
+    self_loops = urls_only.map_batches(
+        lambda b: pa.table({"src": b.column(url_col),
+                            "dst": b.column(url_col)}),
+        batch_format="pyarrow")
+    distinct = (kept.union(self_loops)
+                .groupby(["src", "dst"]).count()
+                .select_columns(["src", "dst"]))
+    return cluster.pagerank(distinct, n_iters=n_iters)
