@@ -652,6 +652,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (D.decontaminate(ds, _bench_slice(ds), "text", "doc_id", k=8)
                 .select_columns(["doc_id"]))
 
+    def docs_span_decontaminated(sf_dir):
+        """Llama-2-style SPAN removal at k=8, buffer=2 (stages/dedup.py
+        decontaminate_spans): tokens under any benchmark-hit 8-gram window
+        (+-2 tokens) are deleted, the doc itself survives."""
+        ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+        return D.decontaminate_spans(ds, _bench_slice(ds), "text", "doc_id",
+                                     k=8, buffer=2)
+
+    def docs_span_decontaminated_join(sf_dir):
+        """The same span removal FORCED onto the distributed join plan
+        (ids+positions exchange) — must be row-identical to the broadcast
+        plan and the SQL oracle."""
+        ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+        return D.decontaminate_spans(ds, _bench_slice(ds), "text", "doc_id",
+                                     k=8, buffer=2, plan="join")
+
     def docs_gopher_quality(sf_dir):
         ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
         return A.gopher_quality(ds, "text", "doc_id")
@@ -1910,6 +1926,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_line_dedup": docs_line_dedup,
         "docs_substring_rewrite": docs_substring_rewrite,
         "docs_decontaminated": docs_decontaminated,
+        "docs_span_decontaminated": docs_span_decontaminated,
+        "docs_span_decontaminated_join": docs_span_decontaminated_join,
         "docs_overlap_contamination": docs_overlap_contamination,
         "docs_jaccard_join_exact": docs_jaccard_join_exact,
         "embeddings_knn": embeddings_knn,
@@ -3748,6 +3766,57 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id NOT IN (SELECT DISTINCT doc_id
                                  FROM csh JOIN bsh USING (s))
         """,
+        # span-level decontamination (k=8, buffer=2): hit window start pos
+        # (1-based) deletes original-case tokens pos-2 .. pos+9; surviving
+        # tokens re-join on ' '. generate_series is INCLUSIVE on both ends,
+        # so (-2, 9) spans exactly k + 2*buffer = 12 positions.
+        "docs_span_decontaminated": """
+            WITH bench AS (
+                SELECT text FROM documents
+                WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) >= 'e666'
+            ), btok AS (
+                SELECT string_split(coalesce(lower(text), ''), ' ') AS ts
+                FROM bench
+            ), bsh AS (
+                SELECT DISTINCT array_to_string(ts[pos:pos+7], ' ') AS s
+                FROM (SELECT ts, unnest(generate_series(1, len(ts) - 7)) AS pos
+                      FROM btok)
+            ), tok AS (
+                SELECT doc_id,
+                       string_split(coalesce(lower(text), ''), ' ') AS ts,
+                       string_split(coalesce(text, ''), ' ') AS torig
+                FROM documents
+            ), csh AS (
+                SELECT doc_id, pos, array_to_string(ts[pos:pos+7], ' ') AS s
+                FROM (SELECT doc_id, ts,
+                             unnest(generate_series(1, len(ts) - 7)) AS pos
+                      FROM tok)
+            ), hits AS (
+                SELECT DISTINCT doc_id, pos FROM csh JOIN bsh USING (s)
+            ), rem AS (
+                SELECT DISTINCT doc_id, pos + g.u AS tpos
+                FROM hits, generate_series(-2, 9) AS g(u)
+            ), toks AS (
+                SELECT doc_id, u AS tpos, torig[u] AS t
+                FROM (SELECT doc_id, torig,
+                             unnest(generate_series(1, len(torig))) AS u
+                      FROM tok)
+            ), kept AS (
+                SELECT k0.doc_id, k0.tpos, k0.t
+                FROM toks k0 LEFT JOIN rem r
+                     ON r.doc_id = k0.doc_id AND r.tpos = k0.tpos
+                WHERE r.doc_id IS NULL
+            ), agg AS (
+                SELECT doc_id, string_agg(t, ' ' ORDER BY tpos) AS text,
+                       count(*) AS n_kept
+                FROM kept GROUP BY doc_id
+            )
+            SELECT t.doc_id, coalesce(a.text, '') AS text,
+                   CAST(len(t.ts) AS BIGINT) AS n_tokens,
+                   CAST(len(t.ts) - coalesce(a.n_kept, 0) AS BIGINT)
+                       AS n_removed
+            FROM tok t LEFT JOIN agg a USING (doc_id)
+        """,
         # Efraimidis-Spirakis weighted sample: fixed md5 uniforms make the
         # draw deterministic; identical pow() expression -> identical keys
         # full training-prep PIPELINE oracle: exact-dedup winners (min id per
@@ -4535,4 +4604,6 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_clusters
         FROM sz GROUP BY size
     """
+    # both physical span-decontamination plans answer to the same SQL
+    out["docs_span_decontaminated_join"] = out["docs_span_decontaminated"]
     return out

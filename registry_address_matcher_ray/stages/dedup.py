@@ -1769,6 +1769,161 @@ def decontaminate(
                       on=(id_col,))
 
 
+def decontaminate_spans(
+    ds: ray.data.Dataset,
+    benchmark: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    buffer: int = 0,
+    bench_text_col: Optional[str] = None,
+    bench_id_col: Optional[str] = None,
+    plan: str = "auto",
+    broadcast_max_keys: int = BENCH_BROADCAST_LIMIT,
+    num_partitions: Optional[int] = None,
+) -> ray.data.Dataset:
+    """SPAN-level decontamination (Llama-2-style, Touvron et al. 2023 A.6):
+    instead of dropping a contaminated document wholesale
+    (:func:`decontaminate`), only the tokens covered by a benchmark-hit
+    k-token window — extended ``buffer`` tokens on each side — are deleted;
+    the rest of the document survives. The high-precision variant when the
+    corpus is scarce or the contamination is a quoted snippet inside an
+    otherwise-clean page.
+
+    Rule (deterministic, SQL-checkable): matching is on lowercased
+    ``split(" ")`` shingles (exactly :func:`contamination_stats`'s
+    tokenization, empties kept); a hit at window start ``p`` marks original
+    tokens ``[max(p-buffer, 0), p+k+buffer)`` for deletion; output text is
+    the surviving ORIGINAL-case tokens joined by a single space (possibly
+    ``""``). Docs with fewer than ``k`` tokens are never touched.
+
+    Physical plans mirror :func:`contamination_stats`: ``broadcast`` (the
+    lexsorted 128-bit benchmark key lanes ship once via ``ray.put``; one
+    streaming corpus pass, zero shuffles); ``join`` (corpus shingles melt to
+    ids+positions, inner-join the key table, hit positions re-group per doc
+    and join back — the ExactSubstr-rewrite exchange shape, ids/positions
+    only, never text).
+
+    Output: ``(id_col, text_col, n_tokens, n_removed)``.
+    """
+    if buffer < 0:
+        raise ValueError("buffer must be >= 0")
+    bench_text_col = bench_text_col or text_col
+    bench_id_col = bench_id_col or id_col
+    bkeys = _bench_shingle_keys(benchmark, bench_text_col, bench_id_col, k)
+    bkeys = bkeys.materialize()
+    n_keys = bkeys.count()
+    if plan == "auto":
+        plan = "broadcast" if n_keys <= broadcast_max_keys else "join"
+
+    def _cut(ts_orig: List[str], starts: np.ndarray) -> Tuple[str, int]:
+        """Delete buffered k-windows at ``starts`` from the original tokens."""
+        n = len(ts_orig)
+        d = np.zeros(n + 1, dtype=np.int64)
+        np.add.at(d, np.maximum(starts - buffer, 0), 1)
+        np.add.at(d, np.minimum(starts + k + buffer, n), -1)
+        drop = np.cumsum(d[:-1]) > 0
+        kept = " ".join(t for t, x in zip(ts_orig, drop) if not x)
+        return kept, int(drop.sum())
+
+    if n_keys == 0 or plan == "broadcast":
+        if n_keys:
+            kdf = bkeys.to_pandas()
+            bd1 = kdf["d1"].to_numpy(dtype=np.int64, copy=True)
+            bd2 = kdf["d2"].to_numpy(dtype=np.int64, copy=True)
+            order = np.lexsort((bd2, bd1))
+            ref = ray.put((np.ascontiguousarray(bd1[order]),
+                           np.ascontiguousarray(bd2[order])))
+        else:
+            ref = None
+
+        def _rewrite_bc(b: pa.Table) -> pa.Table:
+            lanes = ray.get(ref) if ref is not None else None
+            cache: dict = {}
+            texts, ntoks, nrem = [], [], []
+            for txt in b.column(text_col).to_pylist():
+                ts_orig = _tok_split(txt, False)
+                ntoks.append(len(ts_orig))
+                if lanes is None or len(ts_orig) < k:
+                    texts.append(" ".join(ts_orig))
+                    nrem.append(0)
+                    continue
+                h1, h2 = _token_hashes(_tok_split(txt, True), cache)
+                w1 = _rolling_windows(h1, k, _RH_A1, _RH_INV1).view(np.int64)
+                w2 = _rolling_windows(h2, k, _RH_A2, _RH_INV2).view(np.int64)
+                hit = _pair_membership(w1, w2, lanes[0], lanes[1])
+                if not hit.any():
+                    texts.append(" ".join(ts_orig))
+                    nrem.append(0)
+                    continue
+                kept, removed = _cut(ts_orig, np.nonzero(hit)[0])
+                texts.append(kept)
+                nrem.append(removed)
+            return pa.table({
+                id_col: b.column(id_col),
+                text_col: pa.array(texts, pa.string()),
+                "n_tokens": pa.array(ntoks, pa.int64()),
+                "n_removed": pa.array(nrem, pa.int64()),
+            })
+
+        return ds.map_batches(_rewrite_bc, batch_format="pyarrow")
+
+    if plan != "join":
+        raise ValueError(f"unknown plan {plan!r}")
+
+    from .analytics import ensure_arrow_schema
+
+    sh = ds.map_batches(
+        lambda b: _shingle_batch(b, text_col, id_col, k, lowercase=True),
+        batch_format="pyarrow").materialize()
+    if num_partitions is None:
+        num_partitions = _winner_join_partitions(sh)
+    hits = (sh.join(bkeys, join_type="inner", num_partitions=num_partitions,
+                    on=("d1", "d2"))
+            .map_batches(lambda b: b.select([id_col, "pos"]),
+                         batch_format="pyarrow"))
+
+    def _starts(df: pd.DataFrame) -> pd.DataFrame:
+        csv = ",".join(map(str, np.sort(df["pos"].to_numpy()).tolist()))
+        return pd.DataFrame({id_col: [df[id_col].iloc[0]], "_starts": [csv]})
+
+    id_type = sh.schema().base_schema.field(id_col).type
+    per_doc = ensure_arrow_schema(
+        hits.groupby(id_col).map_groups(_starts, batch_format="pandas"),
+        pa.schema([(id_col, id_type),
+                   ("_starts", pa.string())])).repartition(num_partitions)
+    base = ds.map_batches(
+        lambda b: pa.table({id_col: b.column(id_col),
+                            text_col: pc.fill_null(
+                                pc.cast(b.column(text_col), pa.string()), "")}),
+        batch_format="pyarrow")
+    joined = base.join(per_doc, join_type="left_outer",
+                       num_partitions=num_partitions, on=(id_col,))
+
+    def _rewrite_join(b: pa.Table) -> pa.Table:
+        texts, ntoks, nrem = [], [], []
+        for txt, csv in zip(b.column(text_col).to_pylist(),
+                            b.column("_starts").to_pylist()):
+            ts_orig = ("" if txt is None else txt).split(" ")
+            ntoks.append(len(ts_orig))
+            if not csv:
+                texts.append(" ".join(ts_orig))
+                nrem.append(0)
+                continue
+            starts = np.fromiter(map(int, csv.split(",")), dtype=np.int64)
+            kept, removed = _cut(ts_orig, starts)
+            texts.append(kept)
+            nrem.append(removed)
+        return pa.table({
+            id_col: b.column(id_col),
+            text_col: pa.array(texts, pa.string()),
+            "n_tokens": pa.array(ntoks, pa.int64()),
+            "n_removed": pa.array(nrem, pa.int64()),
+        })
+
+    return joined.map_batches(_rewrite_join, batch_format="pyarrow")
+
+
 def jaccard_join_exact(
     ds: ray.data.Dataset,
     text_col: str,

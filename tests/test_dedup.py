@@ -564,3 +564,107 @@ def test_minhash_dedup_against_no_matches(ray_session):
         "text", "doc_id")
     assert res["pairs"].count() == 0
     assert sorted(res["filtered"].to_pandas()["doc_id"]) == sorted(a["doc_id"])
+
+
+# ---------------------------------------------------------------------------
+# span-level decontamination (Llama-2-style)
+# ---------------------------------------------------------------------------
+
+
+def _brute_span_removal(text, bench_texts, k, buffer):
+    bset = set()
+    for t in bench_texts:
+        bt = (t or "").lower().split(" ")
+        for i in range(len(bt) - k + 1):
+            bset.add(" ".join(bt[i:i + k]))
+    ts = (text or "").split(" ")
+    low = (text or "").lower().split(" ")
+    drop = [False] * len(ts)
+    for i in range(len(low) - k + 1):
+        if " ".join(low[i:i + k]) in bset:
+            for j in range(max(i - buffer, 0), min(i + k + buffer, len(ts))):
+                drop[j] = True
+    return " ".join(t for t, d in zip(ts, drop) if not d), sum(drop)
+
+
+def test_span_decontaminate_partial_removal(ray_session):
+    snippet = "q1 q2 q3 q4"  # 4-token benchmark quote, k=3 windows inside
+    doc = f"Intro words stay here {snippet} and the tail also stays intact"
+    t = pa.table({"doc_id": [1, 2], "text": [doc, "totally clean text here"]})
+    bench = ray.data.from_arrow(pa.table({"doc_id": [9], "text": [snippet]}))
+    got = (D.decontaminate_spans(ray.data.from_arrow(t), bench, "text",
+                                 "doc_id", k=3, buffer=0)
+           .to_pandas().set_index("doc_id"))
+    want_text, want_n = _brute_span_removal(doc, [snippet], 3, 0)
+    assert got.loc[1, "text"] == want_text
+    assert int(got.loc[1, "n_removed"]) == want_n == 4
+    # flanks survived, quote is gone
+    assert "Intro words stay here" in got.loc[1, "text"]
+    assert "tail also stays intact" in got.loc[1, "text"]
+    assert "q2" not in got.loc[1, "text"]
+    assert got.loc[2, "text"] == "totally clean text here"
+    assert int(got.loc[2, "n_removed"]) == 0
+
+
+def test_span_decontaminate_buffer_and_edges(ray_session):
+    snippet = "b1 b2 b3"
+    # hit at position 0: buffer clamps at the left edge; second hit near the
+    # right edge clamps at the end
+    doc = f"{snippet} mid1 mid2 mid3 mid4 {snippet}"
+    t = pa.table({"doc_id": [1], "text": [doc]})
+    bench = ray.data.from_arrow(pa.table({"doc_id": [9], "text": [snippet]}))
+    got = (D.decontaminate_spans(ray.data.from_arrow(t), bench, "text",
+                                 "doc_id", k=3, buffer=1)
+           .to_pandas().iloc[0])
+    want_text, want_n = _brute_span_removal(doc, [snippet], 3, 1)
+    assert got["text"] == want_text == "mid2 mid3"
+    assert int(got["n_removed"]) == want_n == 8
+    with pytest.raises(ValueError):
+        D.decontaminate_spans(ray.data.from_arrow(t), bench, "text",
+                              "doc_id", k=3, buffer=-1)
+
+
+def test_span_decontaminate_case_and_short_docs(ray_session):
+    # matching is lowercased, removal preserves ORIGINAL case; docs shorter
+    # than k never change
+    bench = ray.data.from_arrow(pa.table({"doc_id": [9],
+                                          "text": ["x1 x2 x3"]}))
+    t = pa.table({"doc_id": [1, 2],
+                  "text": ["KEEP X1 X2 X3 Keep", "x1 x2"]})
+    got = (D.decontaminate_spans(ray.data.from_arrow(t), bench, "text",
+                                 "doc_id", k=3)
+           .to_pandas().set_index("doc_id"))
+    assert got.loc[1, "text"] == "KEEP Keep"
+    assert got.loc[2, "text"] == "x1 x2"
+    assert int(got.loc[2, "n_tokens"]) == 2
+
+
+def test_span_decontaminate_plans_identical(docs, ray_session):
+    ds = ray.data.from_pandas(docs[["doc_id", "text"]]).repartition(5)
+    bench = ray.data.from_pandas(
+        docs[docs["doc_id"] % 7 == 0][["doc_id", "text"]])
+    a = (D.decontaminate_spans(ds, bench, "text", "doc_id", k=8, buffer=2,
+                               plan="broadcast")
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (D.decontaminate_spans(ds, bench, "text", "doc_id", k=8, buffer=2,
+                               plan="join")
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    # brute parity on every doc
+    bench_texts = list(docs[docs["doc_id"] % 7 == 0]["text"])
+    texts = dict(zip(docs["doc_id"], docs["text"]))
+    for rid, row in a.set_index("doc_id").iterrows():
+        want_text, want_n = _brute_span_removal(texts[rid], bench_texts, 8, 2)
+        assert row["text"] == want_text and int(row["n_removed"]) == want_n
+
+
+def test_span_decontaminate_empty_benchmark(docs, ray_session):
+    ds = ray.data.from_pandas(docs[["doc_id", "text"]])
+    bench = ray.data.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
+                                          "text": pa.array([], pa.string())}))
+    got = (D.decontaminate_spans(ds, bench, "text", "doc_id", k=8)
+           .to_pandas())
+    assert (got["n_removed"] == 0).all()
+    assert got["text"].tolist() == [
+        ("" if t is None else t) for t in
+        got.merge(docs, on="doc_id", suffixes=("", "_orig"))["text_orig"]]
