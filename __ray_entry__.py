@@ -1632,6 +1632,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return cluster.pagerank(
             read_parquet_clean(_web_graph_path(sf_dir)), small_threshold=0)
 
+    def web_triangles(sf_dir):
+        """Triangle count + global clustering coefficient of the web graph
+        (stages/cluster.triangle_stats — degree-ordered wedge plan)."""
+        from registry_address_matcher_ray.sources.io import read_parquet_clean
+
+        return cluster.triangle_stats(
+            read_parquet_clean(_web_graph_path(sf_dir)))
+
     def _linked_pages_ds(sf_dir):
         import ray.data as _rd
 
@@ -1880,6 +1888,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_metablocking": match_metablocking,
         "spr_street_edit1": spr_street_edit1,
         "web_pagerank": web_pagerank,
+        "web_triangles": web_triangles,
         "pages_links": pages_links,
         "pages_domain_graph": pages_domain_graph,
         "pages_crawl_pagerank": pages_crawl_pagerank,
@@ -3472,6 +3481,26 @@ def oracle_sql() -> dict[str, str]:
         "docs_bigram_logprob": _bigram_sql,
         "docs_bigram_logprob_joinplan": _bigram_sql,
         "web_pagerank": _pagerank_sql,
+        # triangles: each counted once as (x<y<z) via e1=(x,y) e2=(x,z)
+        # e3=(y,z); wedges = sum C(d,2) over the undirected simple graph
+        "web_triangles": f"""
+            WITH und AS (SELECT DISTINCT least(src, dst) AS a,
+                                greatest(src, dst) AS b
+                         FROM read_parquet('{graph_path}') WHERE src <> dst),
+            deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+                      SELECT a AS node FROM und
+                      UNION ALL SELECT b FROM und) GROUP BY 1),
+            tri AS (SELECT count(*) AS t FROM und e1
+                    JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+                    JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+            wed AS (SELECT sum((d * (d - 1)) // 2) AS w FROM deg)
+            SELECT CAST(tri.t AS BIGINT) AS n_triangles,
+                   CAST(wed.w AS BIGINT) AS n_wedges,
+                   CASE WHEN wed.w = 0 THEN 0.0
+                        ELSE round(3.0 * tri.t / wed.w, 6)
+                   END AS global_clustering
+            FROM tri, wed
+        """,
         "pages_links": _pages_links_sql,
         "pages_domain_graph": _pages_domain_sql,
         "pages_crawl_pagerank": _crawl_pagerank_sql,

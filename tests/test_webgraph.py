@@ -116,3 +116,76 @@ def test_pagerank_string_nodes_small_vs_distributed(linked_pages):
     b = _canon(cluster.pagerank(distinct, small_threshold=0).to_pandas())
     pd.testing.assert_frame_equal(a, b)
     assert a["node"].str.startswith("https://").all()
+
+
+# ---------------------------------------------------------------------------
+# triangle counting / clustering coefficient
+# ---------------------------------------------------------------------------
+
+
+def _brute_triangles(pairs):
+    und, adj = set(), {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        a, b = min(a, b), max(a, b)
+        und.add((a, b))
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = sum(1 for a, b in und for c in (adj[a] & adj[b]) if c > b)
+    wed = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+    return tri, wed
+
+
+def test_triangle_stats_clique_and_noise():
+    # K5 (10 triangles) + a pendant chain + duplicate/reversed/self edges
+    pairs = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    noisy = pairs + [(b, a) for a, b in pairs] + [(0, 0), (5, 6), (6, 7)]
+    edges = rd.from_arrow(pa.table({
+        "src": [p[0] for p in noisy], "dst": [p[1] for p in noisy]}))
+    got = cluster.triangle_stats(edges).to_pandas().iloc[0]
+    tri, wed = _brute_triangles(noisy)
+    assert int(got.n_triangles) == tri == 10
+    assert int(got.n_wedges) == wed
+    assert got.global_clustering == round(3.0 * tri / wed, 6)
+
+
+def test_triangle_stats_synth_graph_brute_parity():
+    t = synth.synth_web_graph(250, seed=9)
+    got = cluster.triangle_stats(rd.from_arrow(t)).to_pandas().iloc[0]
+    tri, wed = _brute_triangles(
+        list(zip(t.column("src").to_pylist(), t.column("dst").to_pylist())))
+    assert (int(got.n_triangles), int(got.n_wedges)) == (tri, wed)
+
+
+def test_triangle_stats_degenerate():
+    empty = rd.from_arrow(pa.table({"src": pa.array([], pa.int64()),
+                                    "dst": pa.array([], pa.int64())}))
+    got = cluster.triangle_stats(empty).to_pandas().iloc[0]
+    assert (int(got.n_triangles), int(got.n_wedges),
+            got.global_clustering) == (0, 0, 0.0)
+    # triangle-free: one wedge, zero triangles
+    path2 = rd.from_arrow(pa.table({"src": [1, 2], "dst": [2, 3]}))
+    got = cluster.triangle_stats(path2).to_pandas().iloc[0]
+    assert (int(got.n_triangles), int(got.n_wedges)) == (0, 1)
+    assert got.global_clustering == 0.0
+
+
+def test_triangle_stats_string_nodes():
+    edges = rd.from_arrow(pa.table({
+        "src": ["u", "u", "v", "x"], "dst": ["v", "w", "w", "u"]}))
+    got = cluster.triangle_stats(edges).to_pandas().iloc[0]
+    assert int(got.n_triangles) == 1
+    # deg: u=3, v=2, w=2, x=1 -> C(3,2)+C(2,2)... = 3 + 1 + 1 + 0 = 5
+    assert int(got.n_wedges) == 5
+
+
+def test_triangle_stats_join_plan_parity():
+    # dense-enough graph: force the distributed join plan and compare with
+    # the local forward-algorithm path
+    t = synth.synth_web_graph(250, seed=9)
+    a = cluster.triangle_stats(rd.from_arrow(t)).to_pandas().iloc[0]
+    b = cluster.triangle_stats(
+        rd.from_arrow(t), small_threshold=0).to_pandas().iloc[0]
+    assert (int(a.n_triangles), int(a.n_wedges), a.global_clustering) == \
+        (int(b.n_triangles), int(b.n_wedges), b.global_clustering)
