@@ -2078,13 +2078,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pmi_collocations", "docs_training_prep",
         "orders_latest3_per_cust", "events_type_hour_pivot",
         "docs_top_tokens", "docs_hash_sample", "lineitem_weighted_discount",
+        # final-session oracle-bearing additions (link-graph family, span
+        # decontamination both plans, triangles) — each takes a rows-only
+        # slot: an oracle-hash row outranks a rows-only record, and every
+        # displaced op stays pytest-pinned (sketches/ANN parity tests;
+        # docs_streaming_dedup keeps its windowed oracle-bearing sibling
+        # docs_streaming_dedup_count)
+        "web_triangles", "pages_links", "pages_domain_graph",
+        "pages_crawl_pagerank", "docs_span_decontaminated",
+        "docs_span_decontaminated_join",
         # rows-only, never driver-checked (weaker rows-only record)
-        "match_fs_em_params", "spr_swoosh_entities", "events_type_counts_cms",
-        "match_one_to_one", "events_type_users_approx",
-        "events_value_quantiles_sketch", "docs_streaming_dedup",
+        "match_fs_em_params", "spr_swoosh_entities",
+        "match_one_to_one",
         "docs_quality_train", "docs_bpe_token_shards", "docs_pack_sequences",
         "docs_training_prep_packed", "docs_neardup_against",
-        "embeddings_pq_knn", "embeddings_ivfpq_knn", "media_real_decode",
+        "media_real_decode",
         "docs_c4_clean", "docs_top_ngrams", "docs_embed_semdedup",
     ]
     out = {k: d[k] for k in window}
