@@ -1632,6 +1632,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return cluster.pagerank(
             read_parquet_clean(_web_graph_path(sf_dir)), small_threshold=0)
 
+    def web_hits(sf_dir):
+        """HITS hubs/authorities, L1-normalized (stages/cluster.hits);
+        5 alternating power iterations like web_pagerank."""
+        from registry_address_matcher_ray.sources.io import read_parquet_clean
+
+        return cluster.hits(read_parquet_clean(_web_graph_path(sf_dir)))
+
+    def web_hits_dist(sf_dir):
+        """The distributed alternating iteration forced (local path off)."""
+        from registry_address_matcher_ray.sources.io import read_parquet_clean
+
+        return cluster.hits(read_parquet_clean(_web_graph_path(sf_dir)),
+                            small_threshold=0)
+
     def web_triangles(sf_dir):
         """Triangle count + global clustering coefficient of the web graph
         (stages/cluster.triangle_stats — degree-ordered wedge plan)."""
@@ -1888,6 +1902,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_metablocking": match_metablocking,
         "spr_street_edit1": spr_street_edit1,
         "web_pagerank": web_pagerank,
+        "web_hits": web_hits,
+        "web_hits_dist": web_hits_dist,
         "web_triangles": web_triangles,
         "pages_links": pages_links,
         "pages_domain_graph": pages_domain_graph,
@@ -2087,8 +2103,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_triangles", "pages_links", "pages_domain_graph",
         "pages_crawl_pagerank", "docs_span_decontaminated",
         "docs_span_decontaminated_join",
+        # HITS (final-session): oracle-bearing, takes the spr_swoosh_entities
+        # rows-only slot (its oracle sibling spr_swoosh_round0 is driver-green
+        # r4 and the fixpoint is pytest-pinned); web_hits_dist shares the same
+        # SQL and is plan-parity-pinned in tests/test_cluster.py
+        "web_hits",
         # rows-only, never driver-checked (weaker rows-only record)
-        "match_fs_em_params", "spr_swoosh_entities",
+        "match_fs_em_params",
         "match_one_to_one",
         "docs_quality_train", "docs_bpe_token_shards", "docs_pack_sequences",
         "docs_training_prep_packed", "docs_neardup_against",
@@ -2633,6 +2654,35 @@ def oracle_sql() -> dict[str, str]:
         od AS (SELECT src, CAST(count(*) AS DOUBLE) AS odeg FROM e GROUP BY 1),
         {', '.join(_pr)}
         SELECT node, round(rank, 6) AS rank FROM it{_pr_iters}
+    """
+    # HITS: unrolled alternating iteration (5 rounds, L1-normalized per
+    # phase — stages/cluster.hits docstring defines the arithmetic); node
+    # universe is ALL endpoints (src UNION dst), unlike pagerank's src-only.
+    # Each CTE references its predecessor EXACTLY ONCE (L1 normalize via a
+    # whole-table window sum, not a scalar subquery): DuckDB inlines CTEs,
+    # so a second reference per level re-evaluates the whole chain below it
+    # — 2 refs x 10 levels = a 2^10 blowup that runs for MINUTES
+    _ht = ["h0 AS (SELECT node, 1.0 / nn.n AS val FROM hnodes CROSS JOIN nn)"]
+    for _i in range(1, _pr_iters + 1):
+        _prev = "h0" if _i == 1 else f"h{_i - 1}"
+        _ht.append(f"""
+        a{_i} AS (SELECT node, val / sum(val) OVER () AS val FROM (
+                  SELECT e.dst AS node, sum(p.val) AS val
+                  FROM e JOIN {_prev} p ON p.node = e.src GROUP BY 1)),
+        h{_i} AS (SELECT node, val / sum(val) OVER () AS val FROM (
+                  SELECT e.src AS node, sum(p.val) AS val
+                  FROM e JOIN a{_i} p ON p.node = e.dst GROUP BY 1))""")
+    _hits_sql = f"""
+        WITH e AS (SELECT src, dst FROM read_parquet('{graph_path}')),
+        hnodes AS (SELECT DISTINCT node FROM (
+            SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM hnodes),
+        {', '.join(_ht)}
+        SELECT hnodes.node,
+               round(coalesce(h{_pr_iters}.val, 0), 6) AS hub,
+               round(coalesce(a{_pr_iters}.val, 0), 6) AS authority
+        FROM hnodes LEFT JOIN h{_pr_iters} USING (node)
+                    LEFT JOIN a{_pr_iters} USING (node)
     """
     # link-graph family: edges from the SAME RE2 rule chain the engine runs
     # (functions/links.sql_resolved_links is the single source of truth);
@@ -3489,6 +3539,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_bigram_logprob": _bigram_sql,
         "docs_bigram_logprob_joinplan": _bigram_sql,
         "web_pagerank": _pagerank_sql,
+        "web_hits": _hits_sql,
+        "web_hits_dist": _hits_sql,
         # triangles: each counted once as (x<y<z) via e1=(x,y) e2=(x,z)
         # e3=(y,z); wedges = sum C(d,2) over the undirected simple graph
         "web_triangles": f"""

@@ -479,6 +479,51 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     extras["warc_pages_per_sec"] = round(
         n_warc / max(queries["warc_read"], 1e-9), 1)
 
+    # ---- final-session additions: crawl link graph, crawl pagerank,
+    # triangles, span-level decontamination
+    from registry_address_matcher_ray.sources import synth as _synth
+    from registry_address_matcher_ray.stages import cluster as CL
+    from registry_address_matcher_ray.stages import webgraph as WG
+
+    lp_path = "/tmp/ram_ray_fixtures/bench_linked_pages_n20000_seed42.parquet"
+    if not os.path.exists(lp_path):
+        os.makedirs(os.path.dirname(lp_path), exist_ok=True)
+        pq.write_table(_synth.synth_linked_pages(20_000, seed=42),
+                       lp_path + ".tmp")
+        os.replace(lp_path + ".tmp", lp_path)
+    t0 = time.time()
+    n_links = WG.link_graph(_rd.read_parquet(lp_path)).count()
+    queries["link_graph"] = round(time.time() - t0, 3)
+    extras["link_graph_edges"] = n_links
+    t0 = time.time()
+    WG.crawl_pagerank(_rd.read_parquet(lp_path)).count()
+    queries["crawl_pagerank"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    tri = CL.triangle_stats(
+        _rd.from_arrow(_synth.synth_web_graph(100_000, seed=42))
+    ).take_all()[0]
+    queries["triangles_100k"] = round(time.time() - t0, 3)
+    extras["triangles_found"] = int(tri["n_triangles"])
+
+    if os.path.exists(docs_path):
+        t0 = time.time()
+        docs_sd = rio.read_parquet_clean(docs_path,
+                                         columns=["doc_id", "text"])
+
+        def _bench_sd(b):
+            import hashlib as _hl
+
+            import pyarrow as _pa
+            keep = [_hl.md5(str(v).encode()).hexdigest()[:4] >= "e666"
+                    for v in b.column("doc_id").to_pylist()]
+            return b.filter(_pa.array(keep))
+
+        D.decontaminate_spans(
+            docs_sd, docs_sd.map_batches(_bench_sd, batch_format="pyarrow"),
+            "text", "doc_id", k=8, buffer=2).count()
+        queries["span_decontaminate"] = round(time.time() - t0, 3)
+
     result = {
         "metric": "linkage_pages_sec",
         "value": queries["linkage_pages"],

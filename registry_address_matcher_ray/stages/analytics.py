@@ -1194,6 +1194,30 @@ def ensure_arrow_schema(ds: ray.data.Dataset, schema: pa.Schema) -> ray.data.Dat
     return ds.map_batches(_fix, batch_format="pyarrow")
 
 
+def compact_nonempty(
+    ds: ray.data.Dataset, schema: pa.Schema,
+) -> ray.data.Dataset:
+    """Drop zero-row blocks from a MATERIALIZED dataset.
+
+    ``map_batches`` is never invoked on a zero-row block, so the
+    column-less empty blocks a hash aggregate emits for partitions with no
+    groups survive :func:`ensure_arrow_schema` untouched. They then poison
+    the dataset's unified schema (it collapses to zero columns) and any
+    join keyed on the dataset fails with an unresolvable FieldRef — a
+    skew/sparsity hazard whenever ``num_partitions`` exceeds the number of
+    live keys. Metadata-only: block refs are filtered by the recorded
+    ``num_rows``; no block data moves or is fetched to the driver.
+    """
+    refs = [ref
+            for bundle in ds.iter_internal_ref_bundles()
+            for ref, md in bundle.blocks
+            if md.num_rows]
+    if not refs:
+        return ray.data.from_arrow(
+            pa.table({f.name: pa.array([], f.type) for f in schema}))
+    return ray.data.from_arrow_refs(refs)
+
+
 def unigram_logprob(
     ds: ray.data.Dataset, id_col: str, text_col: str, ndigits: int = 6,
     vocab_broadcast_limit: Optional[int] = None,

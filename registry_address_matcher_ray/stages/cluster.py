@@ -786,3 +786,151 @@ def triangle_stats(
     n_tri = wedges.join(closing, join_type="inner", num_partitions=npart,
                         on=("v", "w")).count()
     return _result(n_tri, n_wedges)
+
+
+def hits(
+    edges: ray.data.Dataset,
+    n_iters: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+    ndigits: int = 6,
+    small_threshold: int = 5_000_000,
+) -> ray.data.Dataset:
+    """HITS hubs-and-authorities (Kleinberg 1999) over a directed edge list —
+    the classic companion to :func:`pagerank` for crawl graphs.
+
+    SUM-normalized variant (L1, not the L2 of the original paper): each
+    round ``a(v) = sum over u->v of h(u)`` then ``a /= sum(a)``, then
+    ``h(u) = sum over u->v of a(v)`` then ``h /= sum(h)``. The ranking is
+    identical under any positive rescaling; L1 keeps every arithmetic step a
+    plain sum/divide, so the unrolled-SQL oracle reproduces the engine at
+    ``round(ndigits)`` without sqrt summation-order hazards. Init
+    ``h = 1/N`` over all endpoint nodes; nodes without in-links (out-links)
+    have authority (hub) exactly 0. Output: ``(node, hub, authority)``.
+
+    Same two-path shape as :func:`pagerank`: small edge sets run a local
+    numpy loop; the distributed path alternates (edges join ranks) ->
+    ``groupby.sum`` -> one scalar-total normalize per phase, materializing
+    each round (chained join pools deadlock under tight CPU counts).
+    """
+    import numpy as np
+
+    _sch = edges.schema()
+    ntype = dict(zip(_sch.names, _sch.types))[src]
+    n_edges = edges.count()
+    if n_edges == 0:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], ntype),
+            "hub": pa.array([], pa.float64()),
+            "authority": pa.array([], pa.float64())}))
+
+    if n_edges <= small_threshold:
+        tbl = pa.concat_tables(
+            [b.select([src, dst]) for b in
+             edges.iter_batches(batch_format="pyarrow") if b.num_rows])
+        s = tbl.column(src).to_numpy(zero_copy_only=False)
+        d = tbl.column(dst).to_numpy(zero_copy_only=False)
+        nodes, inv = np.unique(np.concatenate([s, d]), return_inverse=True)
+        si, di = inv[: len(s)], inv[len(s):]
+        n = len(nodes)
+        h = np.full(n, 1.0 / n)
+        a = np.zeros(n)
+        for _ in range(n_iters):
+            a = np.zeros(n)
+            np.add.at(a, di, h[si])
+            t = a.sum()
+            if t > 0:
+                a /= t
+            h = np.zeros(n)
+            np.add.at(h, si, a[di])
+            t = h.sum()
+            if t > 0:
+                h /= t
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(nodes, ntype),
+            "hub": pa.array(np.round(h, ndigits), pa.float64()),
+            "authority": pa.array(np.round(a, ndigits), pa.float64()),
+        }))
+
+    # ---- distributed alternating power iteration ----
+    from ray.data.aggregate import Count, Sum
+
+    from .analytics import compact_nonempty, ensure_arrow_schema
+
+    edge_schema = pa.schema([("src", ntype), ("dst", ntype)])
+    proj = compact_nonempty(ensure_arrow_schema(
+        edges.map_batches(
+            lambda b: pa.table({"src": b.column(src), "dst": b.column(dst)}),
+            batch_format="pyarrow"),
+        edge_schema).materialize(), edge_schema)
+    node_schema = pa.schema([("node", ntype)])
+    nodes = compact_nonempty(ensure_arrow_schema(
+        proj.map_batches(
+            lambda b: pa.table({"node": pc.unique(pa.concat_arrays(
+                [b.column("src").combine_chunks(),
+                 b.column("dst").combine_chunks()]))}),
+            batch_format="pyarrow")
+        .groupby("node").aggregate(Count(alias_name="_c"))
+        .map_batches(lambda b: b.select(["node"]) if b.num_columns else b,
+                     batch_format="pyarrow"),
+        node_schema).materialize(), node_schema)
+    n = nodes.count()
+    npart = max(4, min(64, -(-n_edges // 2_000_000)))
+
+    val_schema = pa.schema([("node", ntype), ("val", pa.float64())])
+    h = compact_nonempty(nodes.map_batches(
+        lambda b: b.append_column(
+            "val", pa.array(np.full(b.num_rows, 1.0 / n), pa.float64())),
+        batch_format="pyarrow").materialize(), val_schema)
+
+    def _phase(ranks, key_in, key_out):
+        """raw(key_out) = sum over edges of ranks(key_in); L1-normalized."""
+        raw = compact_nonempty(ensure_arrow_schema(
+            proj.join(ranks, join_type="inner", num_partitions=npart,
+                      on=(key_in,), right_on=("node",))
+            .map_batches(lambda b: pa.table({"node": b.column(key_out),
+                                             "val": b.column("val")}),
+                         batch_format="pyarrow")
+            .groupby("node").aggregate(Sum("val", alias_name="val")),
+            val_schema).materialize(), val_schema)
+        tot = raw.aggregate(Sum("val", alias_name="t"))["t"] or 0.0
+        if tot > 0:
+            raw = compact_nonempty(ensure_arrow_schema(raw.map_batches(
+                lambda b: pa.table({"node": b.column("node"),
+                                    "val": pc.divide(b.column("val"), tot)}),
+                batch_format="pyarrow"), val_schema).materialize(),
+                val_schema)
+        return raw
+
+    a = h
+    for _ in range(n_iters):
+        a = _phase(h, "src", "dst")
+        h = _phase(a, "dst", "src")
+
+    # distinct right-side key names: Ray's hash join can't disambiguate a
+    # same-named non-merged key column on a second chained join
+    nh_schema = pa.schema([("node", ntype), ("hub", pa.float64())])
+    out = (compact_nonempty(
+               nodes.join(ensure_arrow_schema(
+                   h.map_batches(lambda b: b.rename_columns(["_nh", "hub"]),
+                                 batch_format="pyarrow"),
+                   pa.schema([("_nh", ntype), ("hub", pa.float64())])),
+                   join_type="left_outer", num_partitions=npart,
+                   on=("node",), right_on=("_nh",)).materialize(), nh_schema)
+           .join(ensure_arrow_schema(
+               a.map_batches(
+                   lambda b: b.rename_columns(["_na", "authority"]),
+                   batch_format="pyarrow"),
+               pa.schema([("_na", ntype), ("authority", pa.float64())])),
+               join_type="left_outer", num_partitions=npart,
+               on=("node",), right_on=("_na",)))
+
+    def _final(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": b.column("node"),
+            "hub": pc.round(pc.fill_null(b.column("hub"), 0.0),
+                            ndigits=ndigits),
+            "authority": pc.round(pc.fill_null(b.column("authority"), 0.0),
+                                  ndigits=ndigits)})
+
+    return out.map_batches(_final, batch_format="pyarrow")

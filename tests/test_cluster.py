@@ -219,3 +219,59 @@ def test_merge_cluster_delta_bridges_components(ray_session):
     assert got == exp
     assert got["S:1"] == got["C:20"]          # bridged
     assert got["S:7"] == got["C:70"] != got["S:1"]  # untouched
+
+
+def test_hits_plans_agree_and_props(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from registry_address_matcher_ray.sources.synth import synth_web_graph
+    from registry_address_matcher_ray.stages import cluster as C
+
+    ds = rd.from_arrow(synth_web_graph(1507, seed=5)).repartition(4)
+    a = C.hits(ds).to_pandas().sort_values("node").reset_index(drop=True)
+    b = C.hits(ds, small_threshold=0).to_pandas().sort_values(
+        "node").reset_index(drop=True)
+    assert len(a) == len(b)
+    assert (a["node"].values == b["node"].values).all()
+    assert np.allclose(a["hub"], b["hub"], atol=1e-6)
+    assert np.allclose(a["authority"], b["authority"], atol=1e-6)
+    # L1 normalization: each score vector sums to 1
+    assert abs(a["hub"].sum() - 1.0) < 1e-3
+    assert abs(a["authority"].sum() - 1.0) < 1e-3
+    # the generator skews links TOWARD low ids: they must dominate authority
+    assert (a.loc[a["node"] < 50, "authority"].mean()
+            > 1.5 * a["authority"].mean())
+
+
+def test_hits_tiny_graph_manual(ray_session):
+    """Hand-unrolled reference on a 4-node graph, incl. a sink node (3) with
+    authority but zero hub, exercising the no-out-link zero contract."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from registry_address_matcher_ray.stages import cluster as C
+
+    edges = pd.DataFrame({"src": [0, 0, 1, 2], "dst": [1, 3, 3, 3]})
+    n_iters = 5
+    h = np.full(4, 0.25)
+    a = np.zeros(4)
+    for _ in range(n_iters):
+        a = np.zeros(4)
+        for s, d in edges.itertuples(index=False):
+            a[d] += h[s]
+        a /= a.sum()
+        h = np.zeros(4)
+        for s, d in edges.itertuples(index=False):
+            h[s] += a[d]
+        h /= h.sum()
+    for thr in (0, 10**6):  # both plans
+        got = (C.hits(rd.from_pandas(edges), n_iters=n_iters,
+                      small_threshold=thr)
+               .to_pandas().sort_values("node").reset_index(drop=True))
+        assert list(got["node"]) == [0, 1, 2, 3]
+        assert np.allclose(got["hub"], np.round(h, 6), atol=2e-6)
+        assert np.allclose(got["authority"], np.round(a, 6), atol=2e-6)
+        assert got.loc[3, "hub"] == 0.0   # sink: no out-links
+        assert got.loc[3, "authority"] > got.loc[1, "authority"]
