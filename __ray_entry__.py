@@ -95,7 +95,9 @@ def _linked_pages_path(sf_dir: str) -> str:
     from registry_address_matcher_ray.sources import synth
 
     n = max(500, int(_sf_of(sf_dir) * 50_000))
-    path = f"/tmp/ram_ray_fixtures/linked_pages_n{n}_seed42.parquet"
+    # v2: generator adds anchor TEXTS + meta-robots noindex rows (edge set
+    # unchanged); versioned name forces regeneration over any cached v1
+    path = f"/tmp/ram_ray_fixtures/linked_pages_v2_n{n}_seed42.parquet"
     if not os.path.exists(path):
         os.makedirs(os.path.dirname(path), exist_ok=True)
         pq.write_table(synth.synth_linked_pages(n, seed=42), path + ".tmp")
@@ -1682,6 +1684,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return webgraph.crawl_pagerank(_linked_pages_ds(sf_dir))
 
+    def pages_anchor_texts(sf_dir):
+        """Inbound anchor-text aggregation per target URL (n_anchors /
+        n_texts / first-5 sorted distinct texts '|'-joined) — the classic
+        crawl relevance signal (stages/webgraph.anchor_texts)."""
+        from registry_address_matcher_ray.stages import webgraph
+
+        return webgraph.anchor_texts(_linked_pages_ds(sf_dir))
+
+    def pages_noindex_filtered(sf_dir):
+        """Pages surviving the meta-robots noindex kill (either attribute
+        order, either quote style); (url, html_len) projection so the
+        binary payload never reaches the compare."""
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        from registry_address_matcher_ray.stages import webgraph
+
+        kept = webgraph.noindex_filter(_linked_pages_ds(sf_dir))
+        return kept.map_batches(
+            lambda b: _pa.table({
+                "url": b.column("url"),
+                "html_len": _pc.cast(_pc.binary_length(b.column("html")),
+                                     _pa.int64())}),
+            batch_format="pyarrow")
+
     def hosts_page_stats(sf_dir):
         from ray.data.aggregate import Count
 
@@ -1906,6 +1933,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_hits_dist": web_hits_dist,
         "web_triangles": web_triangles,
         "pages_links": pages_links,
+        "pages_anchor_texts": pages_anchor_texts,
+        "pages_noindex_filtered": pages_noindex_filtered,
         "pages_domain_graph": pages_domain_graph,
         "pages_crawl_pagerank": pages_crawl_pagerank,
         "events_heavy_hitters": events_heavy_hitters,
@@ -2696,6 +2725,27 @@ def oracle_sql() -> dict[str, str]:
     _pages_links_sql = f"""
         WITH {_lp_cte}
         SELECT src, dst, count(*) AS n FROM links GROUP BY 1, 2
+    """
+    # anchor texts: same extraction chain with the text capture group; the
+    # first-top_k sorted distinct texts join deterministically
+    _pages_anchor_sql = f"""
+        WITH {_L.sql_resolved_anchors(_lp_path)},
+        agg1 AS (SELECT dst, CAST(count(*) AS BIGINT) AS n_anchors,
+                        CAST(count(DISTINCT txt) AS BIGINT) AS n_texts
+                 FROM anchors GROUP BY dst),
+        dtx AS (SELECT DISTINCT dst, txt FROM anchors),
+        rnk AS (SELECT dst, txt,
+                       row_number() OVER (PARTITION BY dst ORDER BY txt) AS rk
+                FROM dtx),
+        agg2 AS (SELECT dst, string_agg(txt, '|' ORDER BY txt) AS texts
+                 FROM rnk WHERE rk <= 5 GROUP BY dst)
+        SELECT agg1.dst, n_anchors, n_texts, texts
+        FROM agg1 JOIN agg2 USING (dst)
+    """
+    _pages_noindex_sql = f"""
+        SELECT url, CAST(octet_length(html) AS BIGINT) AS html_len
+        FROM read_parquet('{_lp_path}')
+        WHERE NOT {_L.sql_noindex("decode(html)")}
     """
     _pages_domain_sql = f"""
         WITH {_lp_cte}
@@ -3562,6 +3612,8 @@ def oracle_sql() -> dict[str, str]:
             FROM tri, wed
         """,
         "pages_links": _pages_links_sql,
+        "pages_anchor_texts": _pages_anchor_sql,
+        "pages_noindex_filtered": _pages_noindex_sql,
         "pages_domain_graph": _pages_domain_sql,
         "pages_crawl_pagerank": _crawl_pagerank_sql,
         "web_pagerank_dist": _pagerank_sql,

@@ -462,12 +462,22 @@ def synth_linked_pages(n_pages: int, seed: int = 42) -> pa.Table:
                     ["mailto:x@example.org", "javascript:void(0)", "#top",
                      "rel/path.html", ""])
             quote = "'" if rng.random() < 0.25 else '"'
-            anchors.append(f"<a href={quote}{href}{quote}>l{j}</a>")
+            # anchor text: index-derived (no extra rng draws, so the edge
+            # set is byte-stable vs earlier generator versions); multi-word
+            # and empty texts exercise the anchor_texts trim/drop contract
+            txt = ("" if j % 11 == 3
+                   else f"link to page {j}" if j % 3 == 0
+                   else f" l{j} ")
+            anchors.append(f"<a href={quote}{href}{quote}>{txt}</a>")
         body = f"<p>page {i}</p>\n" + "\n".join(anchors)
         urls.append(_url(i))
         tss.append(t0 + timedelta(seconds=rng.randrange(365 * 24 * 3600)))
+        # ~8% of pages opt out of indexing (index-derived, not rng): the
+        # noindex_filter op must drop exactly these
+        robots = ('<meta name="robots" content="noindex,nofollow">'
+                  if i % 13 == 7 else "")
         htmls.append(
-            f"<html><head><title>p{i}</title></head>"
+            f"<html><head><title>p{i}</title>{robots}</head>"
             f"<body>\n{body}\n</body></html>".encode())
     return pa.table({
         "url": pa.array(urls, pa.string()),

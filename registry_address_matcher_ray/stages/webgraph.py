@@ -33,7 +33,8 @@ from ray.data.aggregate import Sum
 from registry_address_matcher_ray.functions import links as _links
 from registry_address_matcher_ray.functions import urls as _urls
 
-__all__ = ["link_edges", "link_graph", "domain_graph", "crawl_pagerank"]
+__all__ = ["link_edges", "link_graph", "domain_graph", "crawl_pagerank",
+           "anchor_texts", "noindex_filter"]
 
 
 def link_edges(
@@ -85,6 +86,72 @@ def domain_graph(
     hosted = link_edges(pages, url_col, html_col).map_batches(
         _hosts, batch_format="pyarrow")
     return _count_pairs(hosted, "src_host", "dst_host", "n")
+
+
+def anchor_texts(
+    pages: ray.data.Dataset,
+    url_col: str = "url",
+    html_col: str = "html",
+    top_k: int = 5,
+) -> ray.data.Dataset:
+    """Inbound anchor-text aggregation per target URL — the classic crawl
+    signal (anchor text of in-links describes the target page; used as a
+    relevance/quality feature and as retrieval text for pages whose own
+    content is thin).
+
+    Per canonical ``dst``: ``n_anchors`` (total inbound anchor occurrences
+    with non-empty text), ``n_texts`` (distinct texts), ``texts`` (the
+    lexicographically first ``top_k`` distinct texts, '|'-joined —
+    deterministic and bounded, so a hub with millions of in-links still
+    emits one small row).
+
+    Scale shape: per-batch partial count over ``(dst, txt)`` collapses
+    occurrence rows before the one groupby exchange; the final
+    ``map_groups`` sees (distinct-text, count) rows per dst — bounded by
+    text diversity, never by in-degree.
+    """
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["dst", "txt"]).aggregate([([], "count_all")])
+        return g.rename_columns(["dst", "txt", "c"])
+
+    anchors = pages.select_columns([url_col, html_col]).map_batches(
+        lambda b: _links.extract_anchors_batch(b, url_col, html_col),
+        batch_format="pyarrow").map_batches(_partial, batch_format="pyarrow")
+
+    def _finish(g: pa.Table) -> pa.Table:
+        txts = sorted(set(g.column("txt").to_pylist()))
+        total = pc.sum(g.column("c")).as_py() or 0
+        return pa.table({
+            "dst": [g.column("dst")[0].as_py()],
+            "n_anchors": pa.array([int(total)], pa.int64()),
+            "n_texts": pa.array([len(txts)], pa.int64()),
+            "texts": pa.array(["|".join(txts[:top_k])], pa.string()),
+        })
+
+    return anchors.groupby("dst").map_groups(_finish, batch_format="pyarrow")
+
+
+def noindex_filter(
+    pages: ray.data.Dataset,
+    html_col: str = "html",
+    keep_noindex: bool = False,
+) -> ray.data.Dataset:
+    """Drop pages that opt out of indexing via ``<meta name="robots"
+    content="...noindex...">`` — the crawl-politeness page kill every
+    compliant corpus pipeline applies before training-prep.
+
+    ``keep_noindex=True`` inverts the filter (audit view). Stateless
+    ``map_batches``, zero shuffle; per-document regex probe is inherent to
+    HTML (same shape as extraction)."""
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        flags = [_links.is_noindex(h)
+                 for h in batch.column(html_col).to_pylist()]
+        mask = pa.array([f == keep_noindex for f in flags])
+        return batch.filter(mask)
+
+    return pages.map_batches(_filter, batch_format="pyarrow")
 
 
 def crawl_pagerank(

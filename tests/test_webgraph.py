@@ -189,3 +189,82 @@ def test_triangle_stats_join_plan_parity():
         rd.from_arrow(t), small_threshold=0).to_pandas().iloc[0]
     assert (int(a.n_triangles), int(a.n_wedges), a.global_clustering) == \
         (int(b.n_triangles), int(b.n_wedges), b.global_clustering)
+
+
+def test_extract_anchors_text_capture_and_trim():
+    html = (b'<a href="https://a.example/1"> Click Here </a>'
+            b'<a href="https://b.example/2" rel="nofollow">read<b>m</b></a>'
+            b"<a href='https://c.example/3'>\n\tws\r </a>"
+            b'<a href="https://d.example/4"></a>')
+    got = L.extract_anchors(html)
+    # raw pairs, double-quoted scan first; text = run up to the next '<'
+    assert got == [("https://a.example/1", " Click Here "),
+                   ("https://b.example/2", "read"),
+                   ("https://d.example/4", ""),
+                   ("https://c.example/3", "\n\tws\r ")]
+    batch = pa.table({"url": ["https://p.example/x"], "html": [html]})
+    out = L.extract_anchors_batch(batch)
+    # empty-after-trim anchors dropped; whitespace trimmed (ASCII set)
+    assert out.column("txt").to_pylist() == ["Click Here", "read", "ws"]
+    assert out.column("src").to_pylist() == ["https://p.example/x"] * 3
+
+
+def test_anchor_texts_aggregation_and_topk():
+    pages = []
+    # 7 pages all linking the same target with 6 distinct texts + 1 repeat
+    texts = ["zeta", "alpha", "mid", "beta", "gamma", "delta", "alpha"]
+    for i, t in enumerate(texts):
+        pages.append((f"https://h{i}.example/p",
+                      f'<a href="https://hub.example/t">{t}</a>'.encode()))
+    ds = rd.from_arrow(pa.table({
+        "url": [p[0] for p in pages],
+        "html": pa.array([p[1] for p in pages], pa.binary()),
+    })).repartition(3)
+    got = webgraph.anchor_texts(ds, top_k=5).to_pandas()
+    assert len(got) == 1
+    row = got.iloc[0]
+    assert row["dst"] == "https://hub.example/t"
+    assert row["n_anchors"] == 7          # occurrences (repeat counts)
+    assert row["n_texts"] == 6            # distinct
+    # lexicographically first 5 of the 6 distinct texts
+    assert row["texts"] == "alpha|beta|delta|gamma|mid"
+
+
+def test_noindex_filter_variants():
+    cases = [
+        # (html, is_noindex)
+        (b'<meta name="robots" content="noindex,nofollow">', True),
+        (b"<meta name='robots' content='NOINDEX'>", True),
+        (b'<META NAME="ROBOTS" CONTENT="NoIndex">', True),
+        # content-before-name attribute order
+        (b'<meta content="noindex" name="robots">', True),
+        # robots without noindex / noindex under another name: kept
+        (b'<meta name="robots" content="nofollow">', False),
+        (b'<meta name="googlebot" content="noindex">', False),
+        (b"<p>plain page</p>", False),
+    ]
+    for html, flag in cases:
+        assert L.is_noindex(b"<html><head>" + html + b"</head></html>") \
+            is flag, html
+    assert L.is_noindex(None) is False
+    ds = rd.from_arrow(pa.table({
+        "url": [f"u{i}" for i in range(len(cases))],
+        "html": pa.array([c[0] for c in cases], pa.binary()),
+    }))
+    kept = webgraph.noindex_filter(ds).to_pandas()["url"].tolist()
+    exp = [f"u{i}" for i, c in enumerate(cases) if not c[1]]
+    assert kept == exp
+    audit = webgraph.noindex_filter(ds, keep_noindex=True).count()
+    assert audit == sum(c[1] for c in cases)
+
+
+def test_anchor_texts_partition_invariance(linked_pages):
+    a = (webgraph.anchor_texts(linked_pages)
+         .to_pandas().sort_values("dst").reset_index(drop=True))
+    b = (webgraph.anchor_texts(linked_pages.repartition(7))
+         .to_pandas().sort_values("dst").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    # fixture contract: multi-word, single-token and empty anchor texts all
+    # occur; empties never surface
+    assert (a["n_anchors"] >= a["n_texts"]).all()
+    assert not a["texts"].str.contains(r"\|\|", regex=True).any()
