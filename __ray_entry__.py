@@ -1521,6 +1521,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return M.decode_images(ds, codec="real", dim=64).select_columns(
             ["media_id", "width", "height", "features"])
 
+    def media_image_neardup(sf_dir):
+        """Image near-duplicate detection over the perceptual dHash (area-
+        averaged 9x8 gradient hash; 8x8-bit band blocking, exact hamming
+        verify, connected components) — re-encoded/slightly-edited copies
+        collide across containers. Rows-only driver check (no SQL image
+        decode); planted cross-format recall + partition invariance pinned
+        in tests/test_multimodal.py."""
+        import numpy as _np
+        import ray.data
+
+        from registry_address_matcher_ray.functions import codecs as _codecs
+        from registry_address_matcher_ray.stages import multimodal as M
+
+        n = max(20, int(_sf_of(sf_dir) * 2000))
+        rng = _np.random.default_rng(11)
+        ids, payloads = [], []
+        for i in range(n):
+            img = rng.integers(0, 256, size=(32, 48, 3)).astype(_np.uint8)
+            ids.append(f"img-{i:05d}")
+            payloads.append(_codecs.encode_ppm(img))
+            if i % 4 == 0:   # plant a cross-format jittered near-dup
+                jit = _np.clip(img.astype(_np.int16)
+                               + rng.integers(-2, 3, img.shape),
+                               0, 255).astype(_np.uint8)
+                ids.append(f"img-{i:05d}-dup")
+                payloads.append(_codecs.encode_bmp(jit))
+        import pyarrow as _pa
+        ds = ray.data.from_arrow(_pa.table({
+            "media_id": ids,
+            "payload": _pa.array(payloads, _pa.binary())}))
+        return M.image_neardup(ds, codec="real",
+                               hamming_threshold=6)["pairs"]
+
     def media_image_features(sf_dir):
         """Actor-pool image decode/feature stage over opaque binary payloads."""
         import ray.data
@@ -2067,6 +2100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_ivfpq_knn": embeddings_ivfpq_knn,
         "embeddings_neardup": embeddings_neardup,
         "media_real_decode": media_real_decode,
+        "media_image_neardup": media_image_neardup,
         "media_image_features": media_image_features,
         "media_frame_sample": media_frame_sample,
         "media_real_frames": media_real_frames,

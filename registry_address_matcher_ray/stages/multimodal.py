@@ -33,6 +33,8 @@ from typing import Optional, Tuple
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
+import ray
 import ray.data
 
 IMAGE_SCHEMA = pa.schema([
@@ -142,6 +144,178 @@ class ImageDecodeActor(_MediaActor):
             pa.array(feats.ravel(), pa.float32()), self.dim
         )
         return batch.append_column("features", arr)
+
+
+def _avg_pool(gray: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Area-average downsample to (out_h, out_w) — the standard perceptual-
+    hash reduction (nearest-neighbor would make the hash flip under 1-pixel
+    shifts; area averaging is what makes pHash-family hashes robust).
+    Images smaller than the grid are nearest-upsampled first so every cell
+    is non-empty. Deterministic float64 accumulation."""
+    from ..functions import codecs
+
+    h, w = gray.shape
+    if h < out_h or w < out_w:
+        gray = codecs.resize_nearest(gray, max(w, out_w), max(h, out_h))
+        h, w = gray.shape
+    ys = (np.arange(out_h + 1) * h) // out_h
+    xs = (np.arange(out_w + 1) * w) // out_w
+    ii = np.zeros((h + 1, w + 1), np.float64)
+    ii[1:, 1:] = gray.astype(np.float64).cumsum(0).cumsum(1)
+    s = (ii[ys[1:, None], xs[None, 1:]] - ii[ys[:-1, None], xs[None, 1:]]
+         - ii[ys[1:, None], xs[None, :-1]] + ii[ys[:-1, None], xs[None, :-1]])
+    area = ((ys[1:, None] - ys[:-1, None])
+            * (xs[None, 1:] - xs[None, :-1])).astype(np.float64)
+    return s / area
+
+
+_BIT64 = np.uint64(1) << np.arange(64, dtype=np.uint64)
+
+
+def _pack_bits64(bits: np.ndarray) -> int:
+    """64 booleans (row-major) -> unsigned 64-bit int."""
+    return int((bits.ravel().astype(np.uint64) * _BIT64).sum())
+
+
+class ImageHashActor(_MediaActor):
+    """payload -> perceptual hashes: ``dhash64`` (horizontal-gradient hash
+    over a 9x8 area-averaged grid — each bit is cell[i] > cell[i+1]) and
+    ``ahash64`` (8x8 mean-threshold average hash). The image-side analogue
+    of the text SimHash signature: near-identical pixels -> small hamming
+    distance. Stored int64 with the same 2^63 offset convention as
+    ``dedup.simhash_dedup`` so parquet/SQL round-trips are lossless.
+
+    codec="fake" derives both hashes from the payload digest (plumbing-only
+    path, no decodables needed); codec="real" decodes via the pure-numpy
+    codecs (PPM/BMP/PNG/baseline+progressive JPEG)."""
+
+    def __init__(self, codec: str = "fake", dri_workers: int | None = None):
+        super().__init__(codec)
+        self.dri_workers = dri_workers
+
+    def _hashes(self, payload: bytes) -> tuple[int, int]:
+        if self.codec == "fake":
+            f = _fake_floats(payload, 16, b"imghash")
+            d = int.from_bytes(
+                hashlib.sha256(b"d" + f.tobytes()).digest()[:8], "big")
+            a = int.from_bytes(
+                hashlib.sha256(b"a" + f.tobytes()).digest()[:8], "big")
+            return d, a
+        from ..functions import codecs
+
+        img = codecs.decode_image(payload, dri_workers=self.dri_workers)
+        gray = img.astype(np.float32).mean(axis=2)
+        g9 = _avg_pool(gray, 9, 8)
+        dh = _pack_bits64(g9[:, 1:] > g9[:, :-1])
+        g8 = _avg_pool(gray, 8, 8)
+        ah = _pack_bits64(g8 > g8.mean())
+        return dh, ah
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hs = [self._hashes(p or b"")
+              for p in batch.column("payload").to_pylist()]
+        off = 1 << 63
+
+        def _signed(vals):
+            return pa.array([v - off if v >= off else v for v in vals],
+                            pa.int64())
+
+        return (batch.append_column("dhash64", _signed([h[0] for h in hs]))
+                .append_column("ahash64", _signed([h[1] for h in hs])))
+
+
+def image_hashes(ds, codec: str = "fake", batch_size: int = 32,
+                 concurrency=(1, 4),
+                 dri_workers: int | None = None) -> ray.data.Dataset:
+    """Perceptual-hash stage (see :class:`ImageHashActor`)."""
+    num_cpus = dri_workers if dri_workers and dri_workers > 1 else None
+    return _pool(ds, ImageHashActor, batch_size, concurrency,
+                 num_cpus=num_cpus, codec=codec, dri_workers=dri_workers)
+
+
+def image_neardup(
+    ds: ray.data.Dataset,
+    id_col: str = "media_id",
+    codec: str = "real",
+    hamming_threshold: int = 6,
+    max_group: int = 200,
+) -> dict:
+    """Image near-duplicate detection over the dHash — the image half of the
+    corpus dedup family (re-encoded / slightly-edited copies of the same
+    picture collide; distinct pictures do not).
+
+    Same scale shape as ``dedup.simhash_dedup``: 8x8-bit band blocking
+    (pigeonhole-complete for hamming <= 7 — any closer pair shares at least
+    one exact band), vectorized ids-only melt, hot-bucket caps with one
+    logged truncation summary, candidate-bounded hash broadcast, exact
+    hamming verify, connected components. Only ids and 64-bit hashes ever
+    shuffle — pixels stay inside the hash actors.
+
+    Returns ``{"hashes", "pairs", "clusters"}``.
+    """
+    if not 0 <= hamming_threshold <= 7:
+        raise ValueError("hamming_threshold must be in [0, 7] "
+                         "(8-band pigeonhole bound)")
+    from ..functions import textfns
+    from ..state import metrics as _metrics
+    from . import cluster as _cluster
+    from .dedup import (_bucket_candidate_pairs, _candidate_id_set,
+                        _distinct_pairs_with_value, _semi_join_ids_arrow)
+
+    sig = image_hashes(ds.select_columns([id_col, "payload"]),
+                       codec=codec).select_columns(
+        [id_col, "dhash64"]).materialize()
+
+    def _melt(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        idc = batch.column(id_col)
+        if isinstance(idc, pa.ChunkedArray):
+            idc = idc.combine_chunks()
+        h = batch.column("dhash64").to_numpy(zero_copy_only=False) \
+            .astype(np.int64).view(np.uint64)
+        bkey = np.empty(n * 8, dtype=np.int64)
+        for b in range(8):
+            band = ((h >> np.uint64(8 * b)) & np.uint64(0xFF)).astype(np.int64)
+            bkey[b * n:(b + 1) * n] = (band * np.int64(257)
+                                       ) ^ np.int64(b * 0x9E3779B9)
+        return pa.table({"bucket": pa.array(bkey, pa.int64()),
+                         id_col: pa.chunked_array([idc] * 8)})
+
+    melted = sig.map_batches(_melt, batch_format="pyarrow")
+    pairs = _bucket_candidate_pairs(melted, "bucket", id_col, max_group,
+                                    stage="image_neardup").materialize()
+    _metrics.log_truncation_summary("image_neardup")
+
+    cand_ids = _candidate_id_set(pairs)
+    sig_ref = ray.put({
+        r[0]: r[1]
+        for b in _semi_join_ids_arrow(sig, id_col, cand_ids)
+        .iter_batches(batch_format="pyarrow")
+        for r in zip(b.column(id_col).to_pylist(),
+                     b.column("dhash64").to_pylist())})
+    thr = int(hamming_threshold)
+    vkey = ("imagehash-verify", sig_ref.hex())
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        from .matching import _worker_state
+
+        sigs = _worker_state(vkey, lambda: ray.get(sig_ref))
+        mask = (1 << 64) - 1
+        ham = [textfns.hamming64(int(sigs[x]) & mask, int(sigs[y]) & mask)
+               for x, y in zip(batch.column("id_a").to_pylist(),
+                               batch.column("id_b").to_pylist())]
+        out = pa.table({"id_a": batch.column("id_a"),
+                        "id_b": batch.column("id_b"),
+                        "hamming": pa.array(ham, pa.int64())})
+        return out.filter(pc.less_equal(out.column("hamming"), thr))
+
+    sch = ds.schema()
+    id_type = dict(zip(sch.names, sch.types))[id_col]
+    verified = _distinct_pairs_with_value(
+        pairs.map_batches(_verify, batch_format="pyarrow"),
+        "hamming", id_type).materialize()
+    clusters = _cluster.connected_components(verified, "id_a", "id_b")
+    return {"hashes": sig, "pairs": verified, "clusters": clusters}
 
 
 class ImageResizeActor(_MediaActor):

@@ -346,3 +346,82 @@ def test_decode_images_dri_parallel_stage(ray_session):
     assert list(ser["media_id"]) == list(par["media_id"])
     for a, b in zip(ser["features"], par["features"]):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_avg_pool_properties():
+    import numpy as np
+
+    from registry_address_matcher_ray.stages.multimodal import _avg_pool
+
+    # constant image -> constant grid at any size (incl. upsample path)
+    for shape in ((40, 56), (5, 3)):
+        g = _avg_pool(np.full(shape, 7.0, np.float32), 9, 8)
+        assert g.shape == (8, 9)
+        assert np.allclose(g, 7.0)
+    # mean is preserved when the grid divides the image evenly
+    rng = np.random.default_rng(0)
+    img = rng.random((16, 18)).astype(np.float32)
+    g = _avg_pool(img, 9, 8)
+    assert abs(g.mean() - img.mean()) < 1e-6
+
+
+def test_image_hashes_real_and_fake(ray_session):
+    import numpy as np
+
+    from registry_address_matcher_ray.functions import codecs
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(32, 48, 3)).astype(np.uint8)
+    tbl = pa.table({
+        "media_id": ["a", "b"],
+        "payload": pa.array([codecs.encode_ppm(img),
+                             codecs.encode_bmp(img)], pa.binary()),
+    })
+    out = (M.image_hashes(ray.data.from_arrow(tbl), codec="real")
+           .to_pandas().sort_values("media_id"))
+    # identical pixels through different containers -> identical hashes
+    assert out["dhash64"].iloc[0] == out["dhash64"].iloc[1]
+    assert out["ahash64"].iloc[0] == out["ahash64"].iloc[1]
+    # fake codec: deterministic payload-derived plumbing path
+    f1 = M.image_hashes(ray.data.from_arrow(tbl), codec="fake").to_pandas()
+    f2 = M.image_hashes(ray.data.from_arrow(tbl), codec="fake").to_pandas()
+    assert list(f1["dhash64"]) == list(f2["dhash64"])
+
+
+def test_image_neardup_planted(ray_session):
+    import numpy as np
+
+    from registry_address_matcher_ray.functions import codecs
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(8):
+        img = rng.integers(0, 256, size=(40, 56, 3)).astype(np.uint8)
+        rows.append((f"orig-{i}", codecs.encode_ppm(img)))
+        # near-dup = brightness jitter re-encoded in a DIFFERENT container
+        jit = np.clip(img.astype(np.int16)
+                      + rng.integers(-2, 3, img.shape), 0, 255
+                      ).astype(np.uint8)
+        rows.append((f"dup-{i}", codecs.encode_bmp(jit)))
+    tbl = pa.table({"media_id": [r[0] for r in rows],
+                    "payload": pa.array([r[1] for r in rows], pa.binary())})
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    out = M.image_neardup(ds, codec="real", hamming_threshold=6)
+    pairs = out["pairs"].to_pandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(pairs.id_a, pairs.id_b)}
+    want = {tuple(sorted((f"orig-{i}", f"dup-{i}"))) for i in range(8)}
+    assert got == want                       # full recall, no false pairs
+    assert (pairs["hamming"] <= 6).all()
+    assert out["clusters"].count() == 16     # 8 clusters x 2 members
+    # partition invariance of the pair set
+    out2 = M.image_neardup(ray.data.from_arrow(tbl).repartition(7),
+                           codec="real", hamming_threshold=6)
+    p2 = out2["pairs"].to_pandas()
+    assert {tuple(sorted((a, b)))
+            for a, b in zip(p2.id_a, p2.id_b)} == want
+
+
+def test_image_neardup_threshold_bound(ray_session):
+    tbl = pa.table({"media_id": ["x"], "payload": pa.array([b""], pa.binary())})
+    with pytest.raises(ValueError, match="hamming_threshold"):
+        M.image_neardup(ray.data.from_arrow(tbl), hamming_threshold=8)
