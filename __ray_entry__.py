@@ -72,6 +72,29 @@ def _crawl_urls_path(sf_dir: str) -> str:
     return path
 
 
+def _robots_paths(sf_dir: str) -> tuple[str, str]:
+    """Per-host robots.txt fixture for the crawl-url hosts: returns
+    ``(robots_path, rules_path)`` — the raw (host, robots_txt) table the
+    ENGINE parses, and the melted (host, rule, prefix) table the ORACLE
+    joins (derived by the same ``functions.robots`` parse — one source of
+    truth; the parse itself is pytest-pinned in tests/test_robots.py)."""
+    from registry_address_matcher_ray.functions import robots as R
+
+    n = max(2_000, int(_sf_of(sf_dir) * 200_000))
+    # same host universe as sources/synth.synth_crawl_urls(n)
+    hosts = [f"site{h:03d}.example.com" for h in range(max(4, n // 40))]
+    rp = f"/tmp/ram_ray_fixtures/robots_n{n}_seed42.parquet"
+    rup = f"/tmp/ram_ray_fixtures/robots_rules_n{n}_seed42.parquet"
+    if not (os.path.exists(rp) and os.path.exists(rup)):
+        os.makedirs(os.path.dirname(rp), exist_ok=True)
+        tbl = R.synth_robots(hosts, seed=42)
+        pq.write_table(tbl, rp + ".tmp")
+        pq.write_table(R.rules_table(tbl), rup + ".tmp")
+        os.replace(rp + ".tmp", rp)
+        os.replace(rup + ".tmp", rup)
+    return rp, rup
+
+
 def _web_graph_path(sf_dir: str) -> str:
     """Deterministic directed web graph (src, dst), cached (synth_web_graph)."""
     from registry_address_matcher_ray.sources import synth
@@ -1742,6 +1765,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                      _pa.int64())}),
             batch_format="pyarrow")
 
+    def crawl_robots_allowed(sf_dir):
+        """URLs surviving each host's robots.txt (User-agent: * group,
+        longest-prefix decision, allow wins ties — functions/robots.py);
+        the host-level robots table is driver-parsed once and broadcast
+        (stages/webgraph.robots_filter)."""
+        from registry_address_matcher_ray.sources.io import read_parquet_clean
+        from registry_address_matcher_ray.stages import webgraph
+
+        robots_path, _ = _robots_paths(sf_dir)
+        urls = read_parquet_clean(
+            _crawl_urls_path(sf_dir), columns=["page_id", "url"])
+        return webgraph.robots_filter(urls, pq.read_table(robots_path))
+
     def hosts_page_stats(sf_dir):
         from ray.data.aggregate import Count
 
@@ -1968,6 +2004,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_links": pages_links,
         "pages_anchor_texts": pages_anchor_texts,
         "pages_noindex_filtered": pages_noindex_filtered,
+        "crawl_robots_allowed": crawl_robots_allowed,
         "pages_domain_graph": pages_domain_graph,
         "pages_crawl_pagerank": pages_crawl_pagerank,
         "events_heavy_hitters": events_heavy_hitters,
@@ -2780,6 +2817,35 @@ def oracle_sql() -> dict[str, str]:
         SELECT url, CAST(octet_length(html) AS BIGINT) AS html_len
         FROM read_parquet('{_lp_path}')
         WHERE NOT {_L.sql_noindex("decode(html)")}
+    """
+    # robots.txt: longest-prefix decision, allow wins length ties
+    # ('allow' < 'disallow' in the ORDER BY encodes RFC 9309 §2.2.2); the
+    # rules table is melted by the SAME functions/robots.py parse the engine
+    # broadcasts (parse pytest-pinned; the CHECKED semantics is the join +
+    # longest-match + tie-break decision)
+    from registry_address_matcher_ray.functions import robots as _Rb
+
+    _rb_urls = _crawl_urls_path("/root/testdata/sf0.01")
+    _rb_rules = _robots_paths("/root/testdata/sf0.01")[1]
+    _crawl_robots_sql = f"""
+        WITH u AS (SELECT page_id, url, {_canon} AS c
+                   FROM read_parquet('{_rb_urls}')),
+        u2 AS (SELECT page_id, url, {_U.sql_host('c')} AS host,
+                      CASE WHEN p0 = '' THEN '/' ELSE p0 END AS path
+               FROM (SELECT page_id, url, c,
+                            coalesce(regexp_extract(
+                                c, '{_Rb.PATH_SQL_RE}', 1), '') AS p0
+                     FROM u)),
+        r AS (SELECT host, rule, prefix, length(prefix) AS plen
+              FROM read_parquet('{_rb_rules}')),
+        m AS (SELECT u2.page_id, r.rule,
+                     row_number() OVER (PARTITION BY u2.page_id
+                         ORDER BY r.plen DESC, r.rule ASC) AS rk
+              FROM u2 JOIN r ON r.host = u2.host
+                            AND starts_with(u2.path, r.prefix)),
+        dec AS (SELECT page_id, rule FROM m WHERE rk = 1)
+        SELECT u2.page_id, u2.url FROM u2 LEFT JOIN dec USING (page_id)
+        WHERE dec.rule IS NULL OR dec.rule = 'allow'
     """
     _pages_domain_sql = f"""
         WITH {_lp_cte}
@@ -3648,6 +3714,7 @@ def oracle_sql() -> dict[str, str]:
         "pages_links": _pages_links_sql,
         "pages_anchor_texts": _pages_anchor_sql,
         "pages_noindex_filtered": _pages_noindex_sql,
+        "crawl_robots_allowed": _crawl_robots_sql,
         "pages_domain_graph": _pages_domain_sql,
         "pages_crawl_pagerank": _crawl_pagerank_sql,
         "web_pagerank_dist": _pagerank_sql,

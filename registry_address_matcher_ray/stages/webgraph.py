@@ -34,7 +34,7 @@ from registry_address_matcher_ray.functions import links as _links
 from registry_address_matcher_ray.functions import urls as _urls
 
 __all__ = ["link_edges", "link_graph", "domain_graph", "crawl_pagerank",
-           "anchor_texts", "noindex_filter"]
+           "anchor_texts", "noindex_filter", "robots_filter"]
 
 
 def link_edges(
@@ -152,6 +152,66 @@ def noindex_filter(
         return batch.filter(mask)
 
     return pages.map_batches(_filter, batch_format="pyarrow")
+
+
+def robots_filter(
+    urls: ray.data.Dataset,
+    robots: pa.Table,
+    url_col: str = "url",
+    keep_disallowed: bool = False,
+) -> ray.data.Dataset:
+    """Drop URLs a host's ``robots.txt`` disallows for ``User-agent: *`` —
+    the third crawl-politeness gate (with the URL/domain blocklist and the
+    meta-robots noindex kill).
+
+    ``robots`` is the small host-level ``(host, robots_txt)`` table (one row
+    per host — metadata-scale next to the URL corpus), parsed ONCE on the
+    driver via :func:`functions.robots.parse_robots` and broadcast as a
+    host -> rules map; the per-batch probe is vectorized per distinct host
+    (rules per host are few; ``str.startswith`` runs longest-prefix-first
+    over undecided rows). URLs are canonicalized through the shared
+    :mod:`functions.urls` chain before host/path extraction, so surface
+    forms obey the same rules their canonical target does.
+    """
+    import pandas as pd
+
+    from registry_address_matcher_ray.functions import robots as _robots
+
+    rule_map = {}
+    for h, t in zip(robots.column("host").to_pylist(),
+                    robots.column("robots_txt").to_pylist()):
+        parsed = _robots.parse_robots(t)
+        if parsed:
+            # longest-first, allow before disallow on equal length: the
+            # FIRST matching rule in this order is the decision
+            rule_map[h] = sorted(
+                parsed, key=lambda r: (-len(r[1]), r[0]))
+    rules_ref = ray.put(rule_map)
+    path_re = _robots.PATH_SQL_RE
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        rmap = ray.get(rules_ref)
+        canon_arr = _urls.canonicalize_arrow(batch.column(url_col))
+        canon = pd.Series(canon_arr.to_pylist())
+        hosts = pd.Series(_urls.host_of_arrow(canon_arr).to_pylist())
+        paths = canon.str.extract(path_re, expand=False).fillna("")
+        allowed = pd.Series(True, index=canon.index)
+        for h in hosts.unique():
+            rules = rmap.get(h)
+            if not rules:
+                continue
+            sel = hosts == h
+            undecided = sel.copy()
+            p = paths.where(paths != "", "/")
+            for rule, prefix in rules:
+                m = undecided & p.str.startswith(prefix)
+                if m.any():
+                    allowed[m] = rule == "allow"
+                    undecided &= ~m
+        mask = (~allowed if keep_disallowed else allowed).to_numpy()
+        return batch.filter(pa.array(mask))
+
+    return urls.map_batches(_filter, batch_format="pyarrow")
 
 
 def crawl_pagerank(
