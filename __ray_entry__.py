@@ -1577,6 +1577,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return M.image_neardup(ds, codec="real",
                                hamming_threshold=6)["pairs"]
 
+    def media_audio_neardup(sf_dir):
+        """Audio near-duplicate detection over the acoustic fingerprint
+        (SimHash of the -30dB-floored, volume-normalized log spectrogram,
+        seeded hyperplanes) — volume-scaled / lightly-noised / FLAC-re-
+        encoded copies of a WAV clip collide. Rows-only driver check;
+        planted recall + invariances pinned in tests/test_multimodal.py."""
+        import numpy as _np
+        import pyarrow as _pa
+        import ray.data
+
+        from registry_address_matcher_ray.functions import codecs as _codecs
+        from registry_address_matcher_ray.functions.flac import encode_flac
+        from registry_address_matcher_ray.stages import multimodal as M
+
+        n = max(12, int(_sf_of(sf_dir) * 1200))
+        rng = _np.random.default_rng(17)
+        ids, payloads = [], []
+        for i in range(n):
+            # non-stationary broadband clip: per-eighth spectral envelopes
+            out = _np.zeros(4000)
+            sl = 500
+            for s in range(8):
+                spec = _np.fft.rfft(rng.normal(0, 1, sl))
+                freqs = _np.linspace(0, 1, len(spec))
+                env = _np.exp(-((freqs - rng.uniform(0.05, 0.7)) ** 2)
+                              / (2 * rng.uniform(0.03, 0.25) ** 2))
+                seg = _np.fft.irfft(spec * env, sl)
+                out[s * sl:(s + 1) * sl] = seg / max(abs(seg).max(), 1e-9)
+            base = 0.4 * out
+            ids.append(f"clip-{i:05d}")
+            payloads.append(_codecs.encode_wav(
+                (_np.clip(base, -1, 1) * 32000).astype(_np.int16), 16000))
+            if i % 3 == 0:   # plant a scaled+noised FLAC re-encode
+                dup = 0.6 * base + rng.normal(0, 0.002, base.shape)
+                ids.append(f"clip-{i:05d}-dup")
+                payloads.append(encode_flac(
+                    (_np.clip(dup, -1, 1) * 32000).astype(_np.int16), 16000))
+        ds = ray.data.from_arrow(_pa.table({
+            "media_id": ids,
+            "payload": _pa.array(payloads, _pa.binary())}))
+        return M.audio_neardup(ds, codec="real",
+                               hamming_threshold=6)["pairs"]
+
     def media_image_features(sf_dir):
         """Actor-pool image decode/feature stage over opaque binary payloads."""
         import ray.data
@@ -2138,6 +2181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_neardup": embeddings_neardup,
         "media_real_decode": media_real_decode,
         "media_image_neardup": media_image_neardup,
+        "media_audio_neardup": media_audio_neardup,
         "media_image_features": media_image_features,
         "media_frame_sample": media_frame_sample,
         "media_real_frames": media_real_frames,

@@ -233,25 +233,23 @@ def image_hashes(ds, codec: str = "fake", batch_size: int = 32,
                  num_cpus=num_cpus, codec=codec, dri_workers=dri_workers)
 
 
-def image_neardup(
-    ds: ray.data.Dataset,
-    id_col: str = "media_id",
-    codec: str = "real",
-    hamming_threshold: int = 6,
-    max_group: int = 200,
+def _hash64_neardup(
+    sig: ray.data.Dataset,
+    id_col: str,
+    hash_col: str,
+    id_type: pa.DataType,
+    hamming_threshold: int,
+    max_group: int,
+    stage: str,
 ) -> dict:
-    """Image near-duplicate detection over the dHash — the image half of the
-    corpus dedup family (re-encoded / slightly-edited copies of the same
-    picture collide; distinct pictures do not).
-
-    Same scale shape as ``dedup.simhash_dedup``: 8x8-bit band blocking
-    (pigeonhole-complete for hamming <= 7 — any closer pair shares at least
-    one exact band), vectorized ids-only melt, hot-bucket caps with one
-    logged truncation summary, candidate-bounded hash broadcast, exact
-    hamming verify, connected components. Only ids and 64-bit hashes ever
-    shuffle — pixels stay inside the hash actors.
-
-    Returns ``{"hashes", "pairs", "clusters"}``.
+    """Banded-hamming near-dup over a MATERIALIZED 64-bit signature table —
+    the shared engine behind :func:`image_neardup` and :func:`audio_neardup`
+    (and structurally the same plan as ``dedup.simhash_dedup``): 8x8-bit
+    band blocking (pigeonhole-complete for hamming <= 7 — any closer pair
+    shares at least one exact band), vectorized ids-only melt, hot-bucket
+    caps with one logged truncation summary, candidate-bounded hash
+    broadcast, exact hamming verify, connected components. Only ids and
+    64-bit hashes ever shuffle.
     """
     if not 0 <= hamming_threshold <= 7:
         raise ValueError("hamming_threshold must be in [0, 7] "
@@ -262,16 +260,12 @@ def image_neardup(
     from .dedup import (_bucket_candidate_pairs, _candidate_id_set,
                         _distinct_pairs_with_value, _semi_join_ids_arrow)
 
-    sig = image_hashes(ds.select_columns([id_col, "payload"]),
-                       codec=codec).select_columns(
-        [id_col, "dhash64"]).materialize()
-
     def _melt(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         idc = batch.column(id_col)
         if isinstance(idc, pa.ChunkedArray):
             idc = idc.combine_chunks()
-        h = batch.column("dhash64").to_numpy(zero_copy_only=False) \
+        h = batch.column(hash_col).to_numpy(zero_copy_only=False) \
             .astype(np.int64).view(np.uint64)
         bkey = np.empty(n * 8, dtype=np.int64)
         for b in range(8):
@@ -283,8 +277,8 @@ def image_neardup(
 
     melted = sig.map_batches(_melt, batch_format="pyarrow")
     pairs = _bucket_candidate_pairs(melted, "bucket", id_col, max_group,
-                                    stage="image_neardup").materialize()
-    _metrics.log_truncation_summary("image_neardup")
+                                    stage=stage).materialize()
+    _metrics.log_truncation_summary(stage)
 
     cand_ids = _candidate_id_set(pairs)
     sig_ref = ray.put({
@@ -292,9 +286,9 @@ def image_neardup(
         for b in _semi_join_ids_arrow(sig, id_col, cand_ids)
         .iter_batches(batch_format="pyarrow")
         for r in zip(b.column(id_col).to_pylist(),
-                     b.column("dhash64").to_pylist())})
+                     b.column(hash_col).to_pylist())})
     thr = int(hamming_threshold)
-    vkey = ("imagehash-verify", sig_ref.hex())
+    vkey = (f"{stage}-verify", sig_ref.hex())
 
     def _verify(batch: pa.Table) -> pa.Table:
         from .matching import _worker_state
@@ -309,13 +303,133 @@ def image_neardup(
                         "hamming": pa.array(ham, pa.int64())})
         return out.filter(pc.less_equal(out.column("hamming"), thr))
 
-    sch = ds.schema()
-    id_type = dict(zip(sch.names, sch.types))[id_col]
     verified = _distinct_pairs_with_value(
         pairs.map_batches(_verify, batch_format="pyarrow"),
         "hamming", id_type).materialize()
     clusters = _cluster.connected_components(verified, "id_a", "id_b")
     return {"hashes": sig, "pairs": verified, "clusters": clusters}
+
+
+def image_neardup(
+    ds: ray.data.Dataset,
+    id_col: str = "media_id",
+    codec: str = "real",
+    hamming_threshold: int = 6,
+    max_group: int = 200,
+) -> dict:
+    """Image near-duplicate detection over the dHash — the image half of the
+    corpus dedup family (re-encoded / slightly-edited copies of the same
+    picture collide; distinct pictures do not). Pixels stay inside the hash
+    actors; see :func:`_hash64_neardup` for the pair plan.
+
+    Returns ``{"hashes", "pairs", "clusters"}``.
+    """
+    if not 0 <= hamming_threshold <= 7:
+        raise ValueError("hamming_threshold must be in [0, 7] "
+                         "(8-band pigeonhole bound)")
+    sig = image_hashes(ds.select_columns([id_col, "payload"]),
+                       codec=codec).select_columns(
+        [id_col, "dhash64"]).materialize()
+    sch = ds.schema()
+    id_type = dict(zip(sch.names, sch.types))[id_col]
+    return _hash64_neardup(sig, id_col, "dhash64", id_type,
+                           hamming_threshold, max_group, "image_neardup")
+
+
+class AudioHashActor(_MediaActor):
+    """payload -> acoustic fingerprint ``afp64``: SimHash over the clip's
+    log spectrogram. The clip is split into 8 equal time segments; each
+    segment's rFFT power is binned into 9 equal frequency bands and
+    normalized by segment power (volume-scale invariance) before the log;
+    the centered 72-dim feature vector is projected onto 64 SEEDED Gaussian
+    hyperplanes and each bit is the projection's sign.
+
+    Random-hyperplane signs beat the classic adjacent-band-difference bits
+    here: a small perturbation (re-encode, light noise) rotates the feature
+    vector by a small angle theta, flipping ~64*theta/pi bits SMOOTHLY,
+    instead of concentrating flips on whichever band pairs sit near the
+    comparison boundary. Same int64 2^63-offset storage as the other
+    64-bit signatures. codec="fake" digests the payload (plumbing path);
+    codec="real" decodes PCM16 WAV / FLAC via the pure-numpy codecs."""
+
+    def __init__(self, codec: str = "fake", segments: int = 8, bands: int = 9):
+        super().__init__(codec)
+        self.segments = segments
+        self.bands = bands
+        # fixed-seed hyperplanes: the fingerprint is a deterministic pure
+        # function of the payload across actors, sessions and cluster sizes
+        self._planes = np.random.default_rng(0xAF9).standard_normal(
+            (64, segments * bands))
+
+    def _hash(self, payload: bytes) -> int:
+        if self.codec == "fake":
+            return int.from_bytes(
+                hashlib.sha256(b"afp" + payload).digest()[:8], "big")
+        from ..functions import codecs
+
+        samples, _rate = codecs.decode_audio(payload)
+        if not len(samples):
+            return 0
+        e = np.full((self.segments, self.bands), np.log(1e-3), np.float64)
+        chunk = max(1, len(samples) // self.segments)
+        for t in range(self.segments):
+            seg = samples[t * chunk:(t + 1) * chunk]
+            if not len(seg):
+                continue
+            mag = np.abs(np.fft.rfft(seg)) ** 2          # band POWER
+            bands = np.array([p.sum() for p in
+                              np.array_split(mag, self.bands)])
+            tot = bands.sum()
+            if tot <= 0:
+                continue
+            # -30 dB floor: a near-silent band's log power is hypersensitive
+            # to any added noise floor (log of ~0 jumps by decades); bands
+            # below 0.1% of segment power clamp to "silence" in both the
+            # original and its re-encode, so they cannot flip bits
+            e[t] = np.log(np.maximum(bands / tot, 1e-3))
+        v = e.ravel()
+        v = v - v.mean()
+        return _pack_bits64(self._planes @ v > 0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        off = 1 << 63
+        vals = [self._hash(p or b"")
+                for p in batch.column("payload").to_pylist()]
+        return batch.append_column(
+            "afp64", pa.array([v - off if v >= off else v for v in vals],
+                              pa.int64()))
+
+
+def audio_hashes(ds, codec: str = "fake", batch_size: int = 32,
+                 concurrency=(1, 4)) -> ray.data.Dataset:
+    """Acoustic-fingerprint stage (see :class:`AudioHashActor`)."""
+    return _pool(ds, AudioHashActor, batch_size, concurrency, codec=codec)
+
+
+def audio_neardup(
+    ds: ray.data.Dataset,
+    id_col: str = "media_id",
+    codec: str = "real",
+    hamming_threshold: int = 6,
+    max_group: int = 200,
+) -> dict:
+    """Audio near-duplicate detection over the acoustic fingerprint — the
+    audio member of the media dedup family (volume-scaled / re-encoded /
+    lightly-noised copies of the same clip collide). Samples stay inside
+    the hash actors; see :func:`_hash64_neardup` for the pair plan.
+
+    Returns ``{"hashes", "pairs", "clusters"}``.
+    """
+    if not 0 <= hamming_threshold <= 7:
+        raise ValueError("hamming_threshold must be in [0, 7] "
+                         "(8-band pigeonhole bound)")
+    sig = audio_hashes(ds.select_columns([id_col, "payload"]),
+                       codec=codec).select_columns(
+        [id_col, "afp64"]).materialize()
+    sch = ds.schema()
+    id_type = dict(zip(sch.names, sch.types))[id_col]
+    return _hash64_neardup(sig, id_col, "afp64", id_type,
+                           hamming_threshold, max_group, "audio_neardup")
 
 
 class ImageResizeActor(_MediaActor):

@@ -425,3 +425,75 @@ def test_image_neardup_threshold_bound(ray_session):
     tbl = pa.table({"media_id": ["x"], "payload": pa.array([b""], pa.binary())})
     with pytest.raises(ValueError, match="hamming_threshold"):
         M.image_neardup(ray.data.from_arrow(tbl), hamming_threshold=8)
+
+
+def _broadband_clip(rng, n=8000, segs=8):
+    """Non-stationary broadband test audio: each eighth gets its own
+    spectral envelope (stationary clips would make all 8 time segments
+    statistically identical and collapse the fingerprint's information)."""
+    import numpy as np
+
+    out = np.zeros(n)
+    sl = n // segs
+    for s in range(segs):
+        spec = np.fft.rfft(rng.normal(0, 1, sl))
+        freqs = np.linspace(0, 1, len(spec))
+        env = np.exp(-((freqs - rng.uniform(0.05, 0.7)) ** 2)
+                     / (2 * rng.uniform(0.03, 0.25) ** 2))
+        seg = np.fft.irfft(spec * env, sl)
+        out[s * sl:(s + 1) * sl] = seg / max(np.abs(seg).max(), 1e-9)
+    return 0.4 * out
+
+
+def test_audio_hash_volume_invariance_and_separation():
+    import numpy as np
+
+    from registry_address_matcher_ray.functions import codecs
+    from registry_address_matcher_ray.functions.textfns import hamming64
+
+    rng = np.random.default_rng(7)
+    actor = M.AudioHashActor(codec="real")
+
+    def wav(sig):
+        return codecs.encode_wav(
+            (np.clip(sig, -1, 1) * 32000).astype(np.int16), 16000)
+
+    base = _broadband_clip(rng)
+    h = actor._hash(wav(base))
+    # volume scaling: near-identical fingerprint (int16 quantization only)
+    assert hamming64(h, actor._hash(wav(0.5 * base))) <= 2
+    # light noise + re-encode: small distance
+    dup = 0.6 * base + rng.normal(0, 0.002, base.shape)
+    assert hamming64(h, actor._hash(wav(dup))) <= 6
+    # a different clip: far
+    other = actor._hash(wav(_broadband_clip(rng)))
+    assert hamming64(h, other) > 8
+    # empty audio -> 0 sentinel
+    assert actor._hash(wav(np.zeros(16))) == 0
+
+
+def test_audio_neardup_planted(ray_session):
+    import numpy as np
+
+    from registry_address_matcher_ray.functions import codecs
+    from registry_address_matcher_ray.functions.flac import encode_flac
+
+    rng = np.random.default_rng(4)
+    rows = []
+    for i in range(8):
+        base = _broadband_clip(rng)
+        rows.append((f"orig-{i}", codecs.encode_wav(
+            (np.clip(base, -1, 1) * 32000).astype(np.int16), 16000)))
+        # near-dup: volume-scaled + lightly noised, re-encoded as FLAC
+        dup = 0.6 * base + rng.normal(0, 0.002, base.shape)
+        rows.append((f"dup-{i}", encode_flac(
+            (np.clip(dup, -1, 1) * 32000).astype(np.int16), 16000)))
+    tbl = pa.table({"media_id": [r[0] for r in rows],
+                    "payload": pa.array([r[1] for r in rows], pa.binary())})
+    out = M.audio_neardup(ray.data.from_arrow(tbl).repartition(4),
+                          codec="real", hamming_threshold=6)
+    pairs = out["pairs"].to_pandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(pairs.id_a, pairs.id_b)}
+    want = {tuple(sorted((f"orig-{i}", f"dup-{i}"))) for i in range(8)}
+    assert got == want
+    assert out["clusters"].count() == 16
