@@ -1620,6 +1620,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return M.audio_neardup(ds, codec="real",
                                hamming_threshold=6)["pairs"]
 
+    def media_video_neardup(sf_dir):
+        """Video near-duplicate detection: up to 8 evenly-spaced MJPEG-AVI
+        frames decoded per clip, per-frame dHash, clip hash = per-bit
+        MAJORITY across frames (absorbs re-encode flips); banded-hamming
+        pair plan shared with the image/audio paths. Rows-only driver
+        check; planted recall pinned in tests/test_multimodal.py."""
+        import numpy as _np
+        import pyarrow as _pa
+        import ray.data
+
+        from registry_address_matcher_ray.functions.avi import \
+            encode_mjpeg_avi
+        from registry_address_matcher_ray.stages import multimodal as M
+
+        n = max(8, int(_sf_of(sf_dir) * 800))
+        rng = _np.random.default_rng(23)
+        ids, payloads = [], []
+        for i in range(n):
+            low = rng.integers(30, 226, size=(6, 8, 3)).astype(_np.float32)
+            base = _np.kron(low, _np.ones((8, 8, 1))).astype(_np.int16)
+            frames = []
+            for t in range(10):
+                f = base + rng.integers(-4, 5, base.shape)
+                f[:, (t * 4) % 64:(t * 4) % 64 + 6] += 70
+                frames.append(_np.clip(f, 0, 255).astype(_np.uint8))
+            ids.append(f"vid-{i:05d}")
+            payloads.append(encode_mjpeg_avi(frames, fps=10, quality=85))
+            if i % 3 == 0:   # plant a jittered lower-quality re-encode
+                fr2 = [_np.clip(f.astype(_np.int16)
+                                + rng.integers(-2, 3, f.shape),
+                                0, 255).astype(_np.uint8) for f in frames]
+                ids.append(f"vid-{i:05d}-dup")
+                payloads.append(encode_mjpeg_avi(fr2, fps=10, quality=70))
+        ds = ray.data.from_arrow(_pa.table({
+            "media_id": ids,
+            "payload": _pa.array(payloads, _pa.binary())}))
+        return M.video_neardup(ds, codec="real",
+                               hamming_threshold=6)["pairs"]
+
     def media_image_features(sf_dir):
         """Actor-pool image decode/feature stage over opaque binary payloads."""
         import ray.data
@@ -2182,6 +2221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_real_decode": media_real_decode,
         "media_image_neardup": media_image_neardup,
         "media_audio_neardup": media_audio_neardup,
+        "media_video_neardup": media_video_neardup,
         "media_image_features": media_image_features,
         "media_frame_sample": media_frame_sample,
         "media_real_frames": media_real_frames,

@@ -497,3 +497,63 @@ def test_audio_neardup_planted(ray_session):
     want = {tuple(sorted((f"orig-{i}", f"dup-{i}"))) for i in range(8)}
     assert got == want
     assert out["clusters"].count() == 16
+
+
+def _scene_frames(rng, k=12, h=48, w=64):
+    """Structured video frames: smooth random field + a moving bright bar
+    (pure-noise frames would make adjacent dHash cells near-ties)."""
+    import numpy as np
+
+    low = rng.integers(30, 226, size=(h // 8, w // 8, 3)).astype(np.float32)
+    base = np.kron(low, np.ones((8, 8, 1))).astype(np.int16)
+    frames = []
+    for t in range(k):
+        f = base + rng.integers(-4, 5, base.shape)
+        f[:, (t * 4) % w:(t * 4) % w + 6] += 70
+        frames.append(np.clip(f, 0, 255).astype(np.uint8))
+    return frames
+
+
+def test_video_hash_majority_and_sentinel():
+    import numpy as np
+
+    from registry_address_matcher_ray.functions.avi import encode_mjpeg_avi
+    from registry_address_matcher_ray.functions.textfns import hamming64
+
+    rng = np.random.default_rng(2)
+    fr = _scene_frames(rng)
+    actor = M.VideoHashActor(codec="real")
+    h1 = actor._hash(encode_mjpeg_avi(fr, fps=10, quality=85))
+    # re-encode at a lower quality: majority voting absorbs per-frame flips
+    h2 = actor._hash(encode_mjpeg_avi(fr, fps=10, quality=60))
+    assert hamming64(h1, h2) <= 4
+    # a different scene is far
+    h3 = actor._hash(encode_mjpeg_avi(_scene_frames(rng), fps=10))
+    assert hamming64(h1, h3) > 8
+    # deterministic across calls
+    assert h1 == actor._hash(encode_mjpeg_avi(fr, fps=10, quality=85))
+
+
+def test_video_neardup_planted(ray_session):
+    import numpy as np
+
+    from registry_address_matcher_ray.functions.avi import encode_mjpeg_avi
+
+    rng = np.random.default_rng(6)
+    rows = []
+    for i in range(5):
+        fr = _scene_frames(rng)
+        rows.append((f"orig-{i}", encode_mjpeg_avi(fr, fps=10, quality=85)))
+        # dup: light per-pixel jitter re-encoded at a different quality
+        fr2 = [np.clip(f.astype(np.int16) + rng.integers(-2, 3, f.shape),
+                       0, 255).astype(np.uint8) for f in fr]
+        rows.append((f"dup-{i}", encode_mjpeg_avi(fr2, fps=10, quality=70)))
+    tbl = pa.table({"media_id": [r[0] for r in rows],
+                    "payload": pa.array([r[1] for r in rows], pa.binary())})
+    out = M.video_neardup(ray.data.from_arrow(tbl).repartition(3),
+                          codec="real", hamming_threshold=6)
+    pairs = out["pairs"].to_pandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(pairs.id_a, pairs.id_b)}
+    assert got == {tuple(sorted((f"orig-{i}", f"dup-{i}")))
+                   for i in range(5)}
+    assert out["clusters"].count() == 10
