@@ -524,6 +524,66 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "text", "doc_id", k=8, buffer=2).count()
         queries["span_decontaminate"] = round(time.time() - t0, 3)
 
+    # ---- media near-dup triad (image dHash / audio SimHash / video
+    # majority-dHash): planted-dup corpora generated once, cached
+    import numpy as _np
+    import pyarrow as _pa3
+
+    from registry_address_matcher_ray.functions import codecs as _codecs
+    from registry_address_matcher_ray.functions.avi import encode_mjpeg_avi
+    from registry_address_matcher_ray.stages import multimodal as MM
+
+    med_dir = "/tmp/ram_ray_fixtures/bench_media_neardup"
+    if not os.path.exists(med_dir):
+        os.makedirs(med_dir + ".tmp", exist_ok=True)
+        rng = _np.random.default_rng(29)
+        ids, pays = [], []
+        for i in range(300):
+            img = rng.integers(0, 256, size=(48, 64, 3)).astype(_np.uint8)
+            ids.append(f"img-{i:05d}")
+            pays.append(_codecs.encode_ppm(img))
+            if i % 3 == 0:
+                jit = _np.clip(img.astype(_np.int16)
+                               + rng.integers(-2, 3, img.shape),
+                               0, 255).astype(_np.uint8)
+                ids.append(f"img-{i:05d}-dup")
+                pays.append(_codecs.encode_bmp(jit))
+        pq.write_table(_pa3.table({
+            "media_id": ids, "payload": _pa3.array(pays, _pa3.binary())}),
+            med_dir + ".tmp/images.parquet")
+        ids, pays = [], []
+        for i in range(120):
+            low = rng.integers(30, 226, size=(6, 8, 3)).astype(_np.float32)
+            base = _np.kron(low, _np.ones((8, 8, 1))).astype(_np.int16)
+            frames = [
+                _np.clip(base + rng.integers(-4, 5, base.shape), 0, 255
+                         ).astype(_np.uint8) for _ in range(10)]
+            ids.append(f"vid-{i:05d}")
+            pays.append(encode_mjpeg_avi(frames, fps=10, quality=85))
+            if i % 3 == 0:
+                fr2 = [_np.clip(f.astype(_np.int16)
+                                + rng.integers(-2, 3, f.shape), 0, 255
+                                ).astype(_np.uint8) for f in frames]
+                ids.append(f"vid-{i:05d}-dup")
+                pays.append(encode_mjpeg_avi(fr2, fps=10, quality=70))
+        pq.write_table(_pa3.table({
+            "media_id": ids, "payload": _pa3.array(pays, _pa3.binary())}),
+            med_dir + ".tmp/videos.parquet")
+        os.replace(med_dir + ".tmp", med_dir)
+
+    t0 = time.time()
+    img_pairs = MM.image_neardup(
+        _rd.read_parquet(med_dir + "/images.parquet"),
+        codec="real")["pairs"].count()
+    queries["image_neardup"] = round(time.time() - t0, 3)
+    extras["image_neardup_pairs"] = img_pairs
+    t0 = time.time()
+    vid_pairs = MM.video_neardup(
+        _rd.read_parquet(med_dir + "/videos.parquet"),
+        codec="real")["pairs"].count()
+    queries["video_neardup"] = round(time.time() - t0, 3)
+    extras["video_neardup_pairs"] = vid_pairs
+
     result = {
         "metric": "linkage_pages_sec",
         "value": queries["linkage_pages"],
