@@ -52,14 +52,35 @@ def link_edges(
 
 def _count_pairs(edges: ray.data.Dataset, a: str, b: str,
                  out: str) -> ray.data.Dataset:
-    """(a, b) occurrence counts with per-batch partial aggregation."""
+    """(a, b) occurrence counts with per-batch partial aggregation.
+
+    The global exchange runs on ONE PACKED KEY (``a\\x00b``): Ray's
+    multi-key hash groupby is an order of magnitude slower than single-key
+    at this shape (same finding as ``dedup._distinct_pairs_with_value`` and
+    ``cluster.triangle_stats``). URL/host strings cannot contain NUL, so
+    the packing is lossless."""
 
     def _partial(batch: pa.Table) -> pa.Table:
         g = batch.group_by([a, b]).aggregate([([], "count_all")])
-        return g.rename_columns([a, b, out])
+        g = g.rename_columns([a, b, out])
+        k = pc.binary_join_element_wise(
+            pc.cast(g.column(a), pa.string()),
+            pc.cast(g.column(b), pa.string()), "\x00")
+        return pa.table({"k": k, out: g.column(out)})
+
+    def _unpack(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t.column("k"), "\x00")
+        return pa.table({
+            a: pc.list_element(parts, 0),
+            b: pc.list_element(parts, 1),
+            out: t.column(out)})
 
     return (edges.map_batches(_partial, batch_format="pyarrow")
-            .groupby([a, b]).aggregate(Sum(out, alias_name=out)))
+            .groupby("k").aggregate(Sum(out, alias_name=out))
+            .map_batches(lambda t: t if t.num_columns else pa.table(
+                {"k": pa.array([], pa.string()),
+                 out: pa.array([], pa.int64())}), batch_format="pyarrow")
+            .map_batches(_unpack, batch_format="pyarrow"))
 
 
 def link_graph(
@@ -268,7 +289,27 @@ def crawl_pagerank(
         lambda b: pa.table({"src": b.column(url_col),
                             "dst": b.column(url_col)}),
         batch_format="pyarrow")
+
+    # distinct over ONE PACKED KEY (URLs cannot contain NUL) — Ray's
+    # multi-key groupby is an order of magnitude slower at this shape
+    def _pack(b: pa.Table) -> pa.Table:
+        return pa.table({"k": pc.binary_join_element_wise(
+            b.column("src"), b.column("dst"), "\x00")})
+
+    def _unpack(t: pa.Table) -> pa.Table:
+        if not t.num_columns or not t.num_rows:
+            return pa.table({"src": pa.array([], pa.string()),
+                             "dst": pa.array([], pa.string())})
+        parts = pc.split_pattern(t.column("k"), "\x00")
+        return pa.table({"src": pc.list_element(parts, 0),
+                         "dst": pc.list_element(parts, 1)})
+
+    # materialize: pagerank consumes its input twice (count + collect/joins)
+    # and must not re-run the extraction lineage
     distinct = (kept.union(self_loops)
-                .groupby(["src", "dst"]).count()
-                .select_columns(["src", "dst"]))
+                .map_batches(_pack, batch_format="pyarrow")
+                .groupby("k").count()
+                .map_batches(lambda t: t.select(["k"]) if t.num_columns
+                             else t, batch_format="pyarrow")
+                .map_batches(_unpack, batch_format="pyarrow")).materialize()
     return cluster.pagerank(distinct, n_iters=n_iters)
