@@ -72,6 +72,26 @@ def _crawl_urls_path(sf_dir: str) -> str:
     return path
 
 
+def _linked_text_path(sf_dir: str) -> str:
+    """Extracted text of the linked-pages fixture (url, text), driver-side —
+    same one-source-of-truth pattern as :func:`_pages_text_path`: the
+    html->text extraction is the engine's own pure batch function, so the
+    corpus-prep oracle checks the SQL-expressible chain on identical text
+    (extraction itself is pinned in tests/test_extract.py)."""
+    lp = _linked_pages_path(sf_dir)
+    out = lp.replace(".parquet", "_text.parquet")
+    if not os.path.exists(out):
+        from registry_address_matcher_ray.stages import blocking
+
+        ext = blocking._extract_batch(pq.read_table(lp))
+        pq.write_table(
+            pa.table({"url": ext.column("url"),
+                      "text": ext.column("extracted_text")}),
+            out + ".tmp")
+        os.replace(out + ".tmp", out)
+    return out
+
+
 def _robots_paths(sf_dir: str) -> tuple[str, str]:
     """Per-host robots.txt fixture for the crawl-url hosts: returns
     ``(robots_path, rules_path)`` — the raw (host, robots_txt) table the
@@ -118,9 +138,11 @@ def _linked_pages_path(sf_dir: str) -> str:
     from registry_address_matcher_ray.sources import synth
 
     n = max(500, int(_sf_of(sf_dir) * 50_000))
-    # v2: generator adds anchor TEXTS + meta-robots noindex rows (edge set
-    # unchanged); versioned name forces regeneration over any cached v1
-    path = f"/tmp/ram_ray_fixtures/linked_pages_v2_n{n}_seed42.parquet"
+    # v2: generator adds anchor TEXTS + meta-robots noindex rows; v3 adds
+    # corpus-realistic bodies (paragraphs, boilerplate footers, lorem kills,
+    # duplicate bodies) — edge set byte-stable throughout; versioned name
+    # forces regeneration over any cached older fixture
+    path = f"/tmp/ram_ray_fixtures/linked_pages_v4_n{n}_seed42.parquet"
     if not os.path.exists(path):
         os.makedirs(os.path.dirname(path), exist_ok=True)
         pq.write_table(synth.synth_linked_pages(n, seed=42), path + ".tmp")
@@ -1847,6 +1869,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                      _pa.int64())}),
             batch_format="pyarrow")
 
+    def pages_corpus_prep(sf_dir):
+        """FLAGSHIP crawl-corpus composition (pipelines/web_corpus.py):
+        noindex kill -> domain blocklist -> extract -> boilerplate line
+        removal -> C4 clean+kill -> exact text dedup (min-url winner).
+        Full-chain DuckDB oracle over the same fixture."""
+        from registry_address_matcher_ray.pipelines.web_corpus import \
+            pages_to_corpus
+
+        return pages_to_corpus(_linked_pages_ds(sf_dir),
+                               blocked=frozenset({"w3.example.org"}))
+
     def crawl_robots_allowed(sf_dir):
         """URLs surviving each host's robots.txt (User-agent: * group,
         longest-prefix decision, allow wins ties — functions/robots.py);
@@ -2087,6 +2120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_anchor_texts": pages_anchor_texts,
         "pages_noindex_filtered": pages_noindex_filtered,
         "crawl_robots_allowed": crawl_robots_allowed,
+        "pages_corpus_prep": pages_corpus_prep,
         "pages_domain_graph": pages_domain_graph,
         "pages_crawl_pagerank": pages_crawl_pagerank,
         "events_heavy_hitters": events_heavy_hitters,
@@ -2292,9 +2326,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r4 and the fixpoint is pytest-pinned); web_hits_dist shares the same
         # SQL and is plan-parity-pinned in tests/test_cluster.py
         "web_hits",
+        # crawl-corpus FLAGSHIP composition (final-session): full-chain
+        # oracle; takes the match_one_to_one rows-only slot (pytest-pinned)
+        "pages_corpus_prep",
         # rows-only, never driver-checked (weaker rows-only record)
         "match_fs_em_params",
-        "match_one_to_one",
         "docs_quality_train", "docs_bpe_token_shards", "docs_pack_sequences",
         "docs_training_prep_packed", "docs_neardup_against",
         "media_real_decode",
@@ -2901,6 +2937,51 @@ def oracle_sql() -> dict[str, str]:
         SELECT url, CAST(octet_length(html) AS BIGINT) AS html_len
         FROM read_parquet('{_lp_path}')
         WHERE NOT {_L.sql_noindex("decode(html)")}
+    """
+    # crawl-corpus composition: the full prep chain in ONE SQL — noindex +
+    # blocklist predicates (functions/links.sql_noindex /
+    # functions/urls.sql_blocklist), driver-extracted text fixture join,
+    # boilerplate-line df rule, the C4 line/kill rules (same expressions as
+    # the docs_c4_clean oracle, parametrized min_words=5 / min_sentences=1),
+    # exact text dedup keeping min(url)
+    _cp_text = _linked_text_path("/root/testdata/sf0.01")
+    _cp_blocked = frozenset({"w3.example.org"})
+    _cp_host = _U.sql_host(_U.sql_canonical("url"))
+    _pages_corpus_sql = f"""
+        WITH raw AS (SELECT url, decode(html) AS h
+                     FROM read_parquet('{_lp_path}')),
+        surv AS (SELECT url FROM raw
+                 WHERE NOT {_L.sql_noindex('h')}
+                   AND NOT {_U.sql_blocklist(_cp_host, _cp_blocked)}),
+        t AS (SELECT e.url, e.text
+              FROM read_parquet('{_cp_text}') e JOIN surv USING (url)),
+        lines AS (SELECT url,
+                         unnest(string_split(text, chr(10))) AS line,
+                         generate_subscripts(string_split(text, chr(10)), 1)
+                             AS line_no
+                  FROM t),
+        boiler AS (SELECT line FROM lines WHERE line <> ''
+                   GROUP BY line HAVING count(DISTINCT url) >= 2),
+        nob AS (SELECT l.url,
+                       string_agg(l.line, chr(10) ORDER BY l.line_no) AS text
+                FROM lines l LEFT JOIN boiler b ON l.line = b.line
+                WHERE b.line IS NULL GROUP BY l.url),
+        c4 AS (SELECT url, text AS orig,
+                      coalesce(array_to_string(
+                          list_filter(string_split(text, chr(10)), x ->
+                              length(rtrim(x)) > 0
+                              AND substr(rtrim(x), length(rtrim(x)), 1)
+                                  IN ('.', '!', '?', '"')
+                              AND len(list_filter(string_split(x, ' '),
+                                                  w -> w <> '')) >= 5
+                              AND NOT contains(lower(x), 'javascript')),
+                          chr(10)), '') AS ktext
+               FROM nob),
+        p AS (SELECT url, ktext FROM c4
+              WHERE length(regexp_replace(ktext, '[^.!?]', '', 'g')) >= 1
+                AND NOT contains(lower(orig), 'lorem ipsum')
+                AND NOT contains(orig, '{{'))
+        SELECT min(url) AS url, ktext AS text FROM p GROUP BY ktext
     """
     # robots.txt: longest-prefix decision, allow wins length ties
     # ('allow' < 'disallow' in the ORDER BY encodes RFC 9309 §2.2.2); the
@@ -3799,6 +3880,7 @@ def oracle_sql() -> dict[str, str]:
         "pages_anchor_texts": _pages_anchor_sql,
         "pages_noindex_filtered": _pages_noindex_sql,
         "crawl_robots_allowed": _crawl_robots_sql,
+        "pages_corpus_prep": _pages_corpus_sql,
         "pages_domain_graph": _pages_domain_sql,
         "pages_crawl_pagerank": _crawl_pagerank_sql,
         "web_pagerank_dist": _pagerank_sql,

@@ -469,7 +469,30 @@ def synth_linked_pages(n_pages: int, seed: int = 42) -> pa.Table:
                    else f"link to page {j}" if j % 3 == 0
                    else f" l{j} ")
             anchors.append(f"<a href={quote}{href}{quote}>{txt}</a>")
-        body = f"<p>page {i}</p>\n" + "\n".join(anchors)
+
+        # corpus-realistic body content (index-derived, NO extra rng draws —
+        # the edge set stays byte-stable): paragraphs that survive C4
+        # cleaning, a per-host boilerplate footer (df >= 2), a "Menu" stub
+        # (C4 word floor), periodic lorem-ipsum page kills, and periodic
+        # verbatim-duplicate bodies (the exact-dedup class)
+        def _paras(j: int) -> list:
+            return [f"Sentence {k} of page {j} talks about "
+                    f"topic {j % 7} in detail today."
+                    for k in range(1 + j % 3)]
+
+        paras = _paras(i - 1) if (i % 19 == 3 and i > 0) else _paras(i)
+        extra = [f"<p>{p}</p>" for p in paras]
+        extra.append("<p>Menu</p>")
+        extra.append(f"<p>All rights reserved by host w{i % n_hosts} "
+                     f"example network operators.</p>")
+        if i % 23 == 11:
+            # page-unique lorem text: an identical lorem line across pages
+            # would be removed by the BOILERPLATE stage (df >= 2) before the
+            # C4 kill rule ever saw it
+            extra.append(f"<p>Lorem ipsum dolor sit amet consectetur "
+                         f"adipiscing elit page {i} do.</p>")
+        body = (f"<p>page {i}</p>\n" + "\n".join(anchors)
+                + "\n" + "\n".join(extra))
         urls.append(_url(i))
         tss.append(t0 + timedelta(seconds=rng.randrange(365 * 24 * 3600)))
         # ~8% of pages opt out of indexing (index-derived, not rng): the
