@@ -485,7 +485,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     from registry_address_matcher_ray.stages import cluster as CL
     from registry_address_matcher_ray.stages import webgraph as WG
 
-    lp_path = "/tmp/ram_ray_fixtures/bench_linked_pages_n20000_seed42.parquet"
+    lp_path = "/tmp/ram_ray_fixtures/bench_linked_pages_v4_n20000_seed42.parquet"
     if not os.path.exists(lp_path):
         os.makedirs(os.path.dirname(lp_path), exist_ok=True)
         pq.write_table(_synth.synth_linked_pages(20_000, seed=42),
@@ -495,6 +495,20 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     n_links = WG.link_graph(_rd.read_parquet(lp_path)).count()
     queries["link_graph"] = round(time.time() - t0, 3)
     extras["link_graph_edges"] = n_links
+
+    # crawl-corpus flagship: politeness -> extract -> boilerplate -> C4 ->
+    # exact dedup over the same 20k-page fixture
+    from registry_address_matcher_ray.pipelines.web_corpus import \
+        pages_to_corpus
+
+    t0 = time.time()
+    n_corpus = pages_to_corpus(
+        _rd.read_parquet(lp_path),
+        blocked=frozenset({"w3.example.org"})).count()
+    queries["corpus_prep"] = round(time.time() - t0, 3)
+    extras["corpus_prep_docs"] = n_corpus
+    extras["corpus_prep_pages_per_sec"] = round(
+        20_000 / max(queries["corpus_prep"], 1e-9), 1)
     t0 = time.time()
     WG.crawl_pagerank(_rd.read_parquet(lp_path)).count()
     queries["crawl_pagerank"] = round(time.time() - t0, 3)
