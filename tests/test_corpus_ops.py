@@ -36,12 +36,18 @@ def _expected_boiler(df, max_df):
     return out
 
 
-@pytest.mark.parametrize("broadcast_limit", [2_000_000, 0])
-def test_boilerplate_removed_both_plans(lined_docs, broadcast_limit):
+@pytest.mark.parametrize("fold_limit,broadcast_limit", [
+    (1 << 30, 2_000_000),   # driver-fold fast path
+    (0, 2_000_000),         # distributed aggregate + broadcast strip
+    (0, 0),                 # distributed aggregate + equi-join strip
+])
+def test_boilerplate_removed_all_plans(lined_docs, fold_limit,
+                                       broadcast_limit):
     ds = ray.data.from_pandas(lined_docs)
     got = D.boilerplate_removed(
         ds, "text", "doc_id", max_df=2,
-        broadcast_limit=broadcast_limit).to_pandas()
+        broadcast_limit=broadcast_limit,
+        fold_input_limit=fold_limit).to_pandas()
     want = _expected_boiler(lined_docs, 2)
     assert dict(zip(got["doc_id"], got["text"])) == want
     assert 5 not in set(got["doc_id"])  # all-boilerplate doc dropped
